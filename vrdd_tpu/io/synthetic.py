@@ -1,0 +1,134 @@
+"""Synthetic dataset generators for the BASELINE.json configs and parity tests.
+
+The reference ships no data; its loaders expect Isabel/Fuel-derived binary
+blobs (volumeRender.cpp:76-84). For testing and benchmarking we generate
+volumes with the same *shapes and invariants* (normalized histograms, valid
+codebooks) deterministically from seeds.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def gaussian_blob_volume(
+    shape: Tuple[int, int, int] = (64, 64, 64),
+    n_blobs: int = 4,
+    seed: int = 0,
+) -> np.ndarray:
+    """Sum-of-Gaussians scalar volume in [0, 1] — the 64^3 PR1 config."""
+    rng = np.random.default_rng(seed)
+    nz, ny, nx = shape
+    z, y, x = np.meshgrid(
+        np.linspace(0, 1, nz), np.linspace(0, 1, ny), np.linspace(0, 1, nx),
+        indexing="ij",
+    )
+    vol = np.zeros(shape, dtype=np.float64)
+    for _ in range(n_blobs):
+        c = rng.uniform(0.2, 0.8, size=3)
+        s = rng.uniform(0.05, 0.2)
+        a = rng.uniform(0.5, 1.0)
+        vol += a * np.exp(
+            -((z - c[0]) ** 2 + (y - c[1]) ** 2 + (x - c[2]) ** 2) / (2 * s * s)
+        )
+    vol /= vol.max()
+    return vol.astype(np.float32)
+
+
+def block_histograms_from_scalar(
+    vol: np.ndarray,
+    block_shape: Tuple[int, int, int],
+    n_bins: int = 32,
+    vmax: float = 1.0,
+) -> np.ndarray:
+    """Data-reduction encoder: raw scalar volume -> per-block normalized histograms.
+
+    This is the preprocessing the reference assumes was done offline (the
+    Isabel 500x500x100 -> 50x50x10 blocks x 32 bins reduction described in the
+    presentation's results table). Returns ``(Zb, Yb, Xb, n_bins)``.
+    """
+    bz, by, bx = block_shape
+    nz, ny, nx = vol.shape
+    assert nz % bz == 0 and ny % by == 0 and nx % bx == 0, "volume must tile"
+    zb, yb, xb = nz // bz, ny // by, nx // bx
+    blocks = vol.reshape(zb, bz, yb, by, xb, bx).transpose(0, 2, 4, 1, 3, 5)
+    blocks = blocks.reshape(zb, yb, xb, -1)
+    bins = np.clip((blocks / vmax * n_bins).astype(np.int64), 0, n_bins - 1)
+    hist = np.zeros((zb, yb, xb, n_bins), dtype=np.float32)
+    for b in range(n_bins):
+        hist[..., b] = (bins == b).sum(axis=-1)
+    hist /= blocks.shape[-1]
+    return hist
+
+
+def random_histogram_volume(
+    shape: Tuple[int, int, int] = (10, 50, 50),
+    n_bins: int = 32,
+    seed: int = 0,
+    concentration: float = 0.5,
+) -> np.ndarray:
+    """Random normalized per-block histograms (Dirichlet), Isabel-shaped default."""
+    rng = np.random.default_rng(seed)
+    h = rng.gamma(concentration, size=(*shape, n_bins)).astype(np.float32)
+    h /= h.sum(axis=-1, keepdims=True)
+    return h
+
+
+def synthetic_fractal_volume(
+    shape: Tuple[int, int, int] = (10, 50, 50),
+    n_bins: int = 32,
+    n_templates: int = 16,
+    max_errors: int = 8,
+    seed: int = 0,
+):
+    """Generate a consistent (templates, codebook, errors, expected_decode) tuple.
+
+    ``expected_decode`` is computed by an independent numpy decode loop, so it
+    doubles as the test oracle for :func:`vrdd_tpu.ops.fractal.fractal_decode_batch`.
+    Returns ``(templates (T, B), codebook (Z, Y, X, 4), error_bins (Z, Y, X, E),
+    error_values (Z, Y, X, E), expected (Z, Y, X, B))``.
+    """
+    rng = np.random.default_rng(seed)
+    t = rng.gamma(1.0, size=(n_templates, n_bins)).astype(np.float32)
+    t /= t.sum(axis=-1, keepdims=True)
+
+    n = int(np.prod(shape))
+    template_id = rng.integers(0, n_templates, size=n)
+    shift = rng.integers(0, n_bins, size=n)
+    flip = rng.integers(0, 2, size=n)
+    n_errors = rng.integers(0, max_errors + 1, size=n)
+    codebook = np.stack([template_id, shift, flip, n_errors], axis=-1).astype(np.int32)
+
+    error_bins = np.zeros((n, max_errors), dtype=np.int32)
+    error_values = np.zeros((n, max_errors), dtype=np.float32)
+    expected = np.zeros((n, n_bins), dtype=np.float32)
+    for i in range(n):
+        tt = t[template_id[i]].copy()
+        if flip[i]:
+            tt = tt[::-1].copy()
+        dec = np.zeros(n_bins, dtype=np.float32)
+        for j in range(n_bins):
+            dec[(j + shift[i]) % n_bins] = tt[j]
+        bins = rng.choice(n_bins, size=n_errors[i], replace=False)
+        vals = rng.uniform(-0.05, 0.05, size=n_errors[i]).astype(np.float32)
+        error_bins[i, : n_errors[i]] = bins
+        error_values[i, : n_errors[i]] = vals
+        for b, v in zip(bins, vals):
+            dec[b] += v
+            if dec[b] < 0:
+                dec[b] = 0.0
+        s = dec.sum()
+        if s > 0:
+            dec /= s
+        expected[i] = dec
+
+    z, y, x = shape
+    return (
+        t,
+        codebook.reshape(z, y, x, 4),
+        error_bins.reshape(z, y, x, max_errors),
+        error_values.reshape(z, y, x, max_errors),
+        expected.reshape(z, y, x, n_bins),
+    )
