@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: Mrays/s/chip forward+backward at 512^3 volume, 1024^2 image
+(BASELINE.json north-star), measured on the slice-sweep MXU renderer with
+gradients w.r.t. the volume and the transfer-function LUT.
+
+``vs_baseline`` compares our *forward* 512^2 throughput (MTexels/s, the
+reference's own benchmark metric, volumeRender.cpp:1066-1067) against the
+reference's published 60 fps at 512^2 => 15.73 MTexels/s on a Quadro K5000.
+
+Timings amortize K on-device iterations inside one jit to exclude host-relay
+latency; completion is forced by a scalar readback.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vrdd_tpu.core.transfer import default_transfer_function
+from vrdd_tpu.march.slice import slice_render_image
+
+REFERENCE_MTEXELS_PER_S = 60.0 * 512 * 512 / 1e6  # 15.73, presentation.pdf
+
+
+def blob_volume(n: int, seed: int = 0) -> np.ndarray:
+    """Memory-light float32 sum-of-gaussians volume (n, n, n)."""
+    rng = np.random.default_rng(seed)
+    z = np.linspace(0, 1, n, dtype=np.float32)
+    vol = np.zeros((n, n, n), dtype=np.float32)
+    for _ in range(3):
+        c = rng.uniform(0.3, 0.7, size=3).astype(np.float32)
+        s = np.float32(rng.uniform(0.1, 0.25))
+        gz = np.exp(-((z - c[0]) ** 2) / (2 * s * s))
+        gy = np.exp(-((z - c[1]) ** 2) / (2 * s * s))
+        gx = np.exp(-((z - c[2]) ** 2) / (2 * s * s))
+        vol += gz[:, None, None] * gy[None, :, None] * gx[None, None, :]
+    vol /= vol.max()
+    return vol
+
+
+def time_amortized(fn, *args, iters: int = 1) -> float:
+    """Seconds per call; fn must return a scalar (readback forces sync)."""
+    float(fn(*args))  # warmup + compile
+    t0 = time.perf_counter()
+    s = float(fn(*args))
+    dt = time.perf_counter() - t0
+    return dt / iters, s
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=512, help="volume edge")
+    p.add_argument("--image", type=int, default=1024, help="image edge")
+    p.add_argument("--iters", type=int, default=4, help="amortized inner iterations")
+    args = p.parse_args()
+
+    n, W, K = args.size, args.image, args.iters
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    vol = jnp.asarray(blob_volume(n))
+    tf = jnp.asarray(default_transfer_function())
+    origin = jnp.asarray([0.0, 0.0, 4.0], dtype=jnp.float32)
+
+    # --- forward, 512^2 (reference benchmark geometry) ---
+    W0 = 512
+
+    @jax.jit
+    def fwd_many(v, tf, o):
+        def it(i, acc):
+            img = slice_render_image(v * (1.0 + 1e-6 * i), o, W0, W0, tf, n_planes=n)
+            return acc + jnp.sum(img)
+
+        return jax.lax.fori_loop(0, K, it, 0.0)
+
+    dt_fwd, _ = time_amortized(fwd_many, vol, tf, origin, iters=K)
+    fwd_mtexels = W0 * W0 / dt_fwd / 1e6
+    print(f"forward 512^2 over {n}^3: {dt_fwd * 1e3:.2f} ms -> "
+          f"{fwd_mtexels:.1f} MTexels/s", file=sys.stderr)
+
+    # --- forward+backward, headline config ---
+    @jax.jit
+    def fwdbwd_many(v, tf, o):
+        def loss(v, tf, i):
+            img = slice_render_image(
+                v * (1.0 + 1e-6 * i), o, W, W, tf, n_planes=n
+            )
+            return jnp.mean((img - 0.25) ** 2)
+
+        def it(i, acc):
+            l, (gv, gt) = jax.value_and_grad(loss, argnums=(0, 1))(v, tf, i)
+            return acc + l + jnp.sum(gt) + gv[0, 0, 0]
+
+        return jax.lax.fori_loop(0, K, it, 0.0)
+
+    dt_fb, _ = time_amortized(fwdbwd_many, vol, tf, origin, iters=K)
+    fb_mrays = W * W / dt_fb / 1e6
+    print(f"fwd+bwd {W}^2 over {n}^3: {dt_fb * 1e3:.2f} ms -> "
+          f"{fb_mrays:.1f} Mrays/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"Mrays/s/chip fwd+bwd {n}^3 vol {W}^2 img (slice-sweep)",
+        "value": round(fb_mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(fwd_mtexels / REFERENCE_MTEXELS_PER_S, 3),
+        "forward_512_mtexels_per_s": round(fwd_mtexels, 2),
+        "reference_mtexels_per_s": REFERENCE_MTEXELS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

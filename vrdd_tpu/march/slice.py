@@ -1,0 +1,202 @@
+"""Object-order slice-sweep renderer — the MXU fast path.
+
+TPUs have no texture units, and per-sample scalar gathers (the direct
+translation of d_render's tex3D fetches) run at ~1e8/s — thousands of times
+off speed-of-light. This module reformulates the render *object-order*: sweep
+the volume's Z planes front-to-back and composite each plane into the image.
+
+The key fact making this TPU-native: for an **unrotated pinhole camera** (the
+reference's benchmark view, volumeRender.cpp:1024-1043), the in-plane sample
+position is separable —
+
+    ray dir ~ normalize(u(px), v(py), -f);  at plane z:
+    x(px, z) = ox + (z - oz) * u(px) / (-f)     (normalization cancels!)
+    y(py, z) = oy + (z - oz) * v(py) / (-f)
+
+so resampling plane ``z`` onto the pixel grid is two small matmuls
+
+    resampled = Wy(z) @ plane @ Wx(z)^T,     Wx: (W, X), Wy: (H, Y)
+
+with bilinear CUDA-model weights (2 nonzeros/row, built densely on the fly —
+the MXU eats them). The transfer-function lookup is likewise a one-hot matmul
+over the small LUT. Everything lands on the MXU; there are NO gathers.
+
+Discretization difference vs the ray-order marcher: samples lie on constant-z
+planes instead of constant-t shells, with per-ray segment length
+``dz_plane / |dir_z|``. With ``length_correction=True`` (default), sample
+opacity is scaled by ``segment / tstep`` so the sweep converges to the same
+integral; parity tests compare against the scan marcher with tolerances, while
+bit-exact reference parity remains the scan path's job.
+
+Rotated cameras: rotate the volume once (3-pass shear, also matmuls) then
+sweep — see ``vrdd_tpu.march.rotate`` (later round) or fall back to the scan
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vrdd_tpu.utils.config import MarchConfig
+
+
+def _axis_weights(
+    coords: jnp.ndarray, n: int, lo: float, hi: float
+) -> jnp.ndarray:
+    """Dense CUDA-model bilinear weight matrix (P, n) for world coords (P,).
+
+    Out-of-box coords (outside [lo, hi]) get all-zero rows (no contribution);
+    in-box coords clamp to edge texels exactly like the texture unit.
+    """
+    p01 = (coords - lo) / (hi - lo)
+    xf = p01 * n - 0.5
+    i0 = jnp.floor(xf)
+    a = xf - i0
+    i0i = i0.astype(jnp.int32)
+    lo_idx = jnp.clip(i0i, 0, n - 1)
+    hi_idx = jnp.clip(i0i + 1, 0, n - 1)
+    in_box = (p01 >= 0.0) & (p01 <= 1.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], n), 1)
+    w = (
+        jnp.where(cols == lo_idx[:, None], (1.0 - a)[:, None], 0.0)
+        + jnp.where(cols == hi_idx[:, None], a[:, None], 0.0)
+    )
+    return jnp.where(in_box[:, None], w, 0.0)
+
+
+def _tf_onehot_matmul(
+    sample: jnp.ndarray, lut: jnp.ndarray, offset: jnp.ndarray, scale: jnp.ndarray
+) -> jnp.ndarray:
+    """TF lookup as a one-hot matmul: (H, W) scalars -> (H, W, 4) RGBA."""
+    n = lut.shape[0]
+    xf = (sample - offset) * scale * n - 0.5
+    i0 = jnp.floor(xf)
+    a = xf - i0
+    i0i = i0.astype(jnp.int32)
+    lo = jnp.clip(i0i, 0, n - 1)
+    hi = jnp.clip(i0i + 1, 0, n - 1)
+    bins = jax.lax.broadcasted_iota(jnp.int32, sample.shape + (n,), sample.ndim)
+    w = jnp.where(bins == lo[..., None], (1.0 - a)[..., None], 0.0) + jnp.where(
+        bins == hi[..., None], a[..., None], 0.0
+    )
+    return jax.lax.dot_general(
+        w,
+        lut,
+        (((sample.ndim,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def slice_render_image(
+    volume: jnp.ndarray,
+    origin: jnp.ndarray,
+    width: int,
+    height: int,
+    tf_lut: jnp.ndarray,
+    density: jnp.ndarray = 0.05,
+    brightness: jnp.ndarray = 1.0,
+    transfer_offset: jnp.ndarray = 0.0,
+    transfer_scale: jnp.ndarray = 1.0,
+    march: MarchConfig = MarchConfig(),
+    focal: float = 2.0,
+    n_planes: int = 0,
+    length_correction: bool = True,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Render ``(H, W, 4)`` RGBA by plane sweep (unrotated camera at ``origin``).
+
+    ``volume`` is a scalar field ``(Z, Y, X)``; ``origin`` the camera position
+    (world), looking along -z with the reference's NDC frustum. ``n_planes``
+    defaults to 2 * Z.
+    """
+    volume = jnp.asarray(volume)
+    nz, ny, nx = volume.shape
+    if n_planes <= 0:
+        n_planes = 2 * nz
+    origin = jnp.asarray(origin, dtype=jnp.float32)
+    ox, oy, oz = origin[0], origin[1], origin[2]
+    (xlo, ylo, zlo) = march.box_min
+    (xhi, yhi, zhi) = march.box_max
+
+    # Static camera-grid constants are built with numpy on the host so they
+    # embed as literals instead of device constants (device round-trips during
+    # lowering are pathologically slow on remote-attached TPUs).
+    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0).astype(np.float32)
+    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0).astype(np.float32)
+    uu, vv = np.meshgrid(u, v)
+    norm = np.sqrt(uu * uu + vv * vv + focal * focal)
+    dz = (-focal / norm).astype(np.float32)  # (H, W), camera looks down -z
+
+    # Plane schedule: front-to-back along the viewing direction.
+    spacing = (zhi - zlo) / n_planes
+    zs = (zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)).astype(
+        np.float32
+    )
+    looking_down = True  # camera looks -z; nearest plane has largest z
+    zs = zs[::-1].copy() if looking_down else zs
+
+    seg = spacing / np.abs(dz)  # per-ray world path length through one slab
+    alpha_scale = (
+        (seg / march.tstep).astype(np.float32)
+        if length_correction
+        else np.ones_like(seg, dtype=np.float32)
+    )
+
+    dtype = compute_dtype
+
+    def body(acc, z):
+        # z-interp of the two adjacent volume layers (CUDA model).
+        p01z = (z - zlo) / (zhi - zlo)
+        zf = p01z * nz - 0.5
+        iz0 = jnp.floor(zf)
+        az = zf - iz0
+        iz0i = jnp.clip(iz0.astype(jnp.int32), 0, nz - 1)
+        iz1i = jnp.clip(iz0.astype(jnp.int32) + 1, 0, nz - 1)
+        plane = (1.0 - az) * jax.lax.dynamic_index_in_dim(
+            volume, iz0i, 0, keepdims=False
+        ) + az * jax.lax.dynamic_index_in_dim(volume, iz1i, 0, keepdims=False)
+
+        # Separable resample onto the pixel grid.
+        x_at = ox + (z - oz) * (u / (-focal))  # (W,)
+        y_at = oy + (z - oz) * (v / (-focal))  # (H,)
+        wx = _axis_weights(x_at, nx, xlo, xhi).astype(dtype)  # (W, X)
+        wy = _axis_weights(y_at, ny, ylo, yhi).astype(dtype)  # (H, Y)
+        tmp = jax.lax.dot_general(
+            wy, plane.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, X)
+        resampled = jax.lax.dot_general(
+            tmp.astype(dtype), wx.astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, W)
+
+        # Plane in front of the camera only.
+        t = (z - oz) / dz
+        valid = t > 0.0
+
+        col = _tf_onehot_matmul(resampled, tf_lut, transfer_offset, transfer_scale)
+        a = col[..., 3] * density * alpha_scale
+        a = jnp.where(valid, a, 0.0)
+        # zero-weight (out-of-box) pixels must not composite TF(0):
+        covered = (
+            jnp.sum(jnp.abs(wy), axis=1)[:, None] * jnp.sum(jnp.abs(wx), axis=1)[None, :]
+        ) > 0.0
+        a = jnp.where(covered, a, 0.0)
+        rgb = col[..., :3] * a[..., None]
+        new_acc = acc + jnp.concatenate([rgb, a[..., None]], axis=-1) * (
+            1.0 - acc[..., 3:4]
+        )
+        # early-termination mask (threshold semantics, per pixel)
+        acc = jnp.where(
+            (acc[..., 3:4] > march.opacity_threshold), acc, new_acc
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((height, width, 4), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, zs)
+    return acc * jnp.asarray(brightness, dtype=jnp.float32)
