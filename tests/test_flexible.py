@@ -1,0 +1,145 @@
+"""Flexible-block (integral distribution) pipeline tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vrdd_tpu.io.synthetic import synthetic_flexible_dataset
+from vrdd_tpu.models.flexible import FlexibleBlockVolume
+from vrdd_tpu.ops.integral import (
+    all_fenwick_triples,
+    fenwick_spans,
+    integral_histogram,
+    prefix_box_decomposition,
+    query_block_histogram,
+)
+
+
+def test_fenwick_spans_partition_prefix():
+    for x in [1, 5, 13, 37, 63, 64]:
+        spans = fenwick_spans(x)
+        covered = sorted(i for lo, hi in spans for i in range(lo, hi + 1))
+        assert covered == list(range(1, x + 1)), x
+
+
+def test_prefix_box_decomposition_counts():
+    subs = prefix_box_decomposition((5, 3, 2))
+    # 5 -> 2 spans, 3 -> 2 spans, 2 -> 1 span => 4 sub-boxes
+    assert len(subs) == 4
+    vol = sum(
+        (r[3] - r[0] + 1) * (r[4] - r[1] + 1) * (r[5] - r[2] + 1) for r in subs
+    )
+    assert vol == 5 * 3 * 2
+
+
+def test_integral_histogram_query_matches_direct():
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, size=(6, 7, 8)).astype(np.float32)
+    sat = integral_histogram(jnp.asarray(raw), 16, 0.0, 256.0)
+    low = np.array([[1, 2, 3], [0, 0, 0]], dtype=np.int32)  # zyx inclusive
+    high = np.array([[4, 5, 6], [5, 6, 7]], dtype=np.int32)
+    got = np.asarray(query_block_histogram(sat, jnp.asarray(low), jnp.asarray(high)))
+    for i in range(2):
+        blk = raw[low[i, 0] : high[i, 0] + 1, low[i, 1] : high[i, 1] + 1,
+                  low[i, 2] : high[i, 2] + 1]
+        bins = np.clip((blk / 256.0 * 16).astype(np.int64), 0, 15)
+        direct = np.bincount(bins.ravel(), minlength=16)
+        np.testing.assert_allclose(got[i], direct, atol=1e-3)
+
+
+def test_from_raw_matches_direct_block_stats():
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 256, size=(8, 8, 8)).astype(np.float32)
+    fb = FlexibleBlockVolume.from_raw(raw, block_size=3, n_bins=16, vmax=256.0)
+    assert fb.stats_grid.shape == (3, 3, 3, 3)
+    # direct check on one interior and one remainder block
+    for (bz, by, bx) in [(0, 0, 0), (2, 2, 2), (1, 2, 0)]:
+        blk = raw[bz * 3 : bz * 3 + 3, by * 3 : by * 3 + 3, bx * 3 : bx * 3 + 3]
+        bins = np.clip((blk / 256.0 * 16).astype(np.int64), 0, 15)
+        h = np.bincount(bins.ravel(), minlength=16).astype(np.float64)
+        h /= h.sum()
+        bw = 255.0 / 16
+        centers = bw * np.arange(16) + bw / 2
+        mean = (h * centers).sum()
+        var = (h * (centers - mean) ** 2).sum()
+        with np.errstate(divide="ignore"):
+            lg = np.where(h > 0, np.log2(np.where(h > 0, h, 1.0)), 0.0)
+        ent = -(h * lg).sum() / np.log2(16)
+        got = np.asarray(fb.stats_grid)[bz, by, bx]
+        np.testing.assert_allclose(got, [mean, var, ent], rtol=1e-4, atol=1e-5)
+
+
+def test_codebook_path_matches_raw_path():
+    """The reference-format pipeline (fractal + simple span banks, Fenwick
+    corner decomposition, weighted +/- accumulation) reproduces the exact
+    block stats computed directly from the raw volume."""
+    ds = synthetic_flexible_dataset(dims=(8, 8, 8), n_bins=64, seed=2)
+    via_raw = FlexibleBlockVolume.from_raw(
+        ds["raw"], block_size=3, n_bins=64, vmax=256.0
+    )
+    via_codebooks = FlexibleBlockVolume.from_codebooks(
+        volume_dim=ds["volume_dim"],
+        block_size=3,
+        fractal_spans=ds["fractal_spans"],
+        fractal_codebook=ds["fractal_codebook"],
+        fractal_error_bins=ds["fractal_error_bins"],
+        fractal_error_values=ds["fractal_error_values"],
+        templates=ds["templates"],
+        simple_spans=ds["simple_spans"],
+        simple_bin_ids=ds["simple_bin_ids"],
+        simple_freqs=ds["simple_freqs"],
+        simple_counts=ds["simple_counts"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(via_codebooks.stats_grid),
+        np.asarray(via_raw.stats_grid),
+        rtol=1e-3,
+        atol=1e-3,
+    )
+    assert via_codebooks.timings and "accumulate" in via_codebooks.timings
+
+
+def test_flex_render_query_methods():
+    """Queries 8/9/0: flex stats grid sampled with unnormalized linear fetch."""
+    from vrdd_tpu.core.geometry import default_benchmark_inv_view
+    from vrdd_tpu.core.transfer import default_transfer_function
+    from vrdd_tpu.march.reference_numpy import reference_render
+    from vrdd_tpu.march.scan import render_image
+    from vrdd_tpu.models.renderer import flex_sample_fn
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=(12, 12, 12)).astype(np.float32)
+    fb = FlexibleBlockVolume.from_raw(raw, block_size=4, n_bins=64, vmax=256.0)
+    grid = np.asarray(fb.stats_grid)
+    nzb, nyb, nxb = grid.shape[:3]
+    padded = np.pad(grid, ((0, 1), (0, 1), (0, 1), (0, 0)))
+
+    def np_flex_sample(p01, ch):
+        coords = p01 * np.array([nxb, nyb, nzb], dtype=np.float32)
+        xf = coords - 0.5
+        i0 = np.floor(xf).astype(np.int64)
+        a = xf - i0
+        pz, py, px = padded.shape[:3]
+        x0 = np.clip(i0[..., 0], 0, px - 1)
+        x1 = np.clip(i0[..., 0] + 1, 0, px - 1)
+        y0 = np.clip(i0[..., 1], 0, py - 1)
+        y1 = np.clip(i0[..., 1] + 1, 0, py - 1)
+        z0 = np.clip(i0[..., 2], 0, pz - 1)
+        z1 = np.clip(i0[..., 2] + 1, 0, pz - 1)
+        ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+        c00 = padded[z0, y0, x0, ch] * (1 - ax) + padded[z0, y0, x1, ch] * ax
+        c10 = padded[z0, y1, x0, ch] * (1 - ax) + padded[z0, y1, x1, ch] * ax
+        c01 = padded[z1, y0, x0, ch] * (1 - ax) + padded[z1, y0, x1, ch] * ax
+        c11 = padded[z1, y1, x0, ch] * (1 - ax) + padded[z1, y1, x1, ch] * ax
+        c0 = c00 * (1 - ay) + c10 * ay
+        c1 = c01 * (1 - ay) + c11 * ay
+        return c0 * (1 - az) + c1 * az
+
+    iv = default_benchmark_inv_view()
+    tf = default_transfer_function()
+    # scale = mean channel is in [0, 255]; use entropy channel (in [0,1])
+    for ch in (2,):
+        ref = reference_render(lambda p: np_flex_sample(p, ch), iv, 32, 32, tf)
+        got = render_image(
+            flex_sample_fn(fb.stats_grid, ch), jnp.asarray(iv), 32, 32, jnp.asarray(tf)
+        )
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,188 @@
+"""Round-trip tests of all binary formats; Python and native readers agree."""
+
+import numpy as np
+import pytest
+
+from vrdd_tpu.io import formats
+from vrdd_tpu.io import native
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_raw_roundtrip(tmp_path, rng):
+    h = rng.random((100, 32)).astype(np.float32)
+    p = str(tmp_path / "raw.bin")
+    formats.write_raw_histograms(p, h)
+    np.testing.assert_array_equal(formats.read_raw_histograms(p, 100, 32), h)
+
+
+def test_codebook_roundtrip(tmp_path, rng):
+    n, nb, E = 50, 32, 8
+    cb = np.stack(
+        [
+            rng.integers(0, 600, n),
+            rng.integers(0, nb, n),
+            rng.integers(0, 2, n),
+            rng.integers(0, E + 1, n),
+        ],
+        -1,
+    ).astype(np.int32)
+    ebins = rng.integers(0, nb, (n, E)).astype(np.int32)
+    evals = rng.uniform(-1, 1, (n, E)).astype(np.float32)
+    span_ids = np.arange(n, dtype=np.int32)
+    # zero out padding so comparisons are exact
+    for i in range(n):
+        ebins[i, cb[i, 3]:] = 0
+        evals[i, cb[i, 3]:] = 0
+    p = str(tmp_path / "cb.bin")
+    formats.write_codebook(p, cb, ebins, evals, span_ids)
+    cb2, eb2, ev2, sid2 = formats.read_codebook(p, nb, E)
+    np.testing.assert_array_equal(cb2, cb)
+    np.testing.assert_array_equal(eb2, ebins)
+    np.testing.assert_allclose(ev2, evals, rtol=1e-6)
+    np.testing.assert_array_equal(sid2, span_ids)
+
+
+def test_templates_roundtrip(tmp_path, rng):
+    t = rng.random((20, 32)).astype(np.float32)
+    t /= t.max() + 1.0  # keep in [0, 1]
+    p = str(tmp_path / "templates.bin")
+    formats.write_templates(p, t)
+    np.testing.assert_allclose(formats.read_templates(p, 32), t, rtol=1e-6)
+
+
+def test_templates_validation(tmp_path):
+    t = np.array([[0.5, 1.5]], dtype=np.float32)  # out of range
+    p = str(tmp_path / "bad.bin")
+    formats.write_templates(p, t)
+    with pytest.raises(formats.FormatError):
+        formats.read_templates(p, 2)
+
+
+def test_span_list_roundtrip_interleaved(tmp_path, rng):
+    low = rng.integers(0, 30, (40, 3)).astype(np.int32)
+    high = low + rng.integers(0, 30, (40, 3)).astype(np.int32)
+    p = str(tmp_path / "spans.bin")
+    formats.write_span_list(p, low, high)
+    lo2, hi2 = formats.read_span_list(p)
+    np.testing.assert_array_equal(lo2, low)
+    np.testing.assert_array_equal(hi2, high)
+    # verify the on-disk interleave quirk directly
+    raw = np.fromfile(p, dtype="<i4")[1:].reshape(-1, 6)
+    np.testing.assert_array_equal(raw[:, 0], low[:, 0])
+    np.testing.assert_array_equal(raw[:, 1], high[:, 0])
+    np.testing.assert_array_equal(raw[:, 4], low[:, 2])
+
+
+def test_simple_histograms_roundtrip(tmp_path, rng):
+    n, nb = 30, 64
+    low = rng.integers(0, 60, (n, 3)).astype(np.int32)
+    high = low + rng.integers(0, 3, (n, 3)).astype(np.int32)
+    counts = rng.integers(1, 6, n).astype(np.int32)
+    bin_ids = np.zeros((n, nb), dtype=np.int32)
+    freqs = np.zeros((n, nb), dtype=np.float32)
+    for i in range(n):
+        ids = rng.choice(nb, counts[i], replace=False)
+        fr = rng.random(counts[i]).astype(np.float64)
+        fr /= fr.sum()
+        bin_ids[i, : counts[i]] = ids
+        freqs[i, : counts[i]] = fr
+    paths = [str(tmp_path / f) for f in ("c.bin", "i.bin", "f.bin")]
+    formats.write_simple_histograms(*paths, low, high, bin_ids, freqs, counts)
+    lo2, hi2, bi2, fr2, c2 = formats.read_simple_histograms(*paths, nb)
+    np.testing.assert_array_equal(lo2, low)
+    np.testing.assert_array_equal(hi2, high)
+    np.testing.assert_array_equal(c2, counts)
+    np.testing.assert_array_equal(bi2, bin_ids)
+    np.testing.assert_allclose(fr2, freqs, rtol=1e-6)
+
+
+def test_ppm_roundtrip_and_compare(tmp_path, rng):
+    img = rng.integers(0, 256, (16, 20, 4)).astype(np.uint8)
+    p = str(tmp_path / "img.ppm")
+    formats.write_ppm(p, img)
+    back = formats.read_ppm(p)
+    np.testing.assert_array_equal(back, img[..., :3])
+    ok, frac = formats.compare_ppm(back, img[..., :3])
+    assert ok and frac == 0.0
+    noisy = back.astype(np.int32).copy()
+    noisy[:8] += 50  # half the rows badly off -> 50% outliers > 30%
+    ok2, frac2 = formats.compare_ppm(noisy, back)
+    assert not ok2 and frac2 == 0.5
+
+
+@pytest.mark.skipif(not native.available(), reason="native toolchain missing")
+class TestNativeParity:
+    def test_native_matches_python(self, tmp_path, rng):
+        # codebook
+        n, nb, E = 25, 64, 6
+        cb = np.stack(
+            [
+                rng.integers(0, 400, n),
+                rng.integers(0, nb, n),
+                rng.integers(0, 2, n),
+                rng.integers(0, E + 1, n),
+            ],
+            -1,
+        ).astype(np.int32)
+        ebins = rng.integers(0, nb, (n, E)).astype(np.int32)
+        evals = rng.uniform(-1, 1, (n, E)).astype(np.float32)
+        sids = rng.integers(0, 1000, n).astype(np.int32)
+        for i in range(n):
+            ebins[i, cb[i, 3]:] = 0
+            evals[i, cb[i, 3]:] = 0
+        p = str(tmp_path / "cb.bin")
+        formats.write_codebook(p, cb, ebins, evals, sids)
+        for a, b in zip(formats.read_codebook(p, nb, E), native.read_codebook(p, nb, E)):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+
+        # templates
+        t = (rng.random((10, nb)) * 0.9).astype(np.float32)
+        pt = str(tmp_path / "t.bin")
+        formats.write_templates(pt, t)
+        np.testing.assert_allclose(
+            native.read_templates(pt, nb), formats.read_templates(pt, nb), rtol=1e-6
+        )
+
+        # span list
+        low = rng.integers(0, 30, (15, 3)).astype(np.int32)
+        high = low + rng.integers(0, 30, (15, 3)).astype(np.int32)
+        ps = str(tmp_path / "s.bin")
+        formats.write_span_list(ps, low, high)
+        for a, b in zip(formats.read_span_list(ps), native.read_span_list(ps)):
+            np.testing.assert_array_equal(a, b)
+
+        # raw
+        h = rng.random((40, nb)).astype(np.float32)
+        pr = str(tmp_path / "r.bin")
+        formats.write_raw_histograms(pr, h)
+        np.testing.assert_array_equal(native.read_raw_histograms(pr, 40, nb), h)
+
+        # simple trio
+        counts = rng.integers(1, 5, 12).astype(np.int32)
+        bin_ids = np.zeros((12, nb), dtype=np.int32)
+        freqs = np.zeros((12, nb), dtype=np.float32)
+        for i in range(12):
+            ids = rng.choice(nb, counts[i], replace=False)
+            fr = rng.random(counts[i]).astype(np.float64)
+            fr /= fr.sum()
+            bin_ids[i, : counts[i]] = ids
+            freqs[i, : counts[i]] = fr
+        lo = rng.integers(0, 60, (12, 3)).astype(np.int32)
+        hi = lo + 1
+        paths = [str(tmp_path / f) for f in ("sc.bin", "si.bin", "sf.bin")]
+        formats.write_simple_histograms(*paths, lo, hi, bin_ids, freqs, counts)
+        py = formats.read_simple_histograms(*paths, nb)
+        nat = native.read_simple_histograms(*paths, nb)
+        for a, b in zip(py, nat):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_native_validation(self, tmp_path):
+        t = np.array([[0.5, 1.5]], dtype=np.float32)
+        p = str(tmp_path / "bad.bin")
+        formats.write_templates(p, t)
+        with pytest.raises(formats.FormatError):
+            native.read_templates(p, 2)

@@ -1,0 +1,142 @@
+"""ctypes bindings for the native C++ data loaders.
+
+Builds ``vrdd_tpu/native/libvrdd_io.so`` on first use (make + g++) and exposes
+reader functions with the same signatures/semantics as
+:mod:`vrdd_tpu.io.formats` (the specification). If the toolchain is
+unavailable the callers should fall back to the Python readers — use
+:func:`available` to check.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+from vrdd_tpu.io.formats import FormatError
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvrdd_io.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+
+        lib.vrdd_read_raw.argtypes = [ctypes.c_char_p, ctypes.c_long, _f32p]
+        lib.vrdd_codebook_count.argtypes = [ctypes.c_char_p]
+        lib.vrdd_read_codebook.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, _i32p, _i32p, _f32p, _i32p,
+        ]
+        lib.vrdd_templates_count.argtypes = [ctypes.c_char_p]
+        lib.vrdd_read_templates.argtypes = [ctypes.c_char_p, ctypes.c_int, _f32p]
+        lib.vrdd_span_count.argtypes = [ctypes.c_char_p]
+        lib.vrdd_read_span_list.argtypes = [ctypes.c_char_p, _i32p, _i32p]
+        lib.vrdd_simple_count.argtypes = [ctypes.c_char_p]
+        lib.vrdd_read_simple.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            _i32p, _i32p, _i32p, _f32p, _i32p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _check(rc: int, what: str) -> int:
+    if rc < 0:
+        raise FormatError(f"native reader failed ({what}): code {rc}")
+    return rc
+
+
+def read_raw_histograms(path: str, n_blocks: int, n_bins: int) -> np.ndarray:
+    lib = _load()
+    out = np.empty(n_blocks * n_bins, dtype=np.float32)
+    _check(lib.vrdd_read_raw(path.encode(), out.size, out), "raw")
+    return out.reshape(n_blocks, n_bins)
+
+
+def read_codebook(
+    path: str, n_bins: int, max_errors: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    lib = _load()
+    max_errors = max_errors or n_bins
+    n = _check(lib.vrdd_codebook_count(path.encode()), "codebook header")
+    codebook = np.zeros((n, 4), dtype=np.int32)
+    ebins = np.zeros((n, max_errors), dtype=np.int32)
+    evals = np.zeros((n, max_errors), dtype=np.float32)
+    span_ids = np.zeros(n, dtype=np.int32)
+    _check(
+        lib.vrdd_read_codebook(
+            path.encode(), n_bins, max_errors, codebook, ebins, evals, span_ids
+        ),
+        "codebook",
+    )
+    return codebook, ebins, evals, span_ids
+
+
+def read_templates(path: str, n_bins: int) -> np.ndarray:
+    lib = _load()
+    n = _check(lib.vrdd_templates_count(path.encode()), "templates header")
+    out = np.zeros((n, n_bins), dtype=np.float32)
+    _check(lib.vrdd_read_templates(path.encode(), n_bins, out), "templates")
+    return out
+
+
+def read_span_list(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    n = _check(lib.vrdd_span_count(path.encode()), "span header")
+    low = np.zeros((n, 3), dtype=np.int32)
+    high = np.zeros((n, 3), dtype=np.int32)
+    _check(lib.vrdd_read_span_list(path.encode(), low, high), "span list")
+    return low, high
+
+
+def read_simple_histograms(
+    counts_path: str, bin_ids_path: str, freqs_path: str, n_bins: int
+):
+    lib = _load()
+    n = _check(lib.vrdd_simple_count(counts_path.encode()), "simple header")
+    low = np.zeros((n, 3), dtype=np.int32)
+    high = np.zeros((n, 3), dtype=np.int32)
+    bin_ids = np.zeros((n, n_bins), dtype=np.int32)
+    freqs = np.zeros((n, n_bins), dtype=np.float32)
+    counts = np.zeros(n, dtype=np.int32)
+    _check(
+        lib.vrdd_read_simple(
+            counts_path.encode(), bin_ids_path.encode(), freqs_path.encode(),
+            n_bins, low, high, bin_ids, freqs, counts,
+        ),
+        "simple",
+    )
+    return low, high, bin_ids, freqs, counts

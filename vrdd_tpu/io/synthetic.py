@@ -132,3 +132,108 @@ def synthetic_fractal_volume(
         error_values.reshape(z, y, x, max_errors),
         expected.reshape(z, y, x, n_bins),
     )
+
+
+def synthetic_flexible_dataset(
+    dims: Tuple[int, int, int] = (16, 16, 16),
+    n_bins: int = 64,
+    seed: int = 0,
+    error_fraction: float = 0.25,
+    max_errors: int = 4,
+):
+    """Reference-structured flexible-block dataset from a known raw volume.
+
+    Generates the full Fenwick span universe (what the reference's
+    codebook0/nzb* files store for the 64^3 Fuel volume) from a random raw
+    volume: spans >= 8 voxels are fractal-encoded (with exact inverse
+    templates, a fraction carrying sparse error corrections), smaller spans
+    become sparse "simple" histograms (0-indexed spans, the reference quirk at
+    volumeRender_kernel.cu:1464-1471).
+
+    Returns a dict with the raw volume and every array
+    :meth:`vrdd_tpu.models.flexible.FlexibleBlockVolume.from_codebooks` needs.
+    """
+    from vrdd_tpu.ops.integral import all_fenwick_triples, span_sizes
+
+    rng = np.random.default_rng(seed)
+    dx, dy, dz = dims
+    raw = rng.integers(0, 256, size=(dz, dy, dx)).astype(np.float32)
+
+    # numpy integral histogram (independent of the jax implementation)
+    bins = np.clip((raw / 256.0 * n_bins).astype(np.int64), 0, n_bins - 1)
+    oh = np.zeros((dz, dy, dx, n_bins), dtype=np.float64)
+    for b in range(n_bins):
+        oh[..., b] = bins == b
+    sat = oh.cumsum(0).cumsum(1).cumsum(2)
+    sat = np.pad(sat, ((1, 0), (1, 0), (1, 0), (0, 0)))
+
+    spans = all_fenwick_triples(dims)  # (n, 6) 1-indexed xyz
+    sizes = span_sizes(spans)
+
+    def span_hist(row):
+        lx, ly, lz, hx, hy, hz = (int(v) for v in row)
+        h = (
+            sat[hz, hy, hx] - sat[lz - 1, hy, hx] - sat[hz, ly - 1, hx]
+            - sat[hz, hy, lx - 1] + sat[lz - 1, ly - 1, hx]
+            + sat[lz - 1, hy, lx - 1] + sat[hz, ly - 1, lx - 1]
+            - sat[lz - 1, ly - 1, lx - 1]
+        )
+        return h / h.sum()
+
+    fractal_mask = sizes >= 8
+    f_rows = spans[fractal_mask]
+    s_rows = spans[~fractal_mask]
+
+    nf = len(f_rows)
+    templates = np.zeros((nf, n_bins), dtype=np.float32)
+    codebook = np.zeros((nf, 4), dtype=np.int32)
+    error_bins = np.zeros((nf, max_errors), dtype=np.int32)
+    error_values = np.zeros((nf, max_errors), dtype=np.float32)
+    for i, row in enumerate(f_rows):
+        h = span_hist(row).astype(np.float32)
+        shift = int(rng.integers(0, n_bins))
+        flip = int(rng.integers(0, 2))
+        t = np.roll(h, -shift)
+        if flip:
+            t = t[::-1].copy()
+        ne = 0
+        if rng.random() < error_fraction:
+            # perturb template bins, record corrections applied post-shift
+            ne = int(rng.integers(1, max_errors + 1))
+            target_bins = rng.choice(n_bins, size=ne, replace=False)
+            for k, tb in enumerate(target_bins):
+                # template position whose decoded position is tb
+                j = (tb - shift) % n_bins
+                tpos = (n_bins - 1 - j) if flip else j
+                delta = np.float32(min(0.01, t[tpos] * 0.5))
+                t[tpos] -= delta
+                error_bins[i, k] = tb
+                error_values[i, k] = delta
+        templates[i] = t
+        codebook[i] = (i, shift, flip, ne)
+
+    ns = len(s_rows)
+    max_nnz = n_bins
+    simple_bin_ids = np.zeros((ns, max_nnz), dtype=np.int32)
+    simple_freqs = np.zeros((ns, max_nnz), dtype=np.float32)
+    simple_counts = np.zeros(ns, dtype=np.int32)
+    for i, row in enumerate(s_rows):
+        h = span_hist(row)
+        nz_bins = np.nonzero(h)[0]
+        simple_counts[i] = len(nz_bins)
+        simple_bin_ids[i, : len(nz_bins)] = nz_bins
+        simple_freqs[i, : len(nz_bins)] = h[nz_bins]
+
+    return dict(
+        raw=raw,
+        volume_dim=dims,
+        fractal_spans=f_rows,
+        fractal_codebook=codebook,
+        fractal_error_bins=error_bins,
+        fractal_error_values=error_values,
+        templates=templates,
+        simple_spans=s_rows - 1,  # 0-indexed, reference quirk
+        simple_bin_ids=simple_bin_ids,
+        simple_freqs=simple_freqs,
+        simple_counts=simple_counts,
+    )

@@ -1,0 +1,209 @@
+// Native data-loader library for the vrdd_tpu framework.
+//
+// C++ implementations of the binary-format readers (the reference implements
+// these as C++ host code, volumeRender.cpp:538-997). Exposed through a plain
+// C ABI consumed via ctypes (vrdd_tpu/io/native.py); the Python readers in
+// vrdd_tpu/io/formats.py are the behavioral specification and fallback.
+//
+// All formats are little-endian; bool on disk is 1 byte. Validation mirrors
+// the reference's checks (span ordering, frequency ranges, sum-to-one) and is
+// reported through negative return codes instead of printf + exit.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kErrOpen = -1;
+constexpr int kErrTruncated = -2;
+constexpr int kErrRange = -3;
+
+struct File {
+  FILE* fp = nullptr;
+  explicit File(const char* path) { fp = std::fopen(path, "rb"); }
+  ~File() {
+    if (fp) std::fclose(fp);
+  }
+  bool ok() const { return fp != nullptr; }
+  template <typename T>
+  bool read(T* out, size_t n = 1) {
+    return std::fread(out, sizeof(T), n, fp) == n;
+  }
+  bool skip(long bytes) { return std::fseek(fp, bytes, SEEK_CUR) == 0; }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ----------------------------------------------------------- raw blob (fmt 1)
+
+int vrdd_read_raw(const char* path, long count, float* out) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  if (!f.read(out, static_cast<size_t>(count))) return kErrTruncated;
+  return 0;
+}
+
+// ----------------------------------------------------- codebooks (fmts 2 & 5)
+
+// Header: <nSteps:i32><n:i32>; per entry: <spanId:i32><templateId:i32>
+// <shift:i32><flip:u8><nErrors:i32><nErrors x i32><nErrors x f64>.
+
+int vrdd_codebook_count(const char* path) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  int32_t n_steps = 0, n = 0;
+  if (!f.read(&n_steps) || !f.read(&n)) return kErrTruncated;
+  return n;
+}
+
+int vrdd_read_codebook(const char* path, int n_bins, int max_errors,
+                       int32_t* codebook, int32_t* ebins, float* evals,
+                       int32_t* span_ids) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  int32_t n_steps = 0, n = 0;
+  if (!f.read(&n_steps) || !f.read(&n)) return kErrTruncated;
+  std::vector<int32_t> ids;
+  std::vector<double> vals;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t span_id, tid, shift, ne;
+    uint8_t flip;
+    if (!f.read(&span_id) || !f.read(&tid) || !f.read(&shift) ||
+        !f.read(&flip) || !f.read(&ne))
+      return kErrTruncated;
+    if (ne < 0 || ne > n_bins) return kErrRange;  // volumeRender.cpp:611, 833
+    span_ids[i] = span_id;
+    codebook[i * 4 + 0] = tid;
+    codebook[i * 4 + 1] = shift;
+    codebook[i * 4 + 2] = flip ? 1 : 0;
+    codebook[i * 4 + 3] = ne;
+    ids.resize(ne);
+    vals.resize(ne);
+    if (ne) {
+      if (!f.read(ids.data(), ne) || !f.read(vals.data(), ne))
+        return kErrTruncated;
+    }
+    for (int e = 0; e < ne && e < max_errors; ++e) {
+      ebins[i * max_errors + e] = ids[e];
+      evals[i * max_errors + e] = static_cast<float>(vals[e]);
+    }
+  }
+  return n;
+}
+
+// ----------------------------------------------------- templates (fmts 3 & 7)
+
+int vrdd_templates_count(const char* path) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  int32_t n = 0;
+  if (!f.read(&n)) return kErrTruncated;
+  return n;
+}
+
+int vrdd_read_templates(const char* path, int n_bins, float* out) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  int32_t n = 0;
+  if (!f.read(&n)) return kErrTruncated;
+  std::vector<double> freqs(n_bins);
+  for (int32_t i = 0; i < n; ++i) {
+    if (!f.skip(8 * 6)) return kErrTruncated;  // limits, ignored
+    if (!f.read(freqs.data(), n_bins)) return kErrTruncated;
+    for (int b = 0; b < n_bins; ++b) {
+      if (freqs[b] < 0.0 || freqs[b] > 1.0) return kErrRange;
+      out[i * n_bins + b] = static_cast<float>(freqs[b]);
+    }
+  }
+  return n;
+}
+
+// ------------------------------------------------------------ span list (4)
+
+// On-disk interleave: lowX, highX, lowY, highY, lowZ, highZ
+// (the reference reads them in that order, volumeRender.cpp:734-739).
+
+int vrdd_span_count(const char* path) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  int32_t n = 0;
+  if (!f.read(&n)) return kErrTruncated;
+  return n;
+}
+
+int vrdd_read_span_list(const char* path, int32_t* low, int32_t* high) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  int32_t n = 0;
+  if (!f.read(&n)) return kErrTruncated;
+  int32_t rec[6];
+  for (int32_t i = 0; i < n; ++i) {
+    if (!f.read(rec, 6)) return kErrTruncated;
+    const int32_t lx = rec[0], hx = rec[1], ly = rec[2], hy = rec[3],
+                  lz = rec[4], hz = rec[5];
+    if (lx > hx || ly > hy || lz > hz || lx < 0 || ly < 0 || lz < 0 ||
+        hx < 0 || hy < 0 || hz < 0)
+      return kErrRange;  // checkSpanLimit, volumeRender.cpp:693-699
+    low[i * 3 + 0] = lx;
+    low[i * 3 + 1] = ly;
+    low[i * 3 + 2] = lz;
+    high[i * 3 + 0] = hx;
+    high[i * 3 + 1] = hy;
+    high[i * 3 + 2] = hz;
+  }
+  return n;
+}
+
+// ------------------------------------------------- simple histogram trio (6)
+
+int vrdd_simple_count(const char* path) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  int32_t n = 0;
+  if (!f.read(&n)) return kErrTruncated;
+  return n;
+}
+
+int vrdd_read_simple(const char* counts_path, const char* ids_path,
+                     const char* freqs_path, int n_bins, int32_t* low,
+                     int32_t* high, int32_t* bin_ids, float* freqs,
+                     int32_t* counts) {
+  File fc(counts_path), fb(ids_path), ff(freqs_path);
+  if (!fc.ok() || !fb.ok() || !ff.ok()) return kErrOpen;
+  int32_t n = 0;
+  if (!fc.read(&n)) return kErrTruncated;
+  std::vector<int32_t> ids(n_bins);
+  std::vector<double> fr(n_bins);
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t span[6];
+    if (!fc.read(span, 6)) return kErrTruncated;
+    std::memcpy(low + i * 3, span, 3 * sizeof(int32_t));
+    std::memcpy(high + i * 3, span + 3, 3 * sizeof(int32_t));
+    int32_t c = 0;
+    if (!fc.read(&c)) return kErrTruncated;
+    if (c < 0 || c > n_bins) return kErrRange;
+    counts[i] = c;
+    if (c) {
+      if (!fb.read(ids.data(), c) || !ff.read(fr.data(), c))
+        return kErrTruncated;
+    }
+    double total = 0.0;
+    for (int e = 0; e < c; ++e) {
+      if (ids[e] < 0 || ids[e] > n_bins || fr[e] < 0.0 || fr[e] > 1.0)
+        return kErrRange;  // checkHistogram, volumeRender.cpp:701-707
+      bin_ids[i * n_bins + e] = ids[e];
+      freqs[i * n_bins + e] = static_cast<float>(fr[e]);
+      total += fr[e];
+    }
+    if (c && (total > 1.000001 || total < 0.999999))
+      return kErrRange;  // volumeRender.cpp:940-942
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -72,11 +72,16 @@ def fractal_block_stats(hist: jnp.ndarray) -> jnp.ndarray:
 
 
 def flex_block_stats(hist: jnp.ndarray) -> jnp.ndarray:
-    """Flexible-block stats: 64 bins over [0, 255], unnormalized mean/variance."""
-    centers = _bin_centers(FLEX_N_BINS, FLEX_MAX_HISTOGRAM)
+    """Flexible-block stats over [0, 255], unnormalized mean/variance.
+
+    Bin count is inferred from the trailing axis (64 in the reference,
+    volumeRender_kernel.cu:1083-1115).
+    """
+    n_bins = hist.shape[-1]
+    centers = _bin_centers(n_bins, FLEX_MAX_HISTOGRAM)
     mean = jnp.sum(hist * centers, axis=-1)
     var = jnp.sum(hist * (centers - mean[..., None]) ** 2, axis=-1)
-    ent = histogram_entropy(hist, FLEX_N_BINS)
+    ent = histogram_entropy(hist, n_bins)
     return jnp.stack([mean, var, ent], axis=-1)
 
 
