@@ -1,0 +1,89 @@
+"""CLI workflows + checkpoint/resume tests (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vrdd_tpu import cli
+from vrdd_tpu.io import formats
+from vrdd_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_checkpoint_roundtrip_pytree(tmp_path):
+    import optax
+    import jax.numpy as jnp
+
+    opt = optax.adam(1e-2)
+    lut = jnp.ones((9, 4))
+    tree = {"tf_lut": lut, "opt_state": opt.init(lut), "step": np.asarray(7)}
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, tree)
+    back = load_checkpoint(p)
+    assert int(back["step"]) == 7
+    np.testing.assert_array_equal(back["tf_lut"], np.ones((9, 4)))
+    # optimizer state structure survives
+    import jax
+
+    s1 = jax.tree_util.tree_structure(tree["opt_state"])
+    s2 = jax.tree_util.tree_structure(back["opt_state"])
+    assert s1 == s2
+
+
+def test_cli_render_writes_ppm(tmp_path):
+    out = str(tmp_path / "img.ppm")
+    rc = cli.main([
+        "render", "--blocks", "8", "8", "4", "--width", "24", "--height", "24",
+        "-o", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+    img = formats.read_ppm(out)
+    assert img.shape == (24, 24, 3)
+
+
+def test_cli_render_golden_self_compare(tmp_path):
+    """Render once, then benchmark mode against the saved image must PASS."""
+    ref = str(tmp_path / "ref.ppm")
+    rc = cli.main([
+        "render", "--blocks", "8", "8", "4", "--width", "16", "--height", "16",
+        "-o", ref,
+    ])
+    assert rc == 0
+    out = str(tmp_path / "bench.ppm")
+    rc = cli.main([
+        "render", "--blocks", "8", "8", "4", "--width", "16", "--height", "16",
+        "-o", out, "--file", ref, "--iters", "2",
+    ])
+    assert rc == 0
+
+
+def test_cli_encode_then_render(tmp_path):
+    blob = str(tmp_path / "hist.bin")
+    rc = cli.main([
+        "encode", "--dims", "16", "16", "16", "--block", "4", "4", "4",
+        "--bins", "32", "-o", blob,
+    ])
+    assert rc == 0
+    out = str(tmp_path / "img.ppm")
+    rc = cli.main([
+        "render", "--volume", blob, "--blocks", "4", "4", "4", "--bins", "32",
+        "--width", "16", "--height", "16", "-o", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_cli_fit_tf_and_resume(tmp_path):
+    ck = str(tmp_path / "fit.npz")
+    rc = cli.main([
+        "fit-tf", "--blocks", "6", "6", "4", "--size", "12", "--steps", "20",
+        "--iters", "10", "--checkpoint", ck,
+    ])
+    assert rc == 0 and os.path.exists(ck)
+    first = load_checkpoint(ck)
+    assert int(first["step"]) == 10
+    rc = cli.main([
+        "fit-tf", "--blocks", "6", "6", "4", "--size", "12", "--steps", "20",
+        "--iters", "5", "--checkpoint", ck, "--resume", ck,
+    ])
+    assert rc == 0
+    assert int(load_checkpoint(ck)["step"]) == 15

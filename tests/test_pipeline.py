@@ -1,0 +1,119 @@
+"""RenderPipeline: all 10 query methods, incl. query-7 in-march decode parity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vrdd_tpu.core.geometry import default_benchmark_inv_view
+from vrdd_tpu.core.transfer import default_transfer_function
+from vrdd_tpu.io.synthetic import (
+    random_histogram_volume,
+    synthetic_flexible_dataset,
+    synthetic_fractal_volume,
+)
+from vrdd_tpu.march.reference_numpy import reference_render
+from vrdd_tpu.models.flexible import FlexibleBlockVolume
+from vrdd_tpu.models.pipeline import RenderPipeline
+from vrdd_tpu.models.volumes import FractalHistogramVolume, RawHistogramVolume
+from vrdd_tpu.utils.config import CameraConfig, QueryMethod, RenderConfig
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    hist = random_histogram_volume((8, 10, 10), seed=7)
+    t, cb, eb, ev, _ = synthetic_fractal_volume((8, 10, 10), seed=8)
+    ds = synthetic_flexible_dataset(dims=(8, 8, 8), seed=9)
+    return RenderPipeline(
+        raw=RawHistogramVolume(jnp.asarray(hist)),
+        fractal=FractalHistogramVolume(
+            jnp.asarray(cb), jnp.asarray(eb), jnp.asarray(ev), jnp.asarray(t)
+        ),
+        flexible=FlexibleBlockVolume.from_raw(ds["raw"], block_size=3, vmax=256.0),
+    )
+
+
+def _cfg(method):
+    # Flex mean/variance live in the unnormalized [0, 255] / [0, 255^2/4]
+    # domains (the reference's own "TODO: think about how to normalize mean",
+    # volumeRender_kernel.cu:1091); scale the TF the way the interactive user
+    # would with the ./, keys.
+    from vrdd_tpu.utils.config import TransferFunctionConfig
+
+    scale = {
+        QueryMethod.FLEX_MEAN: 1.0 / 255.0,
+        QueryMethod.FLEX_VARIANCE: 1.0 / 8000.0,
+        QueryMethod.RAW_VARIANCE: 1.0 / 4.0,
+        QueryMethod.FRACTAL_VARIANCE: 1.0 / 4.0,
+    }.get(method, 1.0)
+    return RenderConfig(
+        camera=CameraConfig(width=24, height=24),
+        query_method=method,
+        tf=TransferFunctionConfig(scale=scale),
+    )
+
+
+@pytest.mark.parametrize("method", list(QueryMethod))
+def test_all_query_methods_render(pipeline, method):
+    img = np.asarray(pipeline.render(config=_cfg(method)))
+    assert img.shape == (24, 24, 4)
+    assert np.isfinite(img).all()
+    assert img[..., 3].max() > 0.01, f"method {method} rendered nothing"
+
+
+def test_pipeline_records_precompute_timings(pipeline):
+    assert "basic_data_processing/raw" in pipeline.timings
+    assert "basic_data_processing/fractal" in pipeline.timings
+    assert any(k.startswith("data_processing/") for k in pipeline.timings)
+
+
+def test_interp_mean_matches_numpy_oracle(pipeline):
+    """Query 7: corner-decoded trilinear mean vs a direct numpy implementation
+    of the reference's cell-interpolation (volumeRender_kernel.cu:354-480)."""
+    hist = np.asarray(pipeline.raw.histograms)
+    nzb, nyb, nxb, n_bins = hist.shape
+    bw = 0.0217 / n_bins
+    centers = bw * np.arange(n_bins) + bw / 2.0
+    means = (hist * centers).sum(-1)
+
+    def np_sample(p01):
+        g = p01 * np.array([nxb, nyb, nzb], dtype=np.float32)
+        c0 = np.floor(g)
+        c1 = np.ceil(g)
+        denom = np.where(c1 > c0, c1 - c0, 1.0)
+        frac = np.where(c1 > c0, (g - c0) / denom, 0.0)
+        i0 = np.clip(c0.astype(np.int64), 0, [nxb - 1, nyb - 1, nzb - 1])
+        i1 = np.clip(c1.astype(np.int64), 0, [nxb - 1, nyb - 1, nzb - 1])
+        ax, ay, az = frac[..., 0], frac[..., 1], frac[..., 2]
+        m = lambda z, y, x: means[z, y, x]
+        x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
+        x1, y1, z1 = i1[..., 0], i1[..., 1], i1[..., 2]
+        c00 = m(z0, y0, x0) * (1 - ax) + m(z0, y0, x1) * ax
+        c10 = m(z0, y1, x0) * (1 - ax) + m(z0, y1, x1) * ax
+        c01 = m(z1, y0, x0) * (1 - ax) + m(z1, y0, x1) * ax
+        c11 = m(z1, y1, x0) * (1 - ax) + m(z1, y1, x1) * ax
+        cc0 = c00 * (1 - ay) + c10 * ay
+        cc1 = c01 * (1 - ay) + c11 * ay
+        return (cc0 * (1 - az) + cc1 * az) * 50.0
+
+    iv = default_benchmark_inv_view()
+    tf = default_transfer_function()
+    ref = reference_render(np_sample, iv, 24, 24, tf)
+    got = np.asarray(pipeline.render(config=_cfg(QueryMethod.INTERP_MEAN)))
+    # Query 7's sample function is DISCONTINUOUS (floor/ceil cell selection),
+    # so single-ulp float32 differences between XLA-fused and numpy arithmetic
+    # can flip the cell at boundary samples. Apply the reference's own
+    # golden-image tolerance model (eps + outlier fraction,
+    # volumeRender.cpp:57-58) rather than strict allclose.
+    diff = np.abs(got - ref)
+    outliers = (diff > 2e-4).any(axis=-1)
+    assert outliers.mean() < 0.05, f"outlier fraction {outliers.mean():.3f}"
+    assert diff.max() < 0.12, f"max diff {diff.max():.3f}"
+
+
+def test_missing_component_raises():
+    p = RenderPipeline(raw=RawHistogramVolume(jnp.asarray(
+        random_histogram_volume((4, 4, 4), seed=0))))
+    with pytest.raises(ValueError):
+        p.sample_fn(QueryMethod.FLEX_MEAN)
+    with pytest.raises(ValueError):
+        p.sample_fn(QueryMethod.FRACTAL_MEAN)

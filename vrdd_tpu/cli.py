@@ -1,0 +1,296 @@
+"""Command-line interface — the offline replacement for the GLUT app shell.
+
+Subcommands:
+
+- ``render``   render a dataset to PPM/NPY; ``--file ref.ppm`` switches to the
+               benchmark+golden-test mode of the reference's ``-file`` flag
+               (warmup + N timed iterations, MTexels/s print, PPM compare,
+               pass/fail exit code — runSingleTest, volumeRender.cpp:1016-1084)
+- ``encode``   offline data reduction: raw scalar volume -> block-histogram /
+               flexible-block binary files in the reference formats
+- ``fit-tf``   differentiable transfer-function fitting with checkpoint/resume
+- ``bench``    the performance benchmark (same as bench.py)
+
+Interactive keyboard controls (volumeRender.cpp:302-384) map to flags:
+``+/-`` -> --density, ``]/[`` -> --brightness, ``;/'`` -> --tf-offset,
+``./,`` -> --tf-scale, ``0-9`` -> --query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_render_params(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--query", type=int, default=1, help="query method 0-9")
+    p.add_argument("--density", type=float, default=0.05)
+    p.add_argument("--brightness", type=float, default=1.0)
+    p.add_argument("--tf-offset", type=float, default=0.0)
+    p.add_argument("--tf-scale", type=float, default=1.0)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--rot-x", type=float, default=0.0)
+    p.add_argument("--rot-y", type=float, default=0.0)
+    p.add_argument("--translate-z", type=float, default=-4.0)
+    p.add_argument("--tf-checkpoint", help="load fitted TF LUT from checkpoint")
+
+
+def _build_pipeline(args):
+    import jax.numpy as jnp
+
+    from vrdd_tpu.io.synthetic import (
+        random_histogram_volume,
+        synthetic_flexible_dataset,
+        synthetic_fractal_volume,
+    )
+    from vrdd_tpu.models.flexible import FlexibleBlockVolume
+    from vrdd_tpu.models.pipeline import RenderPipeline
+    from vrdd_tpu.models.volumes import FractalHistogramVolume, RawHistogramVolume
+
+    tf_lut = None
+    if getattr(args, "tf_checkpoint", None):
+        from vrdd_tpu.io.checkpoint import load_checkpoint
+
+        tf_lut = np.asarray(load_checkpoint(args.tf_checkpoint)["tf_lut"])
+
+    if args.volume and args.volume != "synthetic":
+        from vrdd_tpu.io import formats
+
+        hist = formats.read_raw_histograms(
+            args.volume, int(np.prod(args.blocks)), args.bins
+        ).reshape(args.blocks[2], args.blocks[1], args.blocks[0], args.bins)
+        return RenderPipeline(raw=RawHistogramVolume(jnp.asarray(hist)), tf_lut=tf_lut)
+
+    hist = random_histogram_volume(
+        (args.blocks[2], args.blocks[1], args.blocks[0]), n_bins=args.bins,
+        seed=args.seed,
+    )
+    t, cb, eb, ev, _ = synthetic_fractal_volume(
+        (args.blocks[2], args.blocks[1], args.blocks[0]), n_bins=args.bins,
+        seed=args.seed + 1,
+    )
+    ds = synthetic_flexible_dataset(dims=(16, 16, 16), seed=args.seed + 2)
+    return RenderPipeline(
+        raw=RawHistogramVolume(jnp.asarray(hist)),
+        fractal=FractalHistogramVolume(
+            jnp.asarray(cb), jnp.asarray(eb), jnp.asarray(ev), jnp.asarray(t)
+        ),
+        flexible=FlexibleBlockVolume.from_raw(
+            ds["raw"], block_size=args.flex_block, vmax=256.0
+        ),
+        tf_lut=tf_lut,
+    )
+
+
+def cmd_render(args) -> int:
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    from vrdd_tpu.core.image import rgba_to_uint8
+    from vrdd_tpu.io import formats
+    from vrdd_tpu.utils.config import (
+        CameraConfig,
+        QueryMethod,
+        RenderConfig,
+        TransferFunctionConfig,
+    )
+
+    pipeline = _build_pipeline(args)
+    config = RenderConfig(
+        camera=CameraConfig(width=args.width, height=args.height),
+        tf=TransferFunctionConfig(offset=args.tf_offset, scale=args.tf_scale),
+        density=args.density,
+        brightness=args.brightness,
+        query_method=QueryMethod(args.query),
+    )
+    inv_view = inv_view_from_rotation_translation(
+        args.rot_x, args.rot_y, (0.0, 0.0, args.translate_z)
+    )
+
+    if args.file:
+        # benchmark + golden test (runSingleTest semantics)
+        img = pipeline.render(inv_view, config)  # warmup + compile
+        np.asarray(img)
+        n_iter = args.iters
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            img = pipeline.render(inv_view, config)
+        np.asarray(img)
+        avg = (time.perf_counter() - t0) / n_iter
+        print(
+            f"vrdd_tpu render, Throughput = {args.width * args.height / avg / 1e6:.4f}"
+            f" MTexels/s, Time = {avg:.5f} s, Size = {args.width * args.height} Texels"
+        )
+        out = np.asarray(rgba_to_uint8(img))
+        formats.write_ppm(args.output or "volume.ppm", out)
+        if args.file == "none":
+            return 0
+        ref = formats.read_ppm(args.file)
+        ok, frac = formats.compare_ppm(out[..., :3], ref, args.epsilon, args.threshold)
+        print(f"golden compare: outlier fraction {frac:.4f} -> "
+              f"{'PASS' if ok else 'FAIL'}")
+        return 0 if ok else 1
+
+    img = pipeline.render(inv_view, config)
+    out_path = args.output or "volume.ppm"
+    if out_path.endswith(".npy"):
+        np.save(out_path, np.asarray(img))
+    else:
+        formats.write_ppm(out_path, np.asarray(rgba_to_uint8(img)))
+    for k, v in pipeline.timings.items():
+        print(f"{k}: {v * 1e3:.3f} ms", file=sys.stderr)
+    print(f"wrote {out_path}")
+    return 0
+
+
+def cmd_encode(args) -> int:
+    from vrdd_tpu.io import formats
+    from vrdd_tpu.io.synthetic import (
+        block_histograms_from_scalar,
+        gaussian_blob_volume,
+    )
+
+    if args.input == "synthetic":
+        vol = gaussian_blob_volume(tuple(args.dims[::-1]), seed=args.seed)
+    else:
+        vol = np.fromfile(args.input, dtype=np.float32).reshape(args.dims[::-1])
+    hist = block_histograms_from_scalar(
+        vol, tuple(args.block[::-1]), n_bins=args.bins, vmax=float(vol.max()) + 1e-6
+    )
+    formats.write_raw_histograms(args.output, hist.reshape(-1, args.bins))
+    print(
+        f"encoded {vol.shape} -> {hist.shape[:3][::-1]} blocks x {args.bins} bins "
+        f"-> {args.output}"
+    )
+    return 0
+
+
+def cmd_fit_tf(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vrdd_tpu.core.geometry import default_benchmark_inv_view
+    from vrdd_tpu.core.transfer import default_transfer_function, grayscale_ramp
+    from vrdd_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from vrdd_tpu.march.scan import render_image
+    from vrdd_tpu.models.renderer import stats_sample_fn
+    from vrdd_tpu.utils.config import MarchConfig
+
+    pipeline = _build_pipeline(args)
+    stats = pipeline.raw_stats
+    inv_view = jnp.asarray(default_benchmark_inv_view())
+    march = MarchConfig(max_steps=args.steps, tstep=2.0 / args.steps)
+    W = H = args.size
+
+    target = render_image(
+        stats_sample_fn(stats, 0), inv_view, W, H,
+        jnp.asarray(default_transfer_function()),
+    )
+
+    optimizer = optax.adam(args.lr)
+
+    def loss_fn(lut):
+        img = render_image(stats_sample_fn(stats, 0), inv_view, W, H, lut,
+                           march=march)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(lut, opt_state):
+        loss, g = jax.value_and_grad(loss_fn)(lut)
+        updates, opt_state = optimizer.update(g, opt_state, lut)
+        return optax.apply_updates(lut, updates), opt_state, loss
+
+    start = 0
+    if args.resume:
+        ck = load_checkpoint(args.resume)
+        lut = jnp.asarray(ck["tf_lut"])
+        opt_state = ck["opt_state"]
+        start = int(ck["step"])
+        print(f"resumed from {args.resume} at step {start}")
+    else:
+        lut = jnp.asarray(grayscale_ramp(9))
+        opt_state = optimizer.init(lut)
+
+    loss = float("nan")
+    for i in range(start, start + args.iters):
+        lut, opt_state, loss = step(lut, opt_state)
+        if (i + 1) % max(1, args.iters // 10) == 0:
+            print(f"step {i + 1}: loss {float(loss):.6f}")
+    save_checkpoint(
+        args.checkpoint,
+        {"tf_lut": np.asarray(lut), "opt_state": opt_state,
+         "step": np.asarray(start + args.iters)},
+    )
+    print(f"saved {args.checkpoint} (final loss {float(loss):.6f})")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="vrdd", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a dataset to an image")
+    pr.add_argument("--volume", default="synthetic",
+                    help="'synthetic' or path to a raw block-histogram blob")
+    pr.add_argument("--blocks", type=int, nargs=3, default=[50, 50, 10],
+                    metavar=("X", "Y", "Z"))
+    pr.add_argument("--bins", type=int, default=32)
+    pr.add_argument("--flex-block", type=int, default=4)
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--output", "-o", default=None)
+    pr.add_argument("--file", default=None,
+                    help="reference PPM for benchmark+golden mode ('none' to skip compare)")
+    pr.add_argument("--iters", type=int, default=10)
+    pr.add_argument("--epsilon", type=float, default=5.0)
+    pr.add_argument("--threshold", type=float, default=0.30)
+    _add_render_params(pr)
+    pr.set_defaults(fn=cmd_render)
+
+    pe = sub.add_parser("encode", help="raw volume -> block histogram files")
+    pe.add_argument("--input", default="synthetic")
+    pe.add_argument("--dims", type=int, nargs=3, default=[64, 64, 64],
+                    metavar=("X", "Y", "Z"))
+    pe.add_argument("--block", type=int, nargs=3, default=[8, 8, 8])
+    pe.add_argument("--bins", type=int, default=32)
+    pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--output", "-o", default="histograms.bin")
+    pe.set_defaults(fn=cmd_encode)
+
+    pf = sub.add_parser("fit-tf", help="fit the transfer function LUT")
+    pf.add_argument("--volume", default="synthetic")
+    pf.add_argument("--blocks", type=int, nargs=3, default=[16, 16, 8])
+    pf.add_argument("--bins", type=int, default=32)
+    pf.add_argument("--flex-block", type=int, default=4)
+    pf.add_argument("--seed", type=int, default=0)
+    pf.add_argument("--size", type=int, default=64)
+    pf.add_argument("--steps", type=int, default=100)
+    pf.add_argument("--iters", type=int, default=100)
+    pf.add_argument("--lr", type=float, default=1e-2)
+    pf.add_argument("--checkpoint", default="tf_fit.npz")
+    pf.add_argument("--resume", default=None)
+    pf.add_argument("--tf-checkpoint", default=None, help=argparse.SUPPRESS)
+    pf.set_defaults(fn=cmd_fit_tf)
+
+    pb = sub.add_parser("bench", help="performance benchmark")
+    pb.add_argument("--size", type=int, default=512)
+    pb.add_argument("--image", type=int, default=1024)
+    pb.add_argument("--iters", type=int, default=4)
+    def _bench(args):
+        import bench
+
+        sys.argv = ["bench.py", "--size", str(args.size), "--image",
+                    str(args.image), "--iters", str(args.iters)]
+        bench.main()
+        return 0
+    pb.set_defaults(fn=_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
