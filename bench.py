@@ -71,9 +71,29 @@ def main() -> None:
     tf = jnp.asarray(default_transfer_function())
     origin = jnp.asarray([0.0, 0.0, 4.0], dtype=jnp.float32)
 
-    # --- forward, 512^2 (reference benchmark geometry) ---
+    # --- forward, the reference's own benchmark geometry: 512^2 image over an
+    # Isabel-shaped (50x50x10) decoded stats volume, 200 sampling planes
+    # (~ the reference's effective step count under early termination) ---
     W0 = 512
+    rng = np.random.default_rng(0)
+    isabel = jnp.asarray(rng.random((10, 50, 50), dtype=np.float32))
 
+    @jax.jit
+    def fwd_isabel(v, tf, o):
+        def it(i, acc):
+            img = slice_render_image(
+                v * (1.0 + 1e-6 * i), o, W0, W0, tf, n_planes=200
+            )
+            return acc + jnp.sum(img)
+
+        return jax.lax.fori_loop(0, 4 * K, it, 0.0)
+
+    dt_fwd, _ = time_amortized(fwd_isabel, isabel, tf, origin, iters=4 * K)
+    fwd_mtexels = W0 * W0 / dt_fwd / 1e6
+    print(f"forward 512^2 Isabel-shaped (50x50x10): {dt_fwd * 1e3:.2f} ms -> "
+          f"{fwd_mtexels:.1f} MTexels/s", file=sys.stderr)
+
+    # --- forward at the headline volume ---
     @jax.jit
     def fwd_many(v, tf, o):
         def it(i, acc):
@@ -82,10 +102,9 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, K, it, 0.0)
 
-    dt_fwd, _ = time_amortized(fwd_many, vol, tf, origin, iters=K)
-    fwd_mtexels = W0 * W0 / dt_fwd / 1e6
-    print(f"forward 512^2 over {n}^3: {dt_fwd * 1e3:.2f} ms -> "
-          f"{fwd_mtexels:.1f} MTexels/s", file=sys.stderr)
+    dt_fwd_big, _ = time_amortized(fwd_many, vol, tf, origin, iters=K)
+    print(f"forward 512^2 over {n}^3: {dt_fwd_big * 1e3:.2f} ms -> "
+          f"{W0 * W0 / dt_fwd_big / 1e6:.1f} MTexels/s", file=sys.stderr)
 
     # --- forward+backward, headline config ---
     @jax.jit

@@ -1,0 +1,43 @@
+"""Pallas fused slice kernel vs the XLA slice path (interpreter mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vrdd_tpu.core.transfer import default_transfer_function, grayscale_ramp
+from vrdd_tpu.march.slice import slice_render_image
+from vrdd_tpu.pallas.slice_kernel import pallas_slice_render, pallas_supported
+
+
+def test_pallas_supported_predicate():
+    assert pallas_supported((10, 50, 50), 512, 512, 500)
+    assert not pallas_supported((256, 256, 256), 512, 512, 256)  # VMEM limit
+    assert not pallas_supported((10, 50, 50), 500, 512, 100)  # tile alignment
+
+
+@pytest.mark.parametrize("tf_name", ["rainbow", "gray"])
+def test_pallas_matches_xla_slice(tf_name):
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random((8, 20, 20), dtype=np.float32))
+    tf = jnp.asarray(
+        default_transfer_function() if tf_name == "rainbow" else grayscale_ramp(8)
+    )
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    kwargs = dict(
+        width=128, height=128, n_planes=32, density=0.2, brightness=1.1,
+        transfer_offset=0.02, transfer_scale=1.1,
+    )
+    ref = np.asarray(
+        slice_render_image(
+            vol, o, kwargs["width"], kwargs["height"], tf,
+            kwargs["density"], kwargs["brightness"], kwargs["transfer_offset"],
+            kwargs["transfer_scale"], n_planes=kwargs["n_planes"],
+        )
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pallas_slice_render(vol, o, tf, **kwargs))
+    diff = np.abs(got - ref)
+    # allow isolated opacity-cutoff flips; bulk must match tightly
+    assert np.quantile(diff, 0.999) < 1e-4, np.quantile(diff, 0.999)
+    assert diff.max() < 0.05, diff.max()

@@ -149,18 +149,29 @@ def slice_render_image(
 
     dtype = compute_dtype
 
-    def body(acc, z):
-        # z-interp of the two adjacent volume layers (CUDA model).
-        p01z = (z - zlo) / (zhi - zlo)
-        zf = p01z * nz - 0.5
-        iz0 = jnp.floor(zf)
-        az = zf - iz0
-        iz0i = jnp.clip(iz0.astype(jnp.int32), 0, nz - 1)
-        iz1i = jnp.clip(iz0.astype(jnp.int32) + 1, 0, nz - 1)
-        plane = (1.0 - az) * jax.lax.dynamic_index_in_dim(
-            volume, iz0i, 0, keepdims=False
-        ) + az * jax.lax.dynamic_index_in_dim(volume, iz1i, 0, keepdims=False)
+    # Pre-blend all sampling planes with ONE matmul: Wz is (n_planes, Z) with
+    # two CUDA-model bilinear weights per row. Feeding planes to the scan as
+    # xs (instead of gathering from a closed-over volume inside the body)
+    # matters for the backward pass: cotangents come out as stacked per-plane
+    # outputs and the volume gradient is a single transposed matmul, instead
+    # of a full-volume carry rewritten every plane (~Z x volume-size traffic).
+    zf_all = (zs - zlo) / (zhi - zlo) * nz - 0.5
+    iz0_all = np.floor(zf_all)
+    az_all = (zf_all - iz0_all).astype(np.float32)
+    iz0_all = np.clip(iz0_all.astype(np.int64), 0, nz - 1)
+    iz1_all = np.clip(iz0_all + 1, 0, nz - 1)
+    wz = np.zeros((n_planes, nz), dtype=np.float32)
+    wz[np.arange(n_planes), iz0_all] += 1.0 - az_all
+    wz[np.arange(n_planes), iz1_all] += az_all
+    planes_all = jax.lax.dot_general(
+        jnp.asarray(wz),
+        volume.reshape(nz, ny * nx),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(n_planes, ny, nx)
 
+    def body(acc, xs):
+        z, plane = xs
         # Separable resample onto the pixel grid.
         x_at = ox + (z - oz) * (u / (-focal))  # (W,)
         y_at = oy + (z - oz) * (v / (-focal))  # (H,)
@@ -198,5 +209,5 @@ def slice_render_image(
         return acc, None
 
     acc0 = jnp.zeros((height, width, 4), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, zs)
+    acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, (jnp.asarray(zs), planes_all))
     return acc * jnp.asarray(brightness, dtype=jnp.float32)
