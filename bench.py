@@ -110,8 +110,10 @@ def main() -> None:
     @jax.jit
     def fwdbwd_many(v, tf, o):
         def loss(v, tf, i):
+            # plane_chunk=1 is the better trade under autodiff (the chunked
+            # body's batched intermediates inflate backward HBM traffic)
             img = slice_render_image(
-                v * (1.0 + 1e-6 * i), o, W, W, tf, n_planes=n
+                v * (1.0 + 1e-6 * i), o, W, W, tf, n_planes=n, plane_chunk=1
             )
             return jnp.mean((img - 0.25) ** 2)
 

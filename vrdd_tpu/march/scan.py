@@ -40,11 +40,18 @@ def march_rays(
     transfer_offset: jnp.ndarray,
     transfer_scale: jnp.ndarray,
     march: MarchConfig = MarchConfig(),
+    remat_chunk: int = 0,
 ) -> jnp.ndarray:
     """March a flat batch of rays; returns float RGBA ``(N, 4)``.
 
     ``dirs`` is ``(N, 3)``; ``origin`` is ``(3,)`` (shared pinhole origin) or
     ``(N, 3)``.
+
+    ``remat_chunk``: if > 0 and it divides ``max_steps``, the step loop is
+    split into an outer scan of checkpointed inner chunks (sqrt-remat).
+    Backward memory then holds ``max_steps / remat_chunk`` carries instead of
+    one per step, at the cost of recomputing each chunk once — the standard
+    trade for training at large ray counts.
     """
     dirs = jnp.asarray(dirs, dtype=jnp.float32)
     origin = jnp.asarray(origin, dtype=jnp.float32)
@@ -73,9 +80,21 @@ def march_rays(
         pos = jnp.where(alive[:, None], pos + step, pos)
         return (summ, t, pos, alive), None
 
-    (summ, _, _, _), _ = jax.lax.scan(
-        body, (sum0, tnear, pos0, hit), None, length=march.max_steps
-    )
+    carry0 = (sum0, tnear, pos0, hit)
+    if remat_chunk and march.max_steps % remat_chunk == 0:
+
+        @jax.checkpoint
+        def chunk(carry, _):
+            carry, _ = jax.lax.scan(body, carry, None, length=remat_chunk)
+            return carry, None
+
+        (summ, _, _, _), _ = jax.lax.scan(
+            chunk, carry0, None, length=march.max_steps // remat_chunk
+        )
+    else:
+        (summ, _, _, _), _ = jax.lax.scan(
+            body, carry0, None, length=march.max_steps
+        )
     return jnp.where(hit[:, None], summ * brightness, summ)
 
 
@@ -91,6 +110,7 @@ def render_image(
     transfer_scale: jnp.ndarray = 1.0,
     march: MarchConfig = MarchConfig(),
     focal: float = 2.0,
+    remat_chunk: int = 0,
 ) -> jnp.ndarray:
     """Render a full ``(H, W, 4)`` float RGBA image."""
     origin, dirs = camera_rays(inv_view, width, height, focal)
@@ -104,5 +124,6 @@ def render_image(
         jnp.float32(transfer_offset),
         jnp.float32(transfer_scale),
         march,
+        remat_chunk,
     )
     return rgba.reshape(height, width, 4)

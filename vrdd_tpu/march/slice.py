@@ -107,6 +107,7 @@ def slice_render_image(
     n_planes: int = 0,
     length_correction: bool = True,
     compute_dtype=jnp.float32,
+    plane_chunk: int = 8,
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA by plane sweep (unrotated camera at ``origin``).
 
@@ -160,54 +161,71 @@ def slice_render_image(
     az_all = (zf_all - iz0_all).astype(np.float32)
     iz0_all = np.clip(iz0_all.astype(np.int64), 0, nz - 1)
     iz1_all = np.clip(iz0_all + 1, 0, nz - 1)
-    wz = np.zeros((n_planes, nz), dtype=np.float32)
-    wz[np.arange(n_planes), iz0_all] += 1.0 - az_all
-    wz[np.arange(n_planes), iz1_all] += az_all
-    planes_all = jax.lax.dot_general(
-        jnp.asarray(wz),
-        volume.reshape(nz, ny * nx),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(n_planes, ny, nx)
+    if np.all(az_all < 1e-6):
+        # planes coincide with voxel-center layers (e.g. n_planes == Z):
+        # the blend is a pure (reversed) selection — skip the matmul.
+        planes_all = volume[jnp.asarray(iz0_all)]
+    else:
+        wz = np.zeros((n_planes, nz), dtype=np.float32)
+        wz[np.arange(n_planes), iz0_all] += 1.0 - az_all
+        wz[np.arange(n_planes), iz1_all] += az_all
+        planes_all = jax.lax.dot_general(
+            jnp.asarray(wz),
+            volume.reshape(nz, ny * nx),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(n_planes, ny, nx)
+
+    # Process planes in chunks: resample a whole chunk with two batched
+    # matmuls, then composite the chunk sequentially in one fused body —
+    # amortizes the per-scan-step dispatch overhead that otherwise dominates
+    # at large plane counts (512 sequential tiny steps).
+    chunk = plane_chunk
+    while n_planes % chunk:
+        chunk -= 1
+    n_chunks = n_planes // chunk
+    zs_c = jnp.asarray(zs).reshape(n_chunks, chunk)
+    planes_c = planes_all.reshape(n_chunks, chunk, ny, nx)
 
     def body(acc, xs):
-        z, plane = xs
-        # Separable resample onto the pixel grid.
-        x_at = ox + (z - oz) * (u / (-focal))  # (W,)
-        y_at = oy + (z - oz) * (v / (-focal))  # (H,)
-        wx = _axis_weights(x_at, nx, xlo, xhi).astype(dtype)  # (W, X)
-        wy = _axis_weights(y_at, ny, ylo, yhi).astype(dtype)  # (H, Y)
+        z, plane = xs  # (chunk,), (chunk, Y, X)
+        # Separable resample of the whole chunk onto the pixel grid.
+        x_at = ox + (z[:, None] - oz) * (u[None, :] / (-focal))  # (C, W)
+        y_at = oy + (z[:, None] - oz) * (v[None, :] / (-focal))  # (C, H)
+        wx = _axis_weights(x_at.reshape(-1), nx, xlo, xhi).reshape(
+            chunk, width, nx
+        ).astype(dtype)
+        wy = _axis_weights(y_at.reshape(-1), ny, ylo, yhi).reshape(
+            chunk, height, ny
+        ).astype(dtype)
         tmp = jax.lax.dot_general(
-            wy, plane.astype(dtype), (((1,), (0,)), ((), ())),
+            wy, plane.astype(dtype), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (H, X)
+        )  # (C, H, X)
         resampled = jax.lax.dot_general(
-            tmp.astype(dtype), wx.astype(dtype), (((1,), (1,)), ((), ())),
+            tmp.astype(dtype), wx, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (H, W)
-
-        # Plane in front of the camera only.
-        t = (z - oz) / dz
-        valid = t > 0.0
+        )  # (C, H, W)
 
         col = _tf_onehot_matmul(resampled, tf_lut, transfer_offset, transfer_scale)
-        a = col[..., 3] * density * alpha_scale
-        a = jnp.where(valid, a, 0.0)
-        # zero-weight (out-of-box) pixels must not composite TF(0):
+        t = (z[:, None, None] - oz) / dz[None]  # (C, H, W)
         covered = (
-            jnp.sum(jnp.abs(wy), axis=1)[:, None] * jnp.sum(jnp.abs(wx), axis=1)[None, :]
-        ) > 0.0
-        a = jnp.where(covered, a, 0.0)
-        rgb = col[..., :3] * a[..., None]
-        new_acc = acc + jnp.concatenate([rgb, a[..., None]], axis=-1) * (
-            1.0 - acc[..., 3:4]
+            (jnp.sum(jnp.abs(wy), axis=2) > 0.0)[:, :, None]
+            & (jnp.sum(jnp.abs(wx), axis=2) > 0.0)[:, None, :]
+            & (t > 0.0)
         )
-        # early-termination mask (threshold semantics, per pixel)
-        acc = jnp.where(
-            (acc[..., 3:4] > march.opacity_threshold), acc, new_acc
-        )
+        a_all = jnp.where(covered, col[..., 3] * density * alpha_scale[None], 0.0)
+        rgb_all = col[..., :3] * a_all[..., None]
+        rgba_all = jnp.concatenate([rgb_all, a_all[..., None]], axis=-1)
+
+        def compose(acc, k):
+            new_acc = acc + rgba_all[k] * (1.0 - acc[..., 3:4])
+            return jnp.where(acc[..., 3:4] > march.opacity_threshold, acc, new_acc)
+
+        for k in range(chunk):  # unrolled; fuses into one elementwise kernel
+            acc = compose(acc, k)
         return acc, None
 
     acc0 = jnp.zeros((height, width, 4), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, (jnp.asarray(zs), planes_all))
+    acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, (zs_c, planes_c))
     return acc * jnp.asarray(brightness, dtype=jnp.float32)
