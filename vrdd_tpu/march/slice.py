@@ -28,9 +28,22 @@ opacity is scaled by ``segment / tstep`` so the sweep converges to the same
 integral; parity tests compare against the scan marcher with tolerances, while
 bit-exact reference parity remains the scan path's job.
 
-Rotated cameras: rotate the volume once (3-pass shear, also matmuls) then
-sweep — see ``vrdd_tpu.march.rotate`` (later round) or fall back to the scan
-path.
+Backward pass: compositing is an associative "over" chain, so the output
+factors as ``out = sum_k m_k T_{k-1} c_k`` with transmittance
+``T_{k-1} = prod_{j<k} (1 - m_j a_j)`` and freeze mask ``m_k`` (early
+termination). The analytic custom VJP exploits this: cotangents are
+
+    dL/dc_k[rgb] = m_k T_{k-1} g[rgb]
+    dL/dc_k[a]   = m_k ( T_{k-1} g[a] - S_k / (1 - a_k) ),
+    S_k = sum_{j>k} m_j (g . c_j) T_{j-1}   (suffix sums, two extra sweeps)
+
+so backward memory is O(1) in plane count (no per-step residuals, no
+full-volume cotangent carries) and cost ~3x forward. The per-plane local
+transposes (TF lookup, separable resample) are delegated to jax.vjp of the
+plane-decode function. Gradient parity vs plain autodiff is pinned in tests.
+
+Rotated cameras: rotate the volume once then sweep (future work — shear-pass
+matmuls); the scan marcher covers general views exactly meanwhile.
 """
 
 from __future__ import annotations
@@ -72,24 +85,22 @@ def _axis_weights(
 def _tf_onehot_matmul(
     sample: jnp.ndarray, lut: jnp.ndarray, offset: jnp.ndarray, scale: jnp.ndarray
 ) -> jnp.ndarray:
-    """TF lookup as a one-hot matmul: (H, W) scalars -> (H, W, 4) RGBA."""
+    """TF lookup as an unrolled tent-basis FMA: scalars (...,) -> RGBA (..., 4).
+
+    Linear LUT interpolation with clamp equals a sum of tent basis functions:
+    with ``q = clip(u * n - 0.5, 0, n - 1)``,
+    ``col = sum_l max(0, 1 - |q - l|) * lut[l]``. The unrolled form fuses into
+    pure elementwise VPU work — no (..., n) one-hot tensor ever materializes
+    (which would dominate HBM traffic at image scale).
+    """
     n = lut.shape[0]
-    xf = (sample - offset) * scale * n - 0.5
-    i0 = jnp.floor(xf)
-    a = xf - i0
-    i0i = i0.astype(jnp.int32)
-    lo = jnp.clip(i0i, 0, n - 1)
-    hi = jnp.clip(i0i + 1, 0, n - 1)
-    bins = jax.lax.broadcasted_iota(jnp.int32, sample.shape + (n,), sample.ndim)
-    w = jnp.where(bins == lo[..., None], (1.0 - a)[..., None], 0.0) + jnp.where(
-        bins == hi[..., None], a[..., None], 0.0
-    )
-    return jax.lax.dot_general(
-        w,
-        lut,
-        (((sample.ndim,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    q = jnp.clip((sample - offset) * scale * n - 0.5, 0.0, n - 1.0)
+    col = None
+    for li in range(n):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(q - li))[..., None]
+        term = w * lut[li]
+        col = term if col is None else col + term
+    return col
 
 
 def slice_render_image(
@@ -108,12 +119,14 @@ def slice_render_image(
     length_correction: bool = True,
     compute_dtype=jnp.float32,
     plane_chunk: int = 8,
+    use_custom_vjp: bool = True,
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA by plane sweep (unrotated camera at ``origin``).
 
     ``volume`` is a scalar field ``(Z, Y, X)``; ``origin`` the camera position
     (world), looking along -z with the reference's NDC frustum. ``n_planes``
-    defaults to 2 * Z.
+    defaults to 2 * Z. ``use_custom_vjp`` selects the analytic O(1)-memory
+    backward (disable for higher-order differentiation).
     """
     volume = jnp.asarray(volume)
     nz, ny, nx = volume.shape
@@ -124,8 +137,8 @@ def slice_render_image(
     (xlo, ylo, zlo) = march.box_min
     (xhi, yhi, zhi) = march.box_max
 
-    # Static camera-grid constants are built with numpy on the host so they
-    # embed as literals instead of device constants (device round-trips during
+    # Static camera-grid constants built with numpy on the host so they embed
+    # as literals instead of device constants (device round-trips during
     # lowering are pathologically slow on remote-attached TPUs).
     u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0).astype(np.float32)
     v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0).astype(np.float32)
@@ -137,9 +150,7 @@ def slice_render_image(
     spacing = (zhi - zlo) / n_planes
     zs = (zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)).astype(
         np.float32
-    )
-    looking_down = True  # camera looks -z; nearest plane has largest z
-    zs = zs[::-1].copy() if looking_down else zs
+    )[::-1].copy()  # camera looks -z: nearest plane has largest z
 
     seg = spacing / np.abs(dz)  # per-ray world path length through one slab
     alpha_scale = (
@@ -149,22 +160,18 @@ def slice_render_image(
     )
 
     dtype = compute_dtype
+    thr = march.opacity_threshold
 
-    # Pre-blend all sampling planes with ONE matmul: Wz is (n_planes, Z) with
-    # two CUDA-model bilinear weights per row. Feeding planes to the scan as
-    # xs (instead of gathering from a closed-over volume inside the body)
-    # matters for the backward pass: cotangents come out as stacked per-plane
-    # outputs and the volume gradient is a single transposed matmul, instead
-    # of a full-volume carry rewritten every plane (~Z x volume-size traffic).
+    # Pre-blend all sampling planes with ONE matmul (Wz has two CUDA-model
+    # bilinear weights per row). Outside the sweep, so the volume cotangent is
+    # a single transposed matmul.
     zf_all = (zs - zlo) / (zhi - zlo) * nz - 0.5
     iz0_all = np.floor(zf_all)
     az_all = (zf_all - iz0_all).astype(np.float32)
     iz0_all = np.clip(iz0_all.astype(np.int64), 0, nz - 1)
     iz1_all = np.clip(iz0_all + 1, 0, nz - 1)
     if np.all(az_all < 1e-6):
-        # planes coincide with voxel-center layers (e.g. n_planes == Z):
-        # the blend is a pure (reversed) selection — skip the matmul.
-        planes_all = volume[jnp.asarray(iz0_all)]
+        planes_all = volume[jnp.asarray(iz0_all)]  # pure (reversed) selection
     else:
         wz = np.zeros((n_planes, nz), dtype=np.float32)
         wz[np.arange(n_planes), iz0_all] += 1.0 - az_all
@@ -176,20 +183,19 @@ def slice_render_image(
             preferred_element_type=jnp.float32,
         ).reshape(n_planes, ny, nx)
 
-    # Process planes in chunks: resample a whole chunk with two batched
-    # matmuls, then composite the chunk sequentially in one fused body —
-    # amortizes the per-scan-step dispatch overhead that otherwise dominates
-    # at large plane counts (512 sequential tiny steps).
     chunk = plane_chunk
     while n_planes % chunk:
         chunk -= 1
     n_chunks = n_planes // chunk
-    zs_c = jnp.asarray(zs).reshape(n_chunks, chunk)
+    zs_c = jnp.asarray(zs.reshape(n_chunks, chunk))
     planes_c = planes_all.reshape(n_chunks, chunk, ny, nx)
 
-    def body(acc, xs):
-        z, plane = xs  # (chunk,), (chunk, Y, X)
-        # Separable resample of the whole chunk onto the pixel grid.
+    def chunk_rgba(z, planes, lut, density_, toff, tscl):
+        """Per-plane premultiplied RGBA for one chunk: (C, H, W, 4).
+
+        Everything except compositing: separable resample (batched matmuls),
+        TF lookup, opacity scaling and coverage masking.
+        """
         x_at = ox + (z[:, None] - oz) * (u[None, :] / (-focal))  # (C, W)
         y_at = oy + (z[:, None] - oz) * (v[None, :] / (-focal))  # (C, H)
         wx = _axis_weights(x_at.reshape(-1), nx, xlo, xhi).reshape(
@@ -199,33 +205,119 @@ def slice_render_image(
             chunk, height, ny
         ).astype(dtype)
         tmp = jax.lax.dot_general(
-            wy, plane.astype(dtype), (((2,), (1,)), ((0,), (0,))),
+            wy, planes.astype(dtype), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (C, H, X)
         resampled = jax.lax.dot_general(
             tmp.astype(dtype), wx, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (C, H, W)
-
-        col = _tf_onehot_matmul(resampled, tf_lut, transfer_offset, transfer_scale)
-        t = (z[:, None, None] - oz) / dz[None]  # (C, H, W)
+        col = _tf_onehot_matmul(resampled, lut, toff, tscl)
+        t = (z[:, None, None] - oz) / dz[None]
         covered = (
             (jnp.sum(jnp.abs(wy), axis=2) > 0.0)[:, :, None]
             & (jnp.sum(jnp.abs(wx), axis=2) > 0.0)[:, None, :]
             & (t > 0.0)
         )
-        a_all = jnp.where(covered, col[..., 3] * density * alpha_scale[None], 0.0)
-        rgb_all = col[..., :3] * a_all[..., None]
-        rgba_all = jnp.concatenate([rgb_all, a_all[..., None]], axis=-1)
+        a = jnp.where(covered, col[..., 3] * density_ * alpha_scale[None], 0.0)
+        rgb = col[..., :3] * a[..., None]
+        return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
-        def compose(acc, k):
-            new_acc = acc + rgba_all[k] * (1.0 - acc[..., 3:4])
-            return jnp.where(acc[..., 3:4] > march.opacity_threshold, acc, new_acc)
+    def primal(planes_c, lut, density_, toff, tscl):
+        def body(acc, xs):
+            z, planes = xs
+            rgba_all = chunk_rgba(z, planes, lut, density_, toff, tscl)
+            for k in range(chunk):
+                new_acc = acc + rgba_all[k] * (1.0 - acc[..., 3:4])
+                acc = jnp.where(acc[..., 3:4] > thr, acc, new_acc)
+            return acc, None
 
-        for k in range(chunk):  # unrolled; fuses into one elementwise kernel
-            acc = compose(acc, k)
-        return acc, None
+        acc0 = jnp.zeros((height, width, 4), dtype=jnp.float32)
+        acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, (zs_c, planes_c))
+        return acc
 
-    acc0 = jnp.zeros((height, width, 4), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, (zs_c, planes_c))
-    return acc * jnp.asarray(brightness, dtype=jnp.float32)
+    if not use_custom_vjp:
+        acc = primal(planes_c, tf_lut, jnp.asarray(density, jnp.float32),
+                     jnp.asarray(transfer_offset, jnp.float32),
+                     jnp.asarray(transfer_scale, jnp.float32))
+        return acc * jnp.asarray(brightness, dtype=jnp.float32)
+
+    @jax.custom_vjp
+    def sweep(planes_c, lut, density_, toff, tscl):
+        return primal(planes_c, lut, density_, toff, tscl)
+
+    def sweep_fwd(planes_c, lut, density_, toff, tscl):
+        acc = primal(planes_c, lut, density_, toff, tscl)
+        return acc, (planes_c, lut, density_, toff, tscl)
+
+    def sweep_bwd(res, g):
+        planes_c, lut, density_, toff, tscl = res
+
+        # Sweep 1: total P = sum_k m_k (g . c_k) T_{k-1}.
+        def pass1(carry, xs):
+            T, Psum = carry
+            z, planes = xs
+            rgba_all = chunk_rgba(z, planes, lut, density_, toff, tscl)
+            for k in range(chunk):
+                m = T >= 1.0 - thr
+                P_k = jnp.where(
+                    m, jnp.sum(g * rgba_all[k], axis=-1) * T, 0.0
+                )
+                Psum = Psum + P_k
+                T = jnp.where(m, T * (1.0 - rgba_all[k][..., 3]), T)
+            return (T, Psum), None
+
+        ones = jnp.ones((height, width), dtype=jnp.float32)
+        zeros = jnp.zeros((height, width), dtype=jnp.float32)
+        (_, Ptot), _ = jax.lax.scan(
+            jax.checkpoint(pass1), (ones, zeros), (zs_c, planes_c)
+        )
+
+        # Sweep 2: assemble per-plane cotangents, transpose locally via vjp.
+        def pass2(carry, xs):
+            T, Ppre, g_lut, g_dens, g_toff, g_tscl = carry
+            z, planes = xs
+            rgba_all, chunk_vjp = jax.vjp(
+                lambda p, l, d, to, ts: chunk_rgba(z, p, l, d, to, ts),
+                planes, lut, density_, toff, tscl,
+            )
+            d_rgba = []
+            for k in range(chunk):
+                m = T >= 1.0 - thr
+                c_k = rgba_all[k]
+                P_k = jnp.where(m, jnp.sum(g * c_k, axis=-1) * T, 0.0)
+                Ppre = Ppre + P_k
+                S_k = Ptot - Ppre
+                mT = jnp.where(m, T, 0.0)
+                d_rgb = mT[..., None] * g[..., :3]
+                one_minus_a = 1.0 - c_k[..., 3]
+                chain = jnp.where(
+                    jnp.abs(one_minus_a) > 1e-6, S_k / one_minus_a, 0.0
+                )
+                d_a = jnp.where(m, T * g[..., 3] - chain, 0.0)
+                d_rgba.append(jnp.concatenate([d_rgb, d_a[..., None]], -1))
+                T = jnp.where(m, T * one_minus_a, T)
+            dp, dl, dd, dto, dts = chunk_vjp(jnp.stack(d_rgba, axis=0))
+            return (
+                (T, Ppre, g_lut + dl, g_dens + dd, g_toff + dto, g_tscl + dts),
+                dp,
+            )
+
+        carry0 = (
+            ones, zeros, jnp.zeros_like(lut), jnp.zeros_like(density_),
+            jnp.zeros_like(toff), jnp.zeros_like(tscl),
+        )
+        (_, _, g_lut, g_dens, g_toff, g_tscl), g_planes = jax.lax.scan(
+            jax.checkpoint(pass2), carry0, (zs_c, planes_c)
+        )
+        return g_planes, g_lut, g_dens, g_toff, g_tscl
+
+    sweep.defvjp(sweep_fwd, sweep_bwd)
+
+    brightness = jnp.asarray(brightness, dtype=jnp.float32)
+    acc = sweep(
+        planes_c, tf_lut, jnp.asarray(density, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+    )
+    return acc * brightness
