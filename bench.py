@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from vrdd_tpu.core.transfer import default_transfer_function
 from vrdd_tpu.march.slice import slice_render_image
+from vrdd_tpu.pallas.slice_kernel import pallas_slice_render, pallas_supported
 
 REFERENCE_MTEXELS_PER_S = 60.0 * 512 * 512 / 1e6  # 15.73, presentation.pdf
 
@@ -57,6 +58,12 @@ def time_amortized(fn, *args, iters: int = 1) -> float:
 
 
 def main() -> None:
+    try:
+        from vrdd_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=512, help="volume edge")
     p.add_argument("--image", type=int, default=1024, help="image edge")
@@ -78,12 +85,18 @@ def main() -> None:
     rng = np.random.default_rng(0)
     isabel = jnp.asarray(rng.random((10, 50, 50), dtype=np.float32))
 
+    use_pallas = pallas_supported((10, 50, 50), W0, W0, 200)
+
     @jax.jit
     def fwd_isabel(v, tf, o):
         def it(i, acc):
-            img = slice_render_image(
-                v * (1.0 + 1e-6 * i), o, W0, W0, tf, n_planes=200
-            )
+            vi = v * (1.0 + 1e-6 * i)
+            if use_pallas:
+                img = pallas_slice_render(
+                    vi, o, tf, width=W0, height=W0, n_planes=200
+                )
+            else:
+                img = slice_render_image(vi, o, W0, W0, tf, n_planes=200)
             return acc + jnp.sum(img)
 
         return jax.lax.fori_loop(0, 4 * K, it, 0.0)
@@ -94,10 +107,16 @@ def main() -> None:
           f"{fwd_mtexels:.1f} MTexels/s", file=sys.stderr)
 
     # --- forward at the headline volume ---
+    use_pallas_big = pallas_supported((n, n, n), W0, W0, n)
+
     @jax.jit
     def fwd_many(v, tf, o):
         def it(i, acc):
-            img = slice_render_image(v * (1.0 + 1e-6 * i), o, W0, W0, tf, n_planes=n)
+            vi = v * (1.0 + 1e-6 * i)
+            if use_pallas_big:
+                img = pallas_slice_render(vi, o, tf, width=W0, height=W0, n_planes=n)
+            else:
+                img = slice_render_image(vi, o, W0, W0, tf, n_planes=n)
             return acc + jnp.sum(img)
 
         return jax.lax.fori_loop(0, K, it, 0.0)
@@ -110,8 +129,9 @@ def main() -> None:
     @jax.jit
     def fwdbwd_many(v, tf, o):
         def loss(v, tf, i):
-            # plane_chunk=1 is the better trade under autodiff (the chunked
-            # body's batched intermediates inflate backward HBM traffic)
+            # plane_chunk=1 wins for fwd+bwd even with the analytic VJP: XLA
+            # fully fuses the per-plane body, while chunked (C, H, W, 4)
+            # intermediates round-trip HBM (measured 264 vs 664 ms at chunk 8)
             img = slice_render_image(
                 v * (1.0 + 1e-6 * i), o, W, W, tf, n_planes=n, plane_chunk=1
             )

@@ -12,7 +12,8 @@ from vrdd_tpu.pallas.slice_kernel import pallas_slice_render, pallas_supported
 
 def test_pallas_supported_predicate():
     assert pallas_supported((10, 50, 50), 512, 512, 500)
-    assert not pallas_supported((256, 256, 256), 512, 512, 256)  # VMEM limit
+    assert pallas_supported((512, 512, 512), 1024, 1024, 512)  # v2: streamed
+    assert not pallas_supported((8, 1200, 1200), 512, 512, 64)  # plane > VMEM
     assert not pallas_supported((10, 50, 50), 500, 512, 100)  # tile alignment
 
 

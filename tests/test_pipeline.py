@@ -117,3 +117,33 @@ def test_missing_component_raises():
         p.sample_fn(QueryMethod.FLEX_MEAN)
     with pytest.raises(ValueError):
         p.sample_fn(QueryMethod.FRACTAL_MEAN)
+
+
+def test_renderer_selection_and_slice_path(pipeline):
+    """--renderer wiring: auto resolves by view/method; slice path renders."""
+    cfg = _cfg(QueryMethod.RAW_MEAN)
+    iv = default_benchmark_inv_view()
+    # unrotated stats query -> object-order path (slice on CPU backends)
+    assert pipeline.resolve_renderer("auto", iv, cfg) in ("slice", "pallas")
+    # rotated view -> scan
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    rot = inv_view_from_rotation_translation(30.0, 0.0, (0.0, 0.0, -4.0))
+    assert pipeline.resolve_renderer("auto", rot, cfg) == "scan"
+    # in-march decode query -> scan
+    assert (
+        pipeline.resolve_renderer("auto", iv, _cfg(QueryMethod.INTERP_MEAN))
+        == "scan"
+    )
+    img_slice = np.asarray(pipeline.render(iv, cfg, renderer="slice"))
+    img_scan = np.asarray(pipeline.render(iv, cfg, renderer="scan"))
+    assert img_slice.shape == img_scan.shape == (24, 24, 4)
+    assert np.isfinite(img_slice).all()
+    # object-order discretization differs from ray-order; require agreement
+    # in the bulk, not bit parity (march/slice.py docstring)
+    assert np.quantile(np.abs(img_slice - img_scan), 0.9) < 0.15
+
+
+def test_renderer_slice_rejects_in_march_queries(pipeline):
+    iv = default_benchmark_inv_view()
+    with pytest.raises(ValueError, match="1-6"):
+        pipeline.render(iv, _cfg(QueryMethod.INTERP_MEAN), renderer="slice")

@@ -112,12 +112,12 @@ def cmd_render(args) -> int:
 
     if args.file:
         # benchmark + golden test (runSingleTest semantics)
-        img = pipeline.render(inv_view, config)  # warmup + compile
+        img = pipeline.render(inv_view, config, args.renderer)  # warmup + compile
         np.asarray(img)
         n_iter = args.iters
         t0 = time.perf_counter()
         for _ in range(n_iter):
-            img = pipeline.render(inv_view, config)
+            img = pipeline.render(inv_view, config, args.renderer)
         np.asarray(img)
         avg = (time.perf_counter() - t0) / n_iter
         print(
@@ -134,7 +134,7 @@ def cmd_render(args) -> int:
               f"{'PASS' if ok else 'FAIL'}")
         return 0 if ok else 1
 
-    img = pipeline.render(inv_view, config)
+    img = pipeline.render(inv_view, config, args.renderer)
     out_path = args.output or "volume.ppm"
     if out_path.endswith(".npy"):
         np.save(out_path, np.asarray(img))
@@ -193,14 +193,17 @@ def cmd_fit_tf(args) -> int:
 
     optimizer = optax.adam(args.lr)
 
-    def loss_fn(lut):
+    # stats/target are jit arguments, not closures — closed-over device
+    # arrays become XLA constants and constant folding of the render graph
+    # takes minutes on remote-attached TPUs
+    def loss_fn(lut, stats, target):
         img = render_image(stats_sample_fn(stats, 0), inv_view, W, H, lut,
                            march=march)
         return jnp.mean((img - target) ** 2)
 
     @jax.jit
-    def step(lut, opt_state):
-        loss, g = jax.value_and_grad(loss_fn)(lut)
+    def step(lut, opt_state, stats, target):
+        loss, g = jax.value_and_grad(loss_fn)(lut, stats, target)
         updates, opt_state = optimizer.update(g, opt_state, lut)
         return optax.apply_updates(lut, updates), opt_state, loss
 
@@ -217,7 +220,7 @@ def cmd_fit_tf(args) -> int:
 
     loss = float("nan")
     for i in range(start, start + args.iters):
-        lut, opt_state, loss = step(lut, opt_state)
+        lut, opt_state, loss = step(lut, opt_state, stats, target)
         if (i + 1) % max(1, args.iters // 10) == 0:
             print(f"step {i + 1}: loss {float(loss):.6f}")
     save_checkpoint(
@@ -230,6 +233,12 @@ def cmd_fit_tf(args) -> int:
 
 
 def main(argv=None) -> int:
+    try:
+        from vrdd_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass  # cache is an optimization; never block the CLI on it
     p = argparse.ArgumentParser(prog="vrdd", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -247,6 +256,13 @@ def main(argv=None) -> int:
     pr.add_argument("--iters", type=int, default=10)
     pr.add_argument("--epsilon", type=float, default=5.0)
     pr.add_argument("--threshold", type=float, default=0.30)
+    pr.add_argument(
+        "--renderer", choices=("scan", "slice", "pallas", "auto"),
+        default="scan",
+        help="scan = general ray marcher (reference-faithful); slice = "
+        "object-order MXU sweep; pallas = fused TPU kernel; auto = fastest "
+        "applicable (unrotated stats queries 1-6 go object-order)",
+    )
     _add_render_params(pr)
     pr.set_defaults(fn=cmd_render)
 

@@ -25,6 +25,8 @@ import numpy as np
 from vrdd_tpu.core.geometry import default_benchmark_inv_view
 from vrdd_tpu.core.transfer import default_transfer_function
 from vrdd_tpu.march.scan import render_image
+from vrdd_tpu.march.slice import slice_render_image
+from vrdd_tpu.pallas.slice_kernel import pallas_slice_render, pallas_supported
 from vrdd_tpu.models.flexible import FlexibleBlockVolume
 from vrdd_tpu.models.renderer import (
     flex_sample_fn,
@@ -70,7 +72,14 @@ class RenderPipeline:
             dtype=jnp.float32,
         )
 
-    def sample_fn(self, method: QueryMethod):
+    def sample_source(self, method: QueryMethod):
+        """(source array, array -> SampleFn builder) for a query method.
+
+        The source array is threaded through jit as an ARGUMENT, never a
+        closure: a closed-over device array becomes an XLA constant, and
+        compile-time constant folding of the render graph takes minutes on
+        remote-attached TPUs (measured 80-470 s vs 1.4 s as an argument).
+        """
         method = QueryMethod(method)
         if method in (
             QueryMethod.RAW_MEAN,
@@ -79,7 +88,8 @@ class RenderPipeline:
         ):
             if self.raw_stats is None:
                 raise ValueError("no raw histogram volume loaded")
-            return stats_sample_fn(self.raw_stats, query_channel(method))
+            ch = query_channel(method)
+            return self.raw_stats, lambda a: stats_sample_fn(a, ch)
         if method in (
             QueryMethod.FRACTAL_MEAN,
             QueryMethod.FRACTAL_VARIANCE,
@@ -87,31 +97,107 @@ class RenderPipeline:
         ):
             if self.fractal_stats is None:
                 raise ValueError("no fractal codebook volume loaded")
-            return stats_sample_fn(self.fractal_stats, query_channel(method))
+            ch = query_channel(method)
+            return self.fractal_stats, lambda a: stats_sample_fn(a, ch)
         if method == QueryMethod.INTERP_MEAN:
             if self.raw is None:
                 raise ValueError("query 7 needs the raw histogram volume")
-            return interp_mean_sample_fn(self.raw.histograms)
+            return self.raw.histograms, interp_mean_sample_fn
         # flexible-block queries
         if self.flexible is None:
             raise ValueError("no flexible-block volume loaded")
-        return flex_sample_fn(self.flexible.stats_grid, query_channel(method))
+        ch = query_channel(method)
+        return self.flexible.stats_grid, lambda a: flex_sample_fn(a, ch)
+
+    def sample_fn(self, method: QueryMethod):
+        src, build = self.sample_source(method)
+        return build(src)
+
+    def _stats_channel(self, method: QueryMethod):
+        """(Z, Y, X) scalar field + source for the object-order fast paths."""
+        method = QueryMethod(method)
+        if method in (
+            QueryMethod.RAW_MEAN,
+            QueryMethod.RAW_VARIANCE,
+            QueryMethod.RAW_ENTROPY,
+        ):
+            if self.raw_stats is None:
+                raise ValueError("no raw histogram volume loaded")
+            return self.raw_stats[..., query_channel(method)]
+        if method in (
+            QueryMethod.FRACTAL_MEAN,
+            QueryMethod.FRACTAL_VARIANCE,
+            QueryMethod.FRACTAL_ENTROPY,
+        ):
+            if self.fractal_stats is None:
+                raise ValueError("no fractal codebook volume loaded")
+            return self.fractal_stats[..., query_channel(method)]
+        raise ValueError(
+            "renderer 'slice'/'pallas' supports precomputed-stats query "
+            "methods 1-6; use renderer='scan' for query 7/8/9/0"
+        )
+
+    def resolve_renderer(
+        self, renderer: str, inv_view: np.ndarray, config: RenderConfig
+    ) -> str:
+        """'auto' -> the fastest applicable path for this view/method.
+
+        The object-order slice sweep (and its fused Pallas kernel) applies to
+        unrotated views over precomputed-stats queries 1-6; everything else
+        renders on the general `lax.scan` ray marcher.
+        """
+        if renderer != "auto":
+            return renderer
+        unrotated = np.allclose(
+            np.asarray(inv_view)[:, :3], np.eye(3), atol=1e-6
+        )
+        method = QueryMethod(config.query_method)
+        stats_ok = method in (
+            QueryMethod.RAW_MEAN, QueryMethod.RAW_VARIANCE,
+            QueryMethod.RAW_ENTROPY, QueryMethod.FRACTAL_MEAN,
+            QueryMethod.FRACTAL_VARIANCE, QueryMethod.FRACTAL_ENTROPY,
+        )
+        if not (unrotated and stats_ok):
+            return "scan"
+        vol = self._stats_channel(method)
+        if jax.default_backend() == "tpu" and pallas_supported(
+            vol.shape, config.camera.width, config.camera.height,
+            2 * vol.shape[0],
+        ):
+            return "pallas"
+        return "slice"
 
     def render(
         self,
         inv_view: Optional[np.ndarray] = None,
         config: RenderConfig = RenderConfig(),
+        renderer: str = "scan",
     ) -> jnp.ndarray:
-        """Jitted render; returns (H, W, 4) float RGBA."""
+        """Jitted render; returns (H, W, 4) float RGBA.
+
+        ``renderer``: 'scan' (general ray marcher, bit-faithful to d_render),
+        'slice' (object-order MXU sweep), 'pallas' (fused TPU kernel), or
+        'auto' (fastest applicable). The object-order paths require an
+        unrotated view and a precomputed-stats query method (1-6); their
+        plane-sweep discretization matches the scan marcher to ~1e-2 (see
+        vrdd_tpu/march/slice.py docstring).
+        """
         if inv_view is None:
             inv_view = default_benchmark_inv_view()
+        renderer = self.resolve_renderer(renderer, inv_view, config)
         fn = self._compiled(
             config.query_method,
             config.camera.width,
             config.camera.height,
             config.march,
+            renderer,
         )
+        if renderer in ("slice", "pallas"):
+            src = self._stats_channel(config.query_method)
+        else:
+            src, _ = self.sample_source(config.query_method)
         return fn(
+            src,
             jnp.asarray(inv_view, dtype=jnp.float32),
             self.tf_lut,
             jnp.float32(config.density),
@@ -121,13 +207,33 @@ class RenderPipeline:
         )
 
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, method, width, height, march):
-        sample_fn = self.sample_fn(method)
+    def _compiled(self, method, width, height, march, renderer="scan"):
+        # the sample source is a jit ARGUMENT (see sample_source docstring)
+        if renderer in ("slice", "pallas"):
+
+            @jax.jit
+            def run_obj(volume, inv_view, tf_lut, density, brightness,
+                        offset, scale):
+                origin = inv_view[:, 3]
+                if renderer == "pallas":
+                    return pallas_slice_render(
+                        volume, origin, tf_lut, density, brightness,
+                        offset, scale, width=width, height=height, march=march,
+                    )
+                return slice_render_image(
+                    volume, origin, width, height, tf_lut, density,
+                    brightness, offset, scale, march=march,
+                )
+
+            return run_obj
+        if renderer != "scan":
+            raise ValueError(f"unknown renderer {renderer!r}")
+        _, build = self.sample_source(method)
 
         @jax.jit
-        def run(inv_view, tf_lut, density, brightness, offset, scale):
+        def run(src, inv_view, tf_lut, density, brightness, offset, scale):
             return render_image(
-                sample_fn, inv_view, width, height, tf_lut,
+                build(src), inv_view, width, height, tf_lut,
                 density, brightness, offset, scale, march,
             )
 

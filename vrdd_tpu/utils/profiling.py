@@ -31,3 +31,20 @@ def device_trace(log_dir: str = "/tmp/vrdd_trace") -> Iterator[None]:
 def annotate(name: str):
     """Named trace region: ``with annotate("decode"): ...``."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def enable_compilation_cache(path: str = "~/.cache/vrdd_tpu_xla") -> None:
+    """Enable JAX's persistent on-disk compilation cache.
+
+    On remote-attached TPUs, XLA compiles go through a network helper whose
+    latency is highly variable (observed 1 s to ~8 min for near-identical
+    small render graphs). The persistent cache makes every compile a
+    once-per-machine cost. Called by the CLI and bench entry points; library
+    users can call it explicitly.
+    """
+    import os
+
+    p = os.path.expanduser(path)
+    os.makedirs(p, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", p)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
