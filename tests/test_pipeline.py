@@ -125,10 +125,10 @@ def test_renderer_selection_and_slice_path(pipeline):
     iv = default_benchmark_inv_view()
     # unrotated stats query -> object-order path (slice on CPU backends)
     assert pipeline.resolve_renderer("auto", iv, cfg) in ("slice", "pallas")
-    # rotated view -> scan
+    # rotated view -> shearwarp sweep
     from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
     rot = inv_view_from_rotation_translation(30.0, 0.0, (0.0, 0.0, -4.0))
-    assert pipeline.resolve_renderer("auto", rot, cfg) == "scan"
+    assert pipeline.resolve_renderer("auto", rot, cfg) == "shearwarp"
     # in-march decode query -> scan
     assert (
         pipeline.resolve_renderer("auto", iv, _cfg(QueryMethod.INTERP_MEAN))
@@ -147,3 +147,17 @@ def test_renderer_slice_rejects_in_march_queries(pipeline):
     iv = default_benchmark_inv_view()
     with pytest.raises(ValueError, match="1-6"):
         pipeline.render(iv, _cfg(QueryMethod.INTERP_MEAN), renderer="slice")
+
+
+def test_renderer_shearwarp_rotated(pipeline):
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+
+    rot = inv_view_from_rotation_translation(25.0, 40.0, (0.0, 0.0, -4.0))
+    cfg = _cfg(QueryMethod.RAW_MEAN)
+    # auto picks shearwarp for rotated stats queries
+    assert pipeline.resolve_renderer("auto", rot, cfg) == "shearwarp"
+    img_sw = np.asarray(pipeline.render(rot, cfg, renderer="shearwarp"))
+    img_scan = np.asarray(pipeline.render(rot, cfg, renderer="scan"))
+    assert img_sw.shape == img_scan.shape == (24, 24, 4)
+    assert np.isfinite(img_sw).all()
+    assert np.quantile(np.abs(img_sw - img_scan), 0.9) < 0.15

@@ -1,0 +1,97 @@
+"""Shear-warp renderer vs the general scan marcher on rotated views.
+
+The shear-warp path composites in ray-slope space (per-ray exact) and adds
+one bilinear warp, so agreement with the scan marcher is tolerance-based
+(resampling + plane-vs-shell discretization), not bit parity.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vrdd_tpu.core.geometry import (
+    default_benchmark_inv_view,
+    inv_view_from_rotation_translation,
+)
+from vrdd_tpu.core.transfer import default_transfer_function
+from vrdd_tpu.io.synthetic import gaussian_blob_volume
+from vrdd_tpu.march.scan import render_image
+from vrdd_tpu.march.shearwarp import (
+    shearwarp_applicable,
+    shearwarp_geometry,
+    shearwarp_render_image,
+)
+from vrdd_tpu.march.slice import slice_render_image
+from vrdd_tpu.models.renderer import scalar_sample_fn
+from vrdd_tpu.utils.config import MarchConfig
+
+
+@pytest.fixture(scope="module")
+def vol():
+    return jnp.asarray(gaussian_blob_volume((32, 32, 32), seed=3))
+
+
+TF = jnp.asarray(default_transfer_function())
+
+
+MARCH = MarchConfig(max_steps=250, tstep=0.02)
+
+
+def _scan(vol, iv, W=64, H=64, **kw):
+    return render_image(
+        scalar_sample_fn(vol), jnp.asarray(iv), W, H, TF, march=MARCH, **kw
+    )
+
+
+@pytest.mark.parametrize(
+    "rx,ry", [(0.0, 0.0), (25.0, 0.0), (0.0, 40.0), (30.0, -50.0), (80.0, 10.0)]
+)
+def test_shearwarp_matches_scan(vol, rx, ry):
+    iv = inv_view_from_rotation_translation(rx, ry, (0.0, 0.0, -4.0))
+    assert shearwarp_applicable(iv)
+    ref = np.asarray(_scan(vol, iv))
+    got = np.asarray(
+        shearwarp_render_image(vol, iv, 64, 64, TF, march=MARCH, n_planes=128)
+    )
+    assert got.shape == ref.shape
+    assert np.isfinite(got).all()
+    diff = np.abs(got - ref)
+    # bulk agreement; edges/discretization allowed to differ on a few pixels
+    assert np.quantile(diff, 0.98) < 0.06, (rx, ry, np.quantile(diff, 0.98))
+    assert diff.mean() < 0.02, (rx, ry, diff.mean())
+
+
+def test_unrotated_shearwarp_matches_slice(vol):
+    iv = default_benchmark_inv_view()
+    a = np.asarray(shearwarp_render_image(vol, iv, 64, 64, TF, n_planes=64))
+    b = np.asarray(
+        slice_render_image(vol, jnp.asarray(iv[:, 3]), 64, 64, TF, n_planes=64)
+    )
+    # same sweep, plus one bilinear warp of the m-grid
+    assert np.quantile(np.abs(a - b), 0.98) < 0.03
+
+
+def test_principal_axis_selection():
+    # looking along -z -> z principal; 90deg about y -> x principal
+    axis, *_ , ok = shearwarp_geometry(default_benchmark_inv_view(), 32, 32)
+    assert axis == 2 and ok
+    iv = inv_view_from_rotation_translation(0.0, 90.0, (0.0, 0.0, -4.0))
+    axis, *_, ok = shearwarp_geometry(iv, 32, 32)
+    assert axis == 0 and ok
+
+
+def test_shearwarp_gradients_finite(vol):
+    iv = inv_view_from_rotation_translation(20.0, 35.0, (0.0, 0.0, -4.0))
+
+    def loss(v, lut, d):
+        img = shearwarp_render_image(v, iv, 32, 32, lut, density=d,
+                                     n_planes=32)
+        return jnp.sum(img ** 2)
+
+    gv, gl, gd = jax.grad(loss, argnums=(0, 1, 2))(
+        vol, TF, jnp.float32(0.3)
+    )
+    for g in (gv, gl, gd):
+        assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(gv).max()) > 0.0

@@ -257,11 +257,13 @@ def main(argv=None) -> int:
     pr.add_argument("--epsilon", type=float, default=5.0)
     pr.add_argument("--threshold", type=float, default=0.30)
     pr.add_argument(
-        "--renderer", choices=("scan", "slice", "pallas", "auto"),
+        "--renderer",
+        choices=("scan", "slice", "pallas", "shearwarp", "auto"),
         default="scan",
         help="scan = general ray marcher (reference-faithful); slice = "
-        "object-order MXU sweep; pallas = fused TPU kernel; auto = fastest "
-        "applicable (unrotated stats queries 1-6 go object-order)",
+        "object-order MXU sweep (unrotated); shearwarp = object-order sweep "
+        "for rotated views; pallas = fused TPU kernel; auto = fastest "
+        "applicable (stats queries 1-6 go object-order)",
     )
     _add_render_params(pr)
     pr.set_defaults(fn=cmd_render)

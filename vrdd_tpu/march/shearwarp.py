@@ -1,0 +1,197 @@
+"""Perspective shear-warp renderer: arbitrary rotated views on the MXU path.
+
+The scan marcher (vrdd_tpu/march/scan.py) handles any view exactly but is
+gather-bound on TPU. This module renders ROTATED pinhole views with the same
+object-order matmul sweep as vrdd_tpu/march/slice.py, via the perspective
+shear-warp factorization (Lacroute & Levoy, SIGGRAPH '94 — recast TPU-native;
+the reference has no equivalent, its d_render re-marches per pixel for every
+view, volumeRender_kernel.cu:272-717):
+
+1. **Principal axis**: pick the volume axis a maximizing |view_dir_a| and
+   permute volume axes so a -> z. A pure relabel + one jnp.transpose.
+2. **Ray-slope (sheared-object) space**: every ray through the camera origin
+   is identified by its slope ``m = (d_x / d_z, d_y / d_z)`` in (permuted)
+   volume axes. On the volume plane ``z = zk`` the ray position is affine in
+   m with a per-plane scale and translation, so resampling each plane onto a
+   uniform m-grid is two small matmuls — the slice sweep runs UNCHANGED on a
+   bounding m-grid (`sweep_slope_space`). Compositing in m-space is per-ray
+   exact: each m-grid point IS one ray.
+3. **Final 2-D warp**: pixels map to slopes by the projective map
+   ``m(u, v) = (R(u,v,-f))_{xy} / (R(u,v,-f))_z`` — one bilinear resample of
+   the composited (Hi, Wi, 4) m-space image. The only gather in the whole
+   render, on a 2-D image, with host-precomputed static indices.
+
+Requirements/limits (fall back to the scan marcher otherwise):
+- d_z must keep one sign across the image (true for FOV < 90 deg with the
+  principal-axis choice; `shearwarp_applicable` checks it),
+- the warp resampling adds one bilinear filtering step: accuracy vs the scan
+  marcher is ~1e-2 at oversample=2 (pinned in tests), not bit parity.
+
+The view matrix is a HOST numpy array (static): the m-grid bounds, warp
+indices, and plane schedules embed as literals. Differentiable w.r.t. volume
+and render params (the warp is linear; the sweep has an analytic custom VJP).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vrdd_tpu.march.slice import sweep_slope_space
+from vrdd_tpu.utils.config import MarchConfig
+
+# permutation per principal axis: world-axis indices (x=0, y=1, z=2) of the
+# sweep's (x', y', z'); volume arrays are (Z, Y, X) = world axes (2, 1, 0).
+_PERMS = {
+    2: (0, 1, 2),  # z-principal: identity
+    1: (0, 2, 1),  # y-principal: (x, z, y)
+    0: (2, 1, 0),  # x-principal: (z, y, x)
+}
+
+
+def _pixel_grid(width: int, height: int, focal: float):
+    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0).astype(
+        np.float32
+    )
+    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0).astype(
+        np.float32
+    )
+    uu, vv = np.meshgrid(u, v)  # (H, W)
+    d = np.stack([uu, vv, -focal * np.ones_like(uu)], axis=-1)  # camera space
+    return d
+
+
+def shearwarp_geometry(
+    inv_view: np.ndarray, width: int, height: int, focal: float = 2.0
+):
+    """Host-side geometry: principal axis, slopes per pixel, validity.
+
+    Returns ``(axis, perm, slopes (H, W, 2), dz_sign, ok)`` where slopes are
+    (mx, my) in PERMUTED volume axes.
+    """
+    inv_view = np.asarray(inv_view, dtype=np.float32)
+    rot = inv_view[:, :3]
+    d_cam = _pixel_grid(width, height, focal)  # (H, W, 3)
+    d_world = d_cam @ rot.T  # (H, W, 3) in (x, y, z) world order
+    view_dir = rot @ np.array([0.0, 0.0, -1.0], dtype=np.float32)
+    axis = int(np.argmax(np.abs(view_dir)))  # world axis index
+    px, py, pz = _PERMS[axis]
+    dz = d_world[..., pz]
+    ok = bool((dz > 1e-6).all() or (dz < -1e-6).all())
+    dz_sign = 1 if float(dz.flat[0]) > 0 else -1
+    mx = d_world[..., px] / dz
+    my = d_world[..., py] / dz
+    return axis, (px, py, pz), np.stack([mx, my], axis=-1), dz_sign, ok
+
+
+def shearwarp_applicable(
+    inv_view: np.ndarray, width: int = 64, height: int = 64, focal: float = 2.0
+) -> bool:
+    """True if d_z keeps one sign over the image for the best principal axis."""
+    *_, ok = shearwarp_geometry(inv_view, width, height, focal)
+    return ok
+
+
+def _bilinear_warp_2d(
+    img: jnp.ndarray, ix: np.ndarray, iy: np.ndarray
+) -> jnp.ndarray:
+    """Sample (Hi, Wi, C) image at fractional index maps ix/iy (H, W)."""
+    hi, wi = img.shape[0], img.shape[1]
+    x0 = np.clip(np.floor(ix).astype(np.int32), 0, wi - 1)
+    y0 = np.clip(np.floor(iy).astype(np.int32), 0, hi - 1)
+    x1 = np.clip(x0 + 1, 0, wi - 1)
+    y1 = np.clip(y0 + 1, 0, hi - 1)
+    fx = jnp.asarray((ix - np.floor(ix)).astype(np.float32))[..., None]
+    fy = jnp.asarray((iy - np.floor(iy)).astype(np.float32))[..., None]
+    c00 = img[y0, x0]
+    c01 = img[y0, x1]
+    c10 = img[y1, x0]
+    c11 = img[y1, x1]
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c01 * fx * (1 - fy)
+        + c10 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+
+
+def shearwarp_render_image(
+    volume: jnp.ndarray,
+    inv_view: np.ndarray,
+    width: int,
+    height: int,
+    tf_lut: jnp.ndarray,
+    density: jnp.ndarray = 0.05,
+    brightness: jnp.ndarray = 1.0,
+    transfer_offset: jnp.ndarray = 0.0,
+    transfer_scale: jnp.ndarray = 1.0,
+    march: MarchConfig = MarchConfig(),
+    focal: float = 2.0,
+    n_planes: int = 0,
+    oversample: float = 2.0,
+    length_correction: bool = True,
+    compute_dtype=jnp.float32,
+    plane_chunk: int = 8,
+    use_custom_vjp: bool = True,
+) -> jnp.ndarray:
+    """Render ``(H, W, 4)`` RGBA for an ARBITRARY view on the matmul sweep.
+
+    ``inv_view`` is the reference's 3x4 camera-to-world matrix as a HOST numpy
+    array (static per compile; pass distinct views as distinct Python objects).
+    ``oversample`` scales the intermediate m-grid resolution relative to the
+    output image (2.0 keeps the warp's filtering loss ~1e-2).
+    """
+    inv_view = np.asarray(inv_view, dtype=np.float32)
+    axis, (px, py, pz), slopes, dz_sign, ok = shearwarp_geometry(
+        inv_view, width, height, focal
+    )
+    if not ok:
+        raise ValueError(
+            "shear-warp inapplicable: d_z changes sign across the image "
+            "(FOV too wide / degenerate view); use the scan marcher"
+        )
+
+    # permute volume (Z, Y, X) axes so the principal world axis becomes z'.
+    # volume array axis for world axis w is (2 - w).
+    volume = jnp.asarray(volume)
+    vol_perm = jnp.transpose(volume, (2 - pz, 2 - py, 2 - px))
+    origin_w = inv_view[:, 3]
+    origin_p = np.array(
+        [origin_w[px], origin_w[py], origin_w[pz]], dtype=np.float32
+    )
+    box_min = np.asarray(march.box_min, dtype=np.float32)
+    box_max = np.asarray(march.box_max, dtype=np.float32)
+    march_p = MarchConfig(
+        max_steps=march.max_steps,
+        tstep=march.tstep,
+        opacity_threshold=march.opacity_threshold,
+        box_min=(float(box_min[px]), float(box_min[py]), float(box_min[pz])),
+        box_max=(float(box_max[px]), float(box_max[py]), float(box_max[pz])),
+    )
+
+    # bounding m-grid over the image's slopes (+ one-texel margin)
+    wi = max(8, int(np.ceil(width * oversample)))
+    hi = max(8, int(np.ceil(height * oversample)))
+    mx_all, my_all = slopes[..., 0], slopes[..., 1]
+    mx_lo, mx_hi = float(mx_all.min()), float(mx_all.max())
+    my_lo, my_hi = float(my_all.min()), float(my_all.max())
+    mx_pad = max(1e-6, (mx_hi - mx_lo) / wi)
+    my_pad = max(1e-6, (my_hi - my_lo) / hi)
+    mx = np.linspace(mx_lo - mx_pad, mx_hi + mx_pad, wi, dtype=np.float32)
+    my = np.linspace(my_lo - my_pad, my_hi + my_pad, hi, dtype=np.float32)
+
+    img_m = sweep_slope_space(
+        vol_perm, origin_p, mx, my, tf_lut,
+        density, brightness, transfer_offset, transfer_scale, march_p,
+        dz_sign=dz_sign, n_planes=n_planes,
+        length_correction=length_correction, compute_dtype=compute_dtype,
+        plane_chunk=plane_chunk, use_custom_vjp=use_custom_vjp,
+    )
+
+    # final homography warp m-space -> pixels (static fractional indices)
+    ix = (mx_all - mx[0]) / (mx[-1] - mx[0]) * (wi - 1)
+    iy = (my_all - my[0]) / (my[-1] - my[0]) * (hi - 1)
+    return _bilinear_warp_2d(img_m, ix, iy)

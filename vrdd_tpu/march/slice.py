@@ -5,25 +5,34 @@ translation of d_render's tex3D fetches) run at ~1e8/s — thousands of times
 off speed-of-light. This module reformulates the render *object-order*: sweep
 the volume's Z planes front-to-back and composite each plane into the image.
 
-The key fact making this TPU-native: for an **unrotated pinhole camera** (the
-reference's benchmark view, volumeRender.cpp:1024-1043), the in-plane sample
-position is separable —
+The core factorization is **ray-slope space**: parameterize each pinhole ray
+by its slope ``m = (d_x / d_z, d_y / d_z)`` in volume axes. On the plane
+``z = zk`` the ray position is
 
-    ray dir ~ normalize(u(px), v(py), -f);  at plane z:
-    x(px, z) = ox + (z - oz) * u(px) / (-f)     (normalization cancels!)
-    y(py, z) = oy + (z - oz) * v(py) / (-f)
+    x(m, zk) = o_x + (zk - o_z) * m_x
+    y(m, zk) = o_y + (zk - o_z) * m_y      (exact; normalization cancels)
 
-so resampling plane ``z`` onto the pixel grid is two small matmuls
+i.e. every volume plane maps onto a uniform m-grid by a per-plane SCALE +
+TRANSLATE — a separable resample:
 
-    resampled = Wy(z) @ plane @ Wx(z)^T,     Wx: (W, X), Wy: (H, Y)
+    resampled = Wy(zk) @ plane @ Wx(zk)^T,     Wx: (Wi, X), Wy: (Hi, Y)
 
 with bilinear CUDA-model weights (2 nonzeros/row, built densely on the fly —
-the MXU eats them). The transfer-function lookup is likewise a one-hot matmul
-over the small LUT. Everything lands on the MXU; there are NO gathers.
+the MXU eats them). The transfer-function lookup is an unrolled tent-basis
+FMA over the small LUT. Everything lands on the MXU/VPU; there are NO gathers.
+Compositing in m-space is per-ray exact (each m-grid point IS one ray through
+the camera), with per-ray slab path length ``dz * sqrt(1 + mx^2 + my^2)``.
+
+For the reference's unrotated benchmark camera (volumeRender.cpp:1024-1043)
+the m-grid equals the pixel grid (``m = (u, v) / -focal``) and
+:func:`slice_render_image` renders directly. For ARBITRARY rotated views, the
+same sweep runs on a bounding m-grid and one final 2-D homography warp maps
+m-space to pixels — see ``vrdd_tpu.march.shearwarp`` (the perspective
+shear-warp factorization, Lacroute & Levoy, recast TPU-native).
 
 Discretization difference vs the ray-order marcher: samples lie on constant-z
 planes instead of constant-t shells, with per-ray segment length
-``dz_plane / |dir_z|``. With ``length_correction=True`` (default), sample
+``dz_plane * |d| / |d_z|``. With ``length_correction=True`` (default), sample
 opacity is scaled by ``segment / tstep`` so the sweep converges to the same
 integral; parity tests compare against the scan marcher with tolerances, while
 bit-exact reference parity remains the scan path's job.
@@ -41,9 +50,6 @@ so backward memory is O(1) in plane count (no per-step residuals, no
 full-volume cotangent carries) and cost ~3x forward. The per-plane local
 transposes (TF lookup, separable resample) are delegated to jax.vjp of the
 plane-decode function. Gradient parity vs plain autodiff is pinned in tests.
-
-Rotated cameras: rotate the volume once then sweep (future work — shear-pass
-matmuls); the scan marcher covers general views exactly meanwhile.
 """
 
 from __future__ import annotations
@@ -103,30 +109,37 @@ def _tf_onehot_matmul(
     return col
 
 
-def slice_render_image(
+def sweep_slope_space(
     volume: jnp.ndarray,
-    origin: jnp.ndarray,
-    width: int,
-    height: int,
+    origin,
+    mx: np.ndarray,
+    my: np.ndarray,
     tf_lut: jnp.ndarray,
     density: jnp.ndarray = 0.05,
     brightness: jnp.ndarray = 1.0,
     transfer_offset: jnp.ndarray = 0.0,
     transfer_scale: jnp.ndarray = 1.0,
     march: MarchConfig = MarchConfig(),
-    focal: float = 2.0,
+    dz_sign: int = -1,
     n_planes: int = 0,
     length_correction: bool = True,
     compute_dtype=jnp.float32,
     plane_chunk: int = 8,
     use_custom_vjp: bool = True,
 ) -> jnp.ndarray:
-    """Render ``(H, W, 4)`` RGBA by plane sweep (unrotated camera at ``origin``).
+    """Plane sweep over a ray-slope grid: returns ``(Hi, Wi, 4)`` RGBA.
 
     ``volume`` is a scalar field ``(Z, Y, X)``; ``origin`` the camera position
-    (world), looking along -z with the reference's NDC frustum. ``n_planes``
-    defaults to 2 * Z. ``use_custom_vjp`` selects the analytic O(1)-memory
-    backward (disable for higher-order differentiation).
+    (in volume axes); ``mx (Wi,)`` / ``my (Hi,)`` HOST numpy slope grids
+    (``m = d_xy / d_z`` per ray); ``dz_sign`` the common sign of d_z over the
+    grid. Each (my[i], mx[j]) point is one ray; the output is the composited
+    image in slope space. ``n_planes`` defaults to 2 * Z. ``use_custom_vjp``
+    selects the analytic O(1)-memory backward (disable for higher-order
+    differentiation).
+
+    Static grid constants are built with numpy on the host so they embed as
+    literals instead of device constants (device round-trips during lowering
+    are pathologically slow on remote-attached TPUs).
     """
     volume = jnp.asarray(volume)
     nz, ny, nx = volume.shape
@@ -136,27 +149,25 @@ def slice_render_image(
     ox, oy, oz = origin[0], origin[1], origin[2]
     (xlo, ylo, zlo) = march.box_min
     (xhi, yhi, zhi) = march.box_max
+    mx = np.asarray(mx, dtype=np.float32)
+    my = np.asarray(my, dtype=np.float32)
+    width, height = mx.shape[0], my.shape[0]
 
-    # Static camera-grid constants built with numpy on the host so they embed
-    # as literals instead of device constants (device round-trips during
-    # lowering are pathologically slow on remote-attached TPUs).
-    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0).astype(np.float32)
-    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0).astype(np.float32)
-    uu, vv = np.meshgrid(u, v)
-    norm = np.sqrt(uu * uu + vv * vv + focal * focal)
-    dz = (-focal / norm).astype(np.float32)  # (H, W), camera looks down -z
-
-    # Plane schedule: front-to-back along the viewing direction.
+    # Plane schedule: front-to-back along the viewing direction. d_z < 0 means
+    # the nearest plane has the largest z.
     spacing = (zhi - zlo) / n_planes
     zs = (zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)).astype(
         np.float32
-    )[::-1].copy()  # camera looks -z: nearest plane has largest z
+    )
+    if dz_sign < 0:
+        zs = zs[::-1].copy()
 
-    seg = spacing / np.abs(dz)  # per-ray world path length through one slab
+    # Per-ray world path length through one slab: dz * |d| / |d_z|.
+    stretch = np.sqrt(1.0 + my[:, None] ** 2 + mx[None, :] ** 2)
     alpha_scale = (
-        (seg / march.tstep).astype(np.float32)
+        (spacing * stretch / march.tstep).astype(np.float32)
         if length_correction
-        else np.ones_like(seg, dtype=np.float32)
+        else np.ones((height, width), dtype=np.float32)
     )
 
     dtype = compute_dtype
@@ -196,8 +207,8 @@ def slice_render_image(
         Everything except compositing: separable resample (batched matmuls),
         TF lookup, opacity scaling and coverage masking.
         """
-        x_at = ox + (z[:, None] - oz) * (u[None, :] / (-focal))  # (C, W)
-        y_at = oy + (z[:, None] - oz) * (v[None, :] / (-focal))  # (C, H)
+        x_at = ox + (z[:, None] - oz) * mx[None, :]  # (C, W)
+        y_at = oy + (z[:, None] - oz) * my[None, :]  # (C, H)
         wx = _axis_weights(x_at.reshape(-1), nx, xlo, xhi).reshape(
             chunk, width, nx
         ).astype(dtype)
@@ -213,11 +224,12 @@ def slice_render_image(
             preferred_element_type=jnp.float32,
         )  # (C, H, W)
         col = _tf_onehot_matmul(resampled, lut, toff, tscl)
-        t = (z[:, None, None] - oz) / dz[None]
+        # t > 0 <=> (z - oz) has the sign of d_z — a per-plane scalar
+        in_front = (jnp.sign(z - oz) * dz_sign) > 0  # (C,)
         covered = (
             (jnp.sum(jnp.abs(wy), axis=2) > 0.0)[:, :, None]
             & (jnp.sum(jnp.abs(wx), axis=2) > 0.0)[:, None, :]
-            & (t > 0.0)
+            & in_front[:, None, None]
         )
         a = jnp.where(covered, col[..., 3] * density_ * alpha_scale[None], 0.0)
         rgb = col[..., :3] * a[..., None]
@@ -321,3 +333,42 @@ def slice_render_image(
         jnp.asarray(transfer_scale, jnp.float32),
     )
     return acc * brightness
+
+
+def slice_render_image(
+    volume: jnp.ndarray,
+    origin: jnp.ndarray,
+    width: int,
+    height: int,
+    tf_lut: jnp.ndarray,
+    density: jnp.ndarray = 0.05,
+    brightness: jnp.ndarray = 1.0,
+    transfer_offset: jnp.ndarray = 0.0,
+    transfer_scale: jnp.ndarray = 1.0,
+    march: MarchConfig = MarchConfig(),
+    focal: float = 2.0,
+    n_planes: int = 0,
+    length_correction: bool = True,
+    compute_dtype=jnp.float32,
+    plane_chunk: int = 8,
+    use_custom_vjp: bool = True,
+) -> jnp.ndarray:
+    """Render ``(H, W, 4)`` RGBA by plane sweep (unrotated camera at ``origin``).
+
+    The reference's NDC frustum looking down -z: ray slopes are
+    ``m = (u, v) / -focal`` so the m-grid IS the pixel grid and no final warp
+    is needed. For rotated views see ``vrdd_tpu.march.shearwarp``.
+    """
+    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0).astype(
+        np.float32
+    )
+    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0).astype(
+        np.float32
+    )
+    return sweep_slope_space(
+        volume, origin, u / (-focal), v / (-focal), tf_lut,
+        density, brightness, transfer_offset, transfer_scale, march,
+        dz_sign=-1, n_planes=n_planes, length_correction=length_correction,
+        compute_dtype=compute_dtype, plane_chunk=plane_chunk,
+        use_custom_vjp=use_custom_vjp,
+    )

@@ -25,6 +25,10 @@ import numpy as np
 from vrdd_tpu.core.geometry import default_benchmark_inv_view
 from vrdd_tpu.core.transfer import default_transfer_function
 from vrdd_tpu.march.scan import render_image
+from vrdd_tpu.march.shearwarp import (
+    shearwarp_applicable,
+    shearwarp_render_image,
+)
 from vrdd_tpu.march.slice import slice_render_image
 from vrdd_tpu.pallas.slice_kernel import pallas_slice_render, pallas_supported
 from vrdd_tpu.models.flexible import FlexibleBlockVolume
@@ -133,8 +137,8 @@ class RenderPipeline:
                 raise ValueError("no fractal codebook volume loaded")
             return self.fractal_stats[..., query_channel(method)]
         raise ValueError(
-            "renderer 'slice'/'pallas' supports precomputed-stats query "
-            "methods 1-6; use renderer='scan' for query 7/8/9/0"
+            "renderers 'slice'/'pallas'/'shearwarp' support precomputed-stats "
+            "query methods 1-6; use renderer='scan' for query 7/8/9/0"
         )
 
     def resolve_renderer(
@@ -142,9 +146,10 @@ class RenderPipeline:
     ) -> str:
         """'auto' -> the fastest applicable path for this view/method.
 
-        The object-order slice sweep (and its fused Pallas kernel) applies to
-        unrotated views over precomputed-stats queries 1-6; everything else
-        renders on the general `lax.scan` ray marcher.
+        Precomputed-stats queries (1-6) go object-order: the fused Pallas
+        kernel or XLA slice sweep for unrotated views, the shear-warp sweep
+        for rotated views. Everything else (and degenerate views) renders on
+        the general `lax.scan` ray marcher.
         """
         if renderer != "auto":
             return renderer
@@ -157,8 +162,12 @@ class RenderPipeline:
             QueryMethod.RAW_ENTROPY, QueryMethod.FRACTAL_MEAN,
             QueryMethod.FRACTAL_VARIANCE, QueryMethod.FRACTAL_ENTROPY,
         )
-        if not (unrotated and stats_ok):
+        if not stats_ok:
             return "scan"
+        if not unrotated:
+            return (
+                "shearwarp" if shearwarp_applicable(inv_view) else "scan"
+            )
         vol = self._stats_channel(method)
         if jax.default_backend() == "tpu" and pallas_supported(
             vol.shape, config.camera.width, config.camera.height,
@@ -185,6 +194,23 @@ class RenderPipeline:
         if inv_view is None:
             inv_view = default_benchmark_inv_view()
         renderer = self.resolve_renderer(renderer, inv_view, config)
+        params = (
+            self.tf_lut,
+            jnp.float32(config.density),
+            jnp.float32(config.brightness),
+            jnp.float32(config.tf.offset),
+            jnp.float32(config.tf.scale),
+        )
+        if renderer == "shearwarp":
+            # view geometry is host-static for the shear-warp factorization:
+            # the view matrix is part of the compile key, not a traced input
+            iv = np.ascontiguousarray(np.asarray(inv_view, dtype=np.float32))
+            fn = self._compiled(
+                config.query_method, config.camera.width,
+                config.camera.height, config.march, renderer,
+                iv.tobytes(),
+            )
+            return fn(self._stats_channel(config.query_method), *params)
         fn = self._compiled(
             config.query_method,
             config.camera.width,
@@ -196,33 +222,43 @@ class RenderPipeline:
             src = self._stats_channel(config.query_method)
         else:
             src, _ = self.sample_source(config.query_method)
-        return fn(
-            src,
-            jnp.asarray(inv_view, dtype=jnp.float32),
-            self.tf_lut,
-            jnp.float32(config.density),
-            jnp.float32(config.brightness),
-            jnp.float32(config.tf.offset),
-            jnp.float32(config.tf.scale),
-        )
+        return fn(src, jnp.asarray(inv_view, dtype=jnp.float32), *params)
 
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, method, width, height, march, renderer="scan"):
+    def _compiled(self, method, width, height, march, renderer="scan",
+                  iv_bytes=None):
         # the sample source is a jit ARGUMENT (see sample_source docstring)
+        if renderer == "shearwarp":
+            inv_view = np.frombuffer(iv_bytes, dtype=np.float32).reshape(3, 4)
+
+            @jax.jit
+            def run_sw(volume, tf_lut, density, brightness, offset, scale):
+                # distribution stats volumes are coarse (tens of blocks per
+                # axis); floor the plane count so the sweep's axial sampling
+                # stays comparable to the scan marcher's tstep
+                return shearwarp_render_image(
+                    volume, inv_view, width, height, tf_lut, density,
+                    brightness, offset, scale, march=march,
+                    n_planes=max(64, 2 * volume.shape[0]),
+                )
+
+            return run_sw
         if renderer in ("slice", "pallas"):
 
             @jax.jit
             def run_obj(volume, inv_view, tf_lut, density, brightness,
                         offset, scale):
                 origin = inv_view[:, 3]
+                n_planes = max(64, 2 * volume.shape[0])
                 if renderer == "pallas":
                     return pallas_slice_render(
                         volume, origin, tf_lut, density, brightness,
                         offset, scale, width=width, height=height, march=march,
+                        n_planes=n_planes,
                     )
                 return slice_render_image(
                     volume, origin, width, height, tf_lut, density,
-                    brightness, offset, scale, march=march,
+                    brightness, offset, scale, march=march, n_planes=n_planes,
                 )
 
             return run_obj
