@@ -231,7 +231,15 @@ def sweep_slope_space(
             & (jnp.sum(jnp.abs(wx), axis=2) > 0.0)[:, None, :]
             & in_front[:, None, None]
         )
-        a = jnp.where(covered, col[..., 3] * density_ * alpha_scale[None], 0.0)
+        # clamp to 1: opacity is a probability, and the "over" recursion (and
+        # the exact distributed-ET scheme) require monotone alpha. The
+        # reference keeps a <= 1 by construction (TF alpha x density <= 1);
+        # only the slab length correction can overshoot.
+        a = jnp.where(
+            covered,
+            jnp.minimum(col[..., 3] * density_ * alpha_scale[None], 1.0),
+            0.0,
+        )
         rgb = col[..., :3] * a[..., None]
         return jnp.concatenate([rgb, a[..., None]], axis=-1)
 

@@ -161,7 +161,7 @@ def _make_kernel(
         # per-axis coverage is the in-box predicate (tent rows sum to 1 in-box)
         in_front = (z < oz).astype(jnp.float32)
         covered = inbox_x[None, :] * inbox_y[:, None] * in_front
-        a = col_a * alpha_base * covered
+        a = jnp.minimum(col_a * alpha_base, 1.0) * covered
         acc_a = out_ref[3]
         live = acc_a <= threshold
         trans = jnp.where(live, 1.0 - acc_a, 0.0)

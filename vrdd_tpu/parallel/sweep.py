@@ -1,0 +1,293 @@
+"""Distributed object-order sweep: z-slabs on bricks, image rows on rays.
+
+The single-device slice sweep (vrdd_tpu/march/slice.py) is the per-chip fast
+path; this module scales it over the ("bricks", "rays") mesh
+(vrdd_tpu/parallel/mesh.py):
+
+- the volume's Z axis is sharded into slabs on the ``bricks`` axis; each
+  device PRE-BLENDS only the sweep planes falling inside its slab (one
+  ghost layer each side via ICI ``ppermute`` covers cross-slab bilinear
+  taps) and sweeps them with the same separable-matmul resample + composite,
+- image ROWS are sharded on the ``rays`` axis (each device resamples only
+  its row strip: the Wy matmul shrinks proportionally),
+- per-slab partial images combine front-to-back with the associative "over"
+  operator — sort-last compositing, the compositing-tree analogue of
+  context/sequence parallelism (SURVEY.md §5),
+- early ray termination is EXACT at plane granularity via the same two-pass
+  scheme as vrdd_tpu/parallel/bricks.py: pass 1 sweeps every slab without a
+  cutoff and locates, per pixel, the slab where accumulated alpha crosses the
+  threshold plus the upstream alpha entering it; pass 2 re-sweeps only that
+  slab with the equivalent local threshold ``tau = (thr - a_up) / (1 - a_up)``
+  (the global test is a monotone transform of the local alpha, so the freeze
+  lands on the same plane as the sequential sweep).
+
+Unlike the host-static single-device path, per-device quantities (plane
+z-values, row coordinates) arrive as SHARDED ARRAYS — shard_map traces one
+program for all devices, so anything device-dependent must be data, not
+Python constants. The plane pre-blend therefore builds its z tent weights in
+jnp (same CUDA-model math as the host path).
+
+The reference has no distribution at all (single process, single GPU;
+SURVEY.md §2.3) — this subsystem is created per the TPU-native plan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vrdd_tpu.march.slice import _axis_weights, _tf_onehot_matmul
+from vrdd_tpu.parallel.bricks import _halo_exchange
+from vrdd_tpu.parallel.mesh import BRICK_AXIS, RAY_AXIS
+from vrdd_tpu.utils.config import MarchConfig
+
+
+def shard_scalar_volume(volume, mesh: Mesh):
+    """Place a (Z, Y, X) scalar volume sharded over Z on the bricks axis."""
+    return jax.device_put(
+        volume, NamedSharding(mesh, P(BRICK_AXIS, None, None))
+    )
+
+
+def _local_sweep(
+    planes: jnp.ndarray,  # (P, Y, X) front-to-back
+    zs: jnp.ndarray,  # (P,)
+    mx: np.ndarray,  # (W,) host
+    my: jnp.ndarray,  # (Hl,) traced (row-sharded)
+    origin: jnp.ndarray,
+    tf_lut, density, toff, tscl,
+    alpha_scale: jnp.ndarray,  # (Hl, W)
+    box, threshold, plane_chunk: int,
+):
+    """Front-to-back composite of pre-blended planes on a row strip.
+
+    ``threshold`` is a per-pixel (Hl, W) freeze level (>1 disables ET).
+    """
+    (xlo, ylo, zlo), (xhi, yhi, zhi) = box
+    n_planes, ny, nx = planes.shape
+    width, height = mx.shape[0], my.shape[0]
+    ox, oy, oz = origin[0], origin[1], origin[2]
+
+    chunk = plane_chunk
+    while n_planes % chunk:
+        chunk -= 1
+    n_chunks = n_planes // chunk
+    zs_c = zs.reshape(n_chunks, chunk)
+    planes_c = planes.reshape(n_chunks, chunk, ny, nx)
+    mx_j = jnp.asarray(mx)
+
+    def body(acc, xs):
+        z, pl = xs
+        x_at = ox + (z[:, None] - oz) * mx_j[None, :]  # (C, W)
+        y_at = oy + (z[:, None] - oz) * my[None, :]  # (C, Hl)
+        wx = _axis_weights(x_at.reshape(-1), nx, xlo, xhi).reshape(
+            chunk, width, nx
+        )
+        wy = _axis_weights(y_at.reshape(-1), ny, ylo, yhi).reshape(
+            chunk, height, ny
+        )
+        tmp = jax.lax.dot_general(
+            wy, pl, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        resampled = jax.lax.dot_general(
+            tmp, wx, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        col = _tf_onehot_matmul(resampled, tf_lut, toff, tscl)
+        in_front = (jnp.sign(z - oz) * -1.0) > 0  # dz < 0 (looking down -z)
+        covered = (
+            (jnp.sum(jnp.abs(wy), axis=2) > 0.0)[:, :, None]
+            & (jnp.sum(jnp.abs(wx), axis=2) > 0.0)[:, None, :]
+            & in_front[:, None, None]
+        )
+        # clamped like the single-device sweep: monotone alpha is also what
+        # makes the two-pass distributed ET detection exact
+        a = jnp.where(
+            covered,
+            jnp.minimum(col[..., 3] * density * alpha_scale[None], 1.0),
+            0.0,
+        )
+        rgba = jnp.concatenate(
+            [col[..., :3] * a[..., None], a[..., None]], axis=-1
+        )
+        for k in range(chunk):
+            new_acc = acc + rgba[k] * (1.0 - acc[..., 3:4])
+            acc = jnp.where(acc[..., 3:4] > threshold[..., None], acc, new_acc)
+        return acc, None
+
+    acc0 = jnp.zeros((height, width, 4), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, (zs_c, planes_c))
+    return acc
+
+
+def _over(acc, part):
+    return acc + part * (1.0 - acc[..., 3:4])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "march", "mesh", "focal", "n_planes",
+        "length_correction", "plane_chunk",
+    ),
+)
+def distributed_sweep_render(
+    volume: jnp.ndarray,
+    origin: jnp.ndarray,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    width: int,
+    height: int,
+    march: MarchConfig = MarchConfig(),
+    mesh: Mesh,
+    focal: float = 2.0,
+    n_planes: int = 0,
+    length_correction: bool = True,
+    plane_chunk: int = 8,
+) -> jnp.ndarray:
+    """Sweep-render with the volume sharded over bricks and rows over rays.
+
+    ``volume`` is ``(Z, Y, X)`` (use :func:`shard_scalar_volume` to place it);
+    unrotated benchmark camera at ``origin`` looking down -z. Returns
+    ``(H, W, 4)`` float32 RGBA, rows sharded on the rays axis. Matches the
+    single-device ``slice_render_image`` to float32 rounding (ET exact at
+    plane granularity via the two-pass scheme).
+    """
+    nz, ny, nx = volume.shape
+    if n_planes <= 0:
+        n_planes = 2 * nz
+    nb = mesh.shape[BRICK_AXIS]
+    nr = mesh.shape[RAY_AXIS]
+    assert nz % nb == 0, f"Z={nz} must divide over {nb} bricks"
+    assert n_planes % nb == 0, f"n_planes={n_planes} must divide over {nb}"
+    assert height % nr == 0, f"H={height} must divide over {nr} ray shards"
+    zl = nz // nb
+    (xlo, ylo, zlo) = march.box_min
+    (xhi, yhi, zhi) = march.box_max
+    thr = march.opacity_threshold
+
+    # host grids (slope space; see march/slice.py)
+    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0)
+    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0)
+    mx = (u / (-focal)).astype(np.float32)
+    my_host = (v / (-focal)).astype(np.float32)
+
+    # ascending global plane schedule, sharded so device d's planes lie in
+    # slab d (plane k of slab d is plane d*Pl + k globally)
+    spacing = (zhi - zlo) / n_planes
+    zs_global = (
+        zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)
+    ).astype(np.float32)
+
+    stretch = np.sqrt(1.0 + my_host[:, None] ** 2 + mx[None, :] ** 2)
+    alpha_scale_host = (
+        (spacing * stretch / march.tstep).astype(np.float32)
+        if length_correction
+        else np.ones((height, width), dtype=np.float32)
+    )
+
+    origin = jnp.asarray(origin, dtype=jnp.float32)
+    box = (march.box_min, march.box_max)
+
+    def per_device(
+        vol_local, zs_local, my_local, alpha_local,
+        origin, tf_lut, density, brightness, toff, tscl,
+    ):
+        d = jax.lax.axis_index(BRICK_AXIS)
+        z0 = (d * zl).astype(jnp.float32)
+        padded = _halo_exchange(vol_local, nb)  # (zl + 2, Y, X)
+
+        # pre-blend local planes: traced z tent weights over the haloed slab
+        zf = (zs_local - zlo) / (zhi - zlo) * nz - 0.5
+        zf = jnp.clip(zf, 0.0, nz - 1.0)  # global clamp-to-edge
+        lf = zf - z0 + 1.0  # position in the padded frame
+        layers = jax.lax.broadcasted_iota(
+            jnp.float32, (zs_local.shape[0], zl + 2), 1
+        )
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(lf[:, None] - layers))
+        planes = jax.lax.dot_general(
+            wz, padded.reshape(zl + 2, ny * nx),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(-1, ny, nx)
+
+        # front-to-back for dz < 0: descending z
+        planes = jnp.flip(planes, axis=0)
+        zs_ftb = jnp.flip(zs_local, axis=0)
+
+        sweep = lambda threshold: _local_sweep(
+            planes, zs_ftb, mx, my_local, origin, tf_lut, density,
+            toff, tscl, alpha_local, box, threshold, plane_chunk,
+        )
+        hl = height // nr
+        no_cut = jnp.full((hl, width), 2.0, dtype=jnp.float32)
+
+        # pass 1: un-truncated slab partials, folded front-to-back
+        partial = sweep(no_cut)  # (Hl, W, 4)
+        parts = jax.lax.all_gather(partial, BRICK_AXIS, axis=0)  # (nb, Hl, W, 4)
+        ordered = jnp.flip(parts, axis=0)  # device nb-1 is nearest (dz < 0)
+
+        acc0 = jnp.zeros_like(partial)
+
+        def fold(acc, part):
+            return _over(acc, part), acc
+
+        final_nc, prefixes = jax.lax.scan(fold, acc0, ordered)
+        after_alpha = jnp.concatenate(
+            [prefixes[1:, ..., 3], final_nc[None, ..., 3]], axis=0
+        )
+        crossed = after_alpha > thr  # (nb, Hl, W)
+        saturating = jnp.any(crossed, axis=0)
+        j_star = jnp.argmax(crossed, axis=0)
+        prefix_at = jnp.take_along_axis(
+            prefixes, j_star[None, ..., None], axis=0
+        )[0]
+        a_up = prefix_at[..., 3]
+
+        # pass 2: re-sweep only the crossing slab with the local threshold
+        my_pos = nb - 1 - d  # ordered index of this device
+        flag = saturating & (j_star == my_pos)
+        tau = (thr - a_up) / jnp.maximum(1.0 - a_up, 1e-6)
+        partial2 = sweep(jnp.where(flag, tau, 2.0))
+        contrib2 = jax.lax.psum(
+            jnp.where(flag[..., None], partial2, 0.0), BRICK_AXIS
+        )
+        exact = prefix_at + contrib2 * (1.0 - a_up[..., None])
+        rgba = jnp.where(saturating[..., None], exact, final_nc)
+        return rgba * brightness
+
+    out = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P(BRICK_AXIS, None, None),
+            P(BRICK_AXIS),
+            P(RAY_AXIS),
+            P(RAY_AXIS, None),
+            P(None), P(None, None), P(), P(), P(), P(),
+        ),
+        out_specs=P(RAY_AXIS, None, None),
+        check_vma=False,
+    )(
+        volume,
+        jnp.asarray(zs_global),
+        jnp.asarray(my_host),
+        jnp.asarray(alpha_scale_host),
+        origin,
+        tf_lut,
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(brightness, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+    )
+    return out
