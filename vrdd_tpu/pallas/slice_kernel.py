@@ -55,7 +55,9 @@ from jax.experimental.pallas import tpu as pltpu
 from vrdd_tpu.utils.config import MarchConfig
 
 STRIP = 128
-_VMEM_PLANE_LIMIT = 4 * 1024 * 1024  # bytes per streamed plane block
+# bytes per plane; the streamed block is plane_chunk (default 4) planes and
+# double-buffered, so VMEM holds ~8x this alongside the output strip
+_VMEM_PLANE_LIMIT = 2 * 1024 * 1024
 
 
 def pallas_supported(
@@ -93,13 +95,14 @@ def _tent_weights(coords, n: int, lo: float, hi: float):
 def _make_kernel(
     H: int, W: int, NY: int, NX: int, n_planes: int, n_lut: int,
     focal: float, box_min, box_max, tstep: float, threshold: float,
-    length_correction: bool, mm_dtype,
+    length_correction: bool, mm_dtype, pchunk: int,
 ):
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
+    n_chunks = n_planes // pchunk
 
-    def kernel(params_ref, zs_ref, lut_ref, plane_ref, out_ref):
+    def kernel(params_ref, zs_ref, lut_ref, planes_ref, out_ref):
         si = pl.program_id(0)
         k = pl.program_id(1)
         ox = params_ref[0, 0]
@@ -126,52 +129,62 @@ def _make_kernel(
         else:
             alpha_base = jnp.full((STRIP, W), density, dtype=jnp.float32)
 
-        z = zs_ref[0, k]
-        x_at = ox + (z - oz) * (u_row[0, :] / (-focal))  # (W,)
-        y_at = oy + (z - oz) * (v_col[:, 0] / (-focal))  # (STRIP,)
-        wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)  # (W, NX), (W,)
-        wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)  # (STRIP, NY), (STRIP,)
-        plane = plane_ref[0]  # (NY, NX)
-        tmp = jnp.dot(
-            wy.astype(mm_dtype), plane.astype(mm_dtype),
-            preferred_element_type=jnp.float32,
-        )  # (STRIP, NX)
-        res = jax.lax.dot_general(
-            tmp.astype(mm_dtype), wx.astype(mm_dtype),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (STRIP, W)
-
-        # transfer function: tent-basis FMA over the LUT
-        qt = jnp.clip(
-            (res - tf_off) * tf_scale * n_lut - 0.5, 0.0, n_lut - 1.0
-        )
-        col_r = jnp.zeros_like(res)
-        col_g = jnp.zeros_like(res)
-        col_b = jnp.zeros_like(res)
-        col_a = jnp.zeros_like(res)
-        for li in range(n_lut):
-            wl = jnp.maximum(0.0, 1.0 - jnp.abs(qt - li))
-            col_r += wl * lut_ref[0, li * 4 + 0]
-            col_g += wl * lut_ref[0, li * 4 + 1]
-            col_b += wl * lut_ref[0, li * 4 + 2]
-            col_a += wl * lut_ref[0, li * 4 + 3]
-
-        # t > 0 <=> z < oz since dz < 0 everywhere (camera looks down -z);
-        # per-axis coverage is the in-box predicate (tent rows sum to 1 in-box)
-        in_front = (z < oz).astype(jnp.float32)
-        covered = inbox_x[None, :] * inbox_y[:, None] * in_front
-        a = jnp.minimum(col_a * alpha_base, 1.0) * covered
+        acc_r = out_ref[0]
+        acc_g = out_ref[1]
+        acc_b = out_ref[2]
         acc_a = out_ref[3]
-        live = acc_a <= threshold
-        trans = jnp.where(live, 1.0 - acc_a, 0.0)
-        at = a * trans
-        out_ref[0] += col_r * at
-        out_ref[1] += col_g * at
-        out_ref[2] += col_b * at
-        out_ref[3] = acc_a + at
+        # unrolled over the plane block: amortizes per-grid-step overhead
+        # (weight/constant rebuilds, DMA bookkeeping) over pchunk planes
+        for i in range(pchunk):
+            z = zs_ref[0, k * pchunk + i]
+            x_at = ox + (z - oz) * (u_row[0, :] / (-focal))  # (W,)
+            y_at = oy + (z - oz) * (v_col[:, 0] / (-focal))  # (STRIP,)
+            wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
+            wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)
+            plane = planes_ref[i]  # (NY, NX)
+            tmp = jnp.dot(
+                wy.astype(mm_dtype), plane.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )  # (STRIP, NX)
+            res = jax.lax.dot_general(
+                tmp.astype(mm_dtype), wx.astype(mm_dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (STRIP, W)
 
-        @pl.when(k == n_planes - 1)
+            # transfer function: tent-basis FMA over the LUT
+            qt = jnp.clip(
+                (res - tf_off) * tf_scale * n_lut - 0.5, 0.0, n_lut - 1.0
+            )
+            col_r = jnp.zeros_like(res)
+            col_g = jnp.zeros_like(res)
+            col_b = jnp.zeros_like(res)
+            col_a = jnp.zeros_like(res)
+            for li in range(n_lut):
+                wl = jnp.maximum(0.0, 1.0 - jnp.abs(qt - li))
+                col_r += wl * lut_ref[0, li * 4 + 0]
+                col_g += wl * lut_ref[0, li * 4 + 1]
+                col_b += wl * lut_ref[0, li * 4 + 2]
+                col_a += wl * lut_ref[0, li * 4 + 3]
+
+            # t > 0 <=> z < oz since dz < 0 everywhere (looking down -z);
+            # per-axis coverage is the in-box predicate (tent rows sum to 1)
+            in_front = (z < oz).astype(jnp.float32)
+            covered = inbox_x[None, :] * inbox_y[:, None] * in_front
+            a = jnp.minimum(col_a * alpha_base, 1.0) * covered
+            live = acc_a <= threshold
+            trans = jnp.where(live, 1.0 - acc_a, 0.0)
+            at = a * trans
+            acc_r += col_r * at
+            acc_g += col_g * at
+            acc_b += col_b * at
+            acc_a = acc_a + at
+        out_ref[0] = acc_r
+        out_ref[1] = acc_g
+        out_ref[2] = acc_b
+        out_ref[3] = acc_a
+
+        @pl.when(k == n_chunks - 1)
         def _finish():
             out_ref[...] = out_ref[...] * brightness
 
@@ -201,11 +214,15 @@ def pallas_slice_render(
     n_planes: int = 0,
     length_correction: bool = True,
     precision: str = "f32",
+    plane_chunk: int = 4,
 ) -> jnp.ndarray:
     """Fused forward render; same semantics as slice_render_image."""
     nz, ny, nx = volume.shape
     if n_planes <= 0:
         n_planes = 2 * nz
+    pchunk = plane_chunk
+    while n_planes % pchunk:
+        pchunk -= 1
     (xlo, ylo, zlo) = march.box_min
     (xhi, yhi, zhi) = march.box_max
 
@@ -246,12 +263,12 @@ def pallas_slice_render(
     kernel = _make_kernel(
         height, width, ny, nx, n_planes, n_lut, focal,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
-        length_correction, mm_dtype,
+        length_correction, mm_dtype, pchunk,
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
-        grid=(height // STRIP, n_planes),
+        grid=(height // STRIP, n_planes // pchunk),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i, k: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -261,7 +278,8 @@ def pallas_slice_render(
                 (1, 4 * n_lut), lambda i, k: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, ny, nx), lambda i, k: (k, 0, 0), memory_space=pltpu.VMEM
+                (pchunk, ny, nx), lambda i, k: (k, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
