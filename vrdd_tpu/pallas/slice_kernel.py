@@ -33,12 +33,12 @@ accumulation) — the scalar field loses ~3 decimal digits, the image error
 stays ~1e-3; the MXU runs at its fast path. Default 'f32' is bit-faithful to
 the XLA slice path.
 
-Measured (one v5e chip, amortized): 512^3 volume -> 1024^2 image, 512 planes:
-30.5 ms f32 / 29.1 ms bf16 vs 39.4 ms XLA slice path; Isabel-shaped stats
-volume (10x50x50) -> 512^2, 200 planes: 3.9 ms (67 MTexels/s; the reference's
-published number on this geometry is 15.7 MTexels/s, presentation.pdf).
-Remaining cost is ~3.5 us/grid-step fixed overhead (cut by raising planes per
-step — future) and the 9-entry TF FMA loop on the VPU (~8 ms at 1024^2).
+Measured (one v5e chip, amortized, plane_chunk=8): 512^3 volume -> 1024^2
+image, 512 planes: 25.6 ms (41 Mrays/s) vs 39.4 ms XLA slice path;
+Isabel-shaped stats volume (10x50x50) -> 512^2, 200 planes: 3.4 ms
+(77 MTexels/s; the reference's published number on this geometry is
+15.7 MTexels/s, presentation.pdf). Remaining cost is the 9-entry TF FMA loop
+on the VPU (~8 ms at 1024^2) and the f32 resample matmuls.
 """
 
 from __future__ import annotations
@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vrdd_tpu.utils.config import MarchConfig
 
 STRIP = 128
-# bytes per plane; the streamed block is plane_chunk (default 4) planes and
+# bytes per plane; the streamed block is plane_chunk (default 8) planes and
 # double-buffered, so VMEM holds ~8x this alongside the output strip
 _VMEM_PLANE_LIMIT = 2 * 1024 * 1024
 
@@ -195,7 +195,7 @@ def _make_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "march", "focal", "n_planes", "length_correction",
-        "precision",
+        "precision", "plane_chunk",
     ),
 )
 def pallas_slice_render(
@@ -214,7 +214,7 @@ def pallas_slice_render(
     n_planes: int = 0,
     length_correction: bool = True,
     precision: str = "f32",
-    plane_chunk: int = 4,
+    plane_chunk: int = 8,
 ) -> jnp.ndarray:
     """Fused forward render; same semantics as slice_render_image."""
     nz, ny, nx = volume.shape
