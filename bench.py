@@ -28,6 +28,10 @@ import jax.numpy as jnp
 from vrdd_tpu.core.transfer import default_transfer_function
 from vrdd_tpu.march.slice import slice_render_image
 from vrdd_tpu.pallas.slice_kernel import pallas_slice_render, pallas_supported
+from vrdd_tpu.pallas.slice_vjp import (
+    pallas_diff_supported,
+    pallas_slice_render_diff,
+)
 
 REFERENCE_MTEXELS_PER_S = 60.0 * 512 * 512 / 1e6  # 15.73, presentation.pdf
 
@@ -121,20 +125,29 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, K, it, 0.0)
 
+    use_pallas_diff = (
+        jax.default_backend() == "tpu"
+        and pallas_diff_supported((n, n, n), W, W, n)
+    )
     dt_fwd_big, _ = time_amortized(fwd_many, vol, tf, origin, iters=K)
     print(f"forward 512^2 over {n}^3: {dt_fwd_big * 1e3:.2f} ms -> "
           f"{W0 * W0 / dt_fwd_big / 1e6:.1f} MTexels/s", file=sys.stderr)
 
-    # --- forward+backward, headline config ---
+    # --- forward+backward, headline config: fused Pallas analytic VJP when
+    # supported (three VMEM-resident sweeps; 104 ms vs 269 ms XLA at 512^3),
+    # else the XLA analytic VJP (plane_chunk=1 — XLA fully fuses the per-plane
+    # body, while chunked (C, H, W, 4) intermediates round-trip HBM) ---
     @jax.jit
     def fwdbwd_many(v, tf, o):
         def loss(v, tf, i):
-            # plane_chunk=1 wins for fwd+bwd even with the analytic VJP: XLA
-            # fully fuses the per-plane body, while chunked (C, H, W, 4)
-            # intermediates round-trip HBM (measured 264 vs 664 ms at chunk 8)
-            img = slice_render_image(
-                v * (1.0 + 1e-6 * i), o, W, W, tf, n_planes=n, plane_chunk=1
-            )
+            if use_pallas_diff:
+                img = pallas_slice_render_diff(
+                    v * (1.0 + 1e-6 * i), o, tf, width=W, height=W, n_planes=n
+                )
+            else:
+                img = slice_render_image(
+                    v * (1.0 + 1e-6 * i), o, W, W, tf, n_planes=n, plane_chunk=1
+                )
             return jnp.mean((img - 0.25) ** 2)
 
         def it(i, acc):
