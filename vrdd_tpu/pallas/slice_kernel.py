@@ -1,4 +1,4 @@
-"""Fused slice-sweep render kernel (Pallas TPU) — v2, strip-resident accumulator.
+"""Fused slice-sweep render kernel (Pallas TPU) — v4, strip-resident accumulator.
 
 The XLA slice sweep (vrdd_tpu/march/slice.py) is HBM-bandwidth-bound: every
 plane round-trips the image accumulator and temporaries through HBM
@@ -6,21 +6,38 @@ plane round-trips the image accumulator and temporaries through HBM
 the accumulator resident in VMEM for the entire sweep and fuses the whole
 per-plane pipeline, so per-plane HBM traffic collapses to the plane's voxels.
 
-Structure (v2):
+Structure (v4 = v2 + VPU-lean transfer function + strip-level early
+termination; a v3 plane-major rewrite with a fully resident image and hoisted
+x-weights measured SLOWER — dynamic-slice strip access to the big block costs
+more than the hoist saves — and was reverted):
 
-- grid = (H / STRIP, n_planes); the output block is a full-width row strip
-  (4, STRIP, W) whose index map depends only on the strip id, so Mosaic keeps
-  it in VMEM across the entire inner plane sweep (classic revisited-block
-  accumulation; zeroed at k == 0, brightness applied at k == n_planes - 1).
-- the plane block (1, NY, NX) streams from HBM with automatic double-buffered
-  DMA — no VMEM limit on volume size (the v1 limitation).
+- grid = (H / STRIP, n_planes / chunk); the output block is a full-width row
+  strip (4, STRIP, W) whose index map depends only on the strip id, so Mosaic
+  keeps it in VMEM across the entire inner plane sweep (classic
+  revisited-block accumulation; zeroed at k == 0, brightness applied at the
+  last chunk).
+- the plane block (chunk, NY, NX) streams from HBM with automatic
+  double-buffered DMA — no VMEM limit on volume size.
 - per (strip, plane): separable CUDA-model bilinear weights built on the VPU
   from iota (tent identity ``w = max(0, 1 - |clip(xf) - l|)``, exactly equal
-  to the two-tap gather form incl. edge clamping), then two full-width MXU
-  matmuls resample the plane onto the strip — the same FLOPs as the XLA
-  full-image path (nothing is recomputed per tile, unlike v1),
-- transfer-function lookup as an unrolled tent-basis FMA over the small LUT,
-- masked front-to-back compositing with the opacity cutoff, in registers.
+  to the two-tap gather form incl. edge clamping — TPUs have no texture
+  units), then two full-width MXU matmuls resample the plane onto the strip.
+- transfer function in the RELU BASIS: the clamped linear-interp LUT is
+  piecewise linear in ``q = clip((s-off)*scale*n - 0.5, 0, n-1)`` with
+  integer knots, so ``col(q) = lut[0] + sum_l c_l relu(q - l)`` with
+  second-difference coefficients ``c_l`` (a static linear map of the LUT,
+  see tf_relu_coefficients) — mathematically identical to the tent form at
+  ~2/3 the VPU ops (the kernel is VPU-bound: resample matmuls are ~3 ms of a
+  ~20 ms kernel at 512^3 -> 1024^2; march/slice.py keeps the tent form as
+  the parity oracle).
+- masked front-to-back compositing with the opacity cutoff, in registers,
+  plus STRIP-LEVEL EARLY RAY TERMINATION: an SMEM flag records when every ray
+  in the strip is past the opacity threshold or permanently outside the
+  volume's (shrinking) footprint; later chunks skip all compute for the strip
+  (exact: frozen rays accumulate nothing — the reference's own ET
+  optimization, volumeRender_kernel.cu:697-699, lifted to tile granularity).
+  The footprint test applies only when it provably shrinks (camera x/y inside
+  the box x/y range and in front of the box).
 
 Numerics match vrdd_tpu/march/slice.py to float32 rounding (plus isolated
 pixels whose opacity-cutoff plane flips at the threshold); parity is pinned in
@@ -29,16 +46,8 @@ tests/test_pallas_slice.py. Semantics follow the reference's d_render
 march/slice.py.
 
 ``precision='bf16'`` casts the resample matmul operands to bfloat16 (f32
-accumulation) — the scalar field loses ~3 decimal digits, the image error
-stays ~1e-3; the MXU runs at its fast path. Default 'f32' is bit-faithful to
-the XLA slice path.
-
-Measured (one v5e chip, amortized, plane_chunk=8): 512^3 volume -> 1024^2
-image, 512 planes: 25.6 ms (41 Mrays/s) vs 39.4 ms XLA slice path;
-Isabel-shaped stats volume (10x50x50) -> 512^2, 200 planes: 3.4 ms
-(77 MTexels/s; the reference's published number on this geometry is
-15.7 MTexels/s, presentation.pdf). Remaining cost is the 9-entry TF FMA loop
-on the VPU (~8 ms at 1024^2) and the f32 resample matmuls.
+accumulation) — comparable to the reference GPU's 9-bit texture-filter
+weights; default 'f32' is bit-faithful to the XLA slice path.
 """
 
 from __future__ import annotations
@@ -71,6 +80,28 @@ def pallas_supported(
     )
 
 
+def tf_relu_coefficients(lut: jnp.ndarray) -> jnp.ndarray:
+    """(n, 4) LUT -> (n, 4) relu-basis coeffs [base; c_0; ..; c_{n-2}].
+
+    ``col(q) = base + sum_{l=0}^{n-2} c_l * relu(q - l)`` equals clamped
+    linear LUT interpolation for q in [0, n-1] (q >= 0 so relu(q-0) = q).
+    """
+    return jnp.asarray(_tf_coef_matrix(int(lut.shape[0]))) @ lut
+
+
+@functools.lru_cache(maxsize=8)
+def _tf_coef_matrix(n: int) -> np.ndarray:
+    """A (n, n): coeffs = A @ lut[:, c]. Row 0 = base, row 1+l = c_l."""
+    A = np.zeros((n, n), dtype=np.float32)
+    A[0, 0] = 1.0
+    A[1, 0], A[1, 1] = -1.0, 1.0  # c_0 = s_0 = lut[1] - lut[0]
+    for l in range(1, n - 1):  # c_l = s_l - s_{l-1}
+        A[1 + l, l - 1] += 1.0
+        A[1 + l, l] += -2.0
+        A[1 + l, l + 1] += 1.0
+    return A
+
+
 def _tent_weights(coords, n: int, lo: float, hi: float):
     """(P,) world coords -> (P, n) bilinear weights + (P,) in-box f32 mask.
 
@@ -92,6 +123,34 @@ def _tent_weights(coords, n: int, lo: float, hi: float):
     return w * in_box[:, None], in_box
 
 
+def _tf_relu_forward(res, coef_ref, n_lut, tf_off, tf_scale):
+    """Relu-basis TF: returns (q, [col_r, col_g, col_b, col_a])."""
+    q = jnp.clip((res - tf_off) * tf_scale * n_lut - 0.5, 0.0, n_lut - 1.0)
+    cols = [
+        coef_ref[0, c] + coef_ref[0, 4 + c] * q  # base + c_0 * relu(q - 0)
+        for c in range(4)
+    ]
+    for li in range(1, n_lut - 1):
+        r = jnp.maximum(q - li, 0.0)
+        for c in range(4):
+            cols[c] = cols[c] + coef_ref[0, (1 + li) * 4 + c] * r
+    return q, cols
+
+
+def _shrinking_footprint(params_ref, box_min, box_max):
+    """Scalar predicate: the volume's image footprint provably shrinks
+    front-to-back (camera x/y over the box, in front of it), so a pixel
+    uncovered now is uncovered for all later planes."""
+    xlo, ylo, zlo = box_min
+    xhi, yhi, zhi = box_max
+    ox = params_ref[0, 0]
+    oy = params_ref[0, 1]
+    oz = params_ref[0, 2]
+    return (
+        (ox >= xlo) & (ox <= xhi) & (oy >= ylo) & (oy <= yhi) & (oz > zhi)
+    )
+
+
 def _make_kernel(
     H: int, W: int, NY: int, NX: int, n_planes: int, n_lut: int,
     focal: float, box_min, box_max, tstep: float, threshold: float,
@@ -102,7 +161,7 @@ def _make_kernel(
     spacing = (zhi - zlo) / n_planes
     n_chunks = n_planes // pchunk
 
-    def kernel(params_ref, zs_ref, lut_ref, planes_ref, out_ref):
+    def kernel(params_ref, zs_ref, coef_ref, planes_ref, out_ref, flag_ref):
         si = pl.program_id(0)
         k = pl.program_id(1)
         ox = params_ref[0, 0]
@@ -116,79 +175,124 @@ def _make_kernel(
         @pl.when(k == 0)
         def _init():
             out_ref[...] = jnp.zeros((4, STRIP, W), dtype=jnp.float32)
+            flag_ref[0] = 0
 
-        py = (si * STRIP + jax.lax.broadcasted_iota(
-            jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
-        px = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
-        u_row = (px / W) * 2.0 - 1.0  # (1, W)
-        v_col = (py / H) * 2.0 - 1.0  # (STRIP, 1)
-        norm = jnp.sqrt(u_row * u_row + v_col * v_col + focal * focal)
-        dz = -focal / norm  # (STRIP, W)
-        if length_correction:
-            alpha_base = density * spacing / (jnp.abs(dz) * tstep)
-        else:
-            alpha_base = jnp.full((STRIP, W), density, dtype=jnp.float32)
+        @pl.when(flag_ref[0] == 0)
+        def _body():
+            py = (si * STRIP + jax.lax.broadcasted_iota(
+                jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
+            px = jax.lax.broadcasted_iota(
+                jnp.int32, (1, W), 1).astype(jnp.float32)
+            u_row = (px / W) * 2.0 - 1.0  # (1, W)
+            v_col = (py / H) * 2.0 - 1.0  # (STRIP, 1)
+            norm = jnp.sqrt(u_row * u_row + v_col * v_col + focal * focal)
+            dz = -focal / norm  # (STRIP, W)
+            if length_correction:
+                alpha_base = density * spacing / (jnp.abs(dz) * tstep)
+            else:
+                alpha_base = jnp.full((STRIP, W), density, dtype=jnp.float32)
 
-        acc_r = out_ref[0]
-        acc_g = out_ref[1]
-        acc_b = out_ref[2]
-        acc_a = out_ref[3]
-        # unrolled over the plane block: amortizes per-grid-step overhead
-        # (weight/constant rebuilds, DMA bookkeeping) over pchunk planes
-        for i in range(pchunk):
-            z = zs_ref[0, k * pchunk + i]
-            x_at = ox + (z - oz) * (u_row[0, :] / (-focal))  # (W,)
-            y_at = oy + (z - oz) * (v_col[:, 0] / (-focal))  # (STRIP,)
-            wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
-            wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)
-            plane = planes_ref[i]  # (NY, NX)
-            tmp = jnp.dot(
-                wy.astype(mm_dtype), plane.astype(mm_dtype),
-                preferred_element_type=jnp.float32,
-            )  # (STRIP, NX)
-            res = jax.lax.dot_general(
-                tmp.astype(mm_dtype), wx.astype(mm_dtype),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (STRIP, W)
+            acc_r = out_ref[0]
+            acc_g = out_ref[1]
+            acc_b = out_ref[2]
+            acc_a = out_ref[3]
+            covered = None
+            # unrolled over the plane block: amortizes per-grid-step overhead
+            # (weight/constant rebuilds, DMA bookkeeping) over pchunk planes
+            for i in range(pchunk):
+                z = zs_ref[0, k * pchunk + i]
+                x_at = ox + (z - oz) * (u_row[0, :] / (-focal))  # (W,)
+                y_at = oy + (z - oz) * (v_col[:, 0] / (-focal))  # (STRIP,)
+                wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
+                wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)
+                plane = planes_ref[i]  # (NY, NX)
+                tmp = jnp.dot(
+                    wy.astype(mm_dtype), plane.astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
+                )  # (STRIP, NX)
+                res = jax.lax.dot_general(
+                    tmp.astype(mm_dtype), wx.astype(mm_dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (STRIP, W)
 
-            # transfer function: tent-basis FMA over the LUT
-            qt = jnp.clip(
-                (res - tf_off) * tf_scale * n_lut - 0.5, 0.0, n_lut - 1.0
+                _, cols = _tf_relu_forward(
+                    res, coef_ref, n_lut, tf_off, tf_scale
+                )
+
+                # t > 0 <=> z < oz since dz < 0 everywhere (looking down -z);
+                # per-axis coverage is the in-box predicate (tent rows sum to 1)
+                in_front = (z < oz).astype(jnp.float32)
+                covered = inbox_x[None, :] * inbox_y[:, None] * in_front
+                a = jnp.minimum(cols[3] * alpha_base, 1.0) * covered
+                live = acc_a <= threshold
+                trans = jnp.where(live, 1.0 - acc_a, 0.0)
+                at = a * trans
+                acc_r += cols[0] * at
+                acc_g += cols[1] * at
+                acc_b += cols[2] * at
+                acc_a = acc_a + at
+            out_ref[0] = acc_r
+            out_ref[1] = acc_g
+            out_ref[2] = acc_b
+            out_ref[3] = acc_a
+            # strip-level early termination: every ray past the threshold or
+            # permanently outside the (shrinking) footprint
+            shrink = _shrinking_footprint(
+                params_ref, box_min, box_max
+            ).astype(jnp.float32)
+            done = jnp.maximum(
+                (acc_a > threshold).astype(jnp.float32),
+                shrink * (1.0 - covered),
             )
-            col_r = jnp.zeros_like(res)
-            col_g = jnp.zeros_like(res)
-            col_b = jnp.zeros_like(res)
-            col_a = jnp.zeros_like(res)
-            for li in range(n_lut):
-                wl = jnp.maximum(0.0, 1.0 - jnp.abs(qt - li))
-                col_r += wl * lut_ref[0, li * 4 + 0]
-                col_g += wl * lut_ref[0, li * 4 + 1]
-                col_b += wl * lut_ref[0, li * 4 + 2]
-                col_a += wl * lut_ref[0, li * 4 + 3]
-
-            # t > 0 <=> z < oz since dz < 0 everywhere (looking down -z);
-            # per-axis coverage is the in-box predicate (tent rows sum to 1)
-            in_front = (z < oz).astype(jnp.float32)
-            covered = inbox_x[None, :] * inbox_y[:, None] * in_front
-            a = jnp.minimum(col_a * alpha_base, 1.0) * covered
-            live = acc_a <= threshold
-            trans = jnp.where(live, 1.0 - acc_a, 0.0)
-            at = a * trans
-            acc_r += col_r * at
-            acc_g += col_g * at
-            acc_b += col_b * at
-            acc_a = acc_a + at
-        out_ref[0] = acc_r
-        out_ref[1] = acc_g
-        out_ref[2] = acc_b
-        out_ref[3] = acc_a
+            flag_ref[0] = (jnp.min(done) > 0.5).astype(jnp.int32)
 
         @pl.when(k == n_chunks - 1)
         def _finish():
             out_ref[...] = out_ref[...] * brightness
 
     return kernel
+
+
+def _preblend_planes(volume, n_planes, box_min, box_max):
+    """Front-to-back plane stack via one CUDA-model z-resample matmul."""
+    nz, ny, nx = volume.shape
+    zlo, zhi = box_min[2], box_max[2]
+    spacing = (zhi - zlo) / n_planes
+    zs = (zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)).astype(
+        np.float32
+    )[::-1]
+    zf_all = (zs - zlo) / (zhi - zlo) * nz - 0.5
+    iz0 = np.clip(np.floor(zf_all).astype(np.int64), 0, nz - 1)
+    az = (zf_all - np.floor(zf_all)).astype(np.float32)
+    if np.all(az < 1e-6):
+        return volume[jnp.asarray(iz0)], zs  # pure (reversed) selection
+    iz1 = np.clip(iz0 + 1, 0, nz - 1)
+    wz = np.zeros((n_planes, nz), dtype=np.float32)
+    wz[np.arange(n_planes), iz0] += 1.0 - az
+    wz[np.arange(n_planes), iz1] += az
+    planes = jax.lax.dot_general(
+        jnp.asarray(wz), volume.reshape(nz, ny * nx),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(n_planes, ny, nx)
+    return planes, zs
+
+
+def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk):
+    """(in_specs, out_spec, scratch, grid) shared by forward and pass 1:
+    grid = (strips, chunks), strip-major, revisited output block."""
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    in_specs = [
+        smem((1, 8), lambda i, k: (0, 0)),
+        smem((1, n_planes), lambda i, k: (0, 0)),
+        smem((1, 4 * n_lut), lambda i, k: (0, 0)),
+        vmem((pchunk, NY, NX), lambda i, k: (k, 0, 0)),
+    ]
+    out_spec = vmem((4, STRIP, W), lambda i, k: (0, i, 0))
+    scratch = [pltpu.SMEM((1,), jnp.int32)]
+    grid = (H // STRIP, n_planes // pchunk)
+    return in_specs, out_spec, scratch, grid
 
 
 @functools.partial(
@@ -223,40 +327,26 @@ def pallas_slice_render(
     pchunk = plane_chunk
     while n_planes % pchunk:
         pchunk -= 1
-    (xlo, ylo, zlo) = march.box_min
-    (xhi, yhi, zhi) = march.box_max
 
-    # plane schedule + pre-blend (same as the XLA path)
-    spacing = (zhi - zlo) / n_planes
-    zs = (zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)).astype(
-        np.float32
-    )[::-1].copy()
-    zf_all = (zs - zlo) / (zhi - zlo) * nz - 0.5
-    iz0 = np.clip(np.floor(zf_all).astype(np.int64), 0, nz - 1)
-    az = (zf_all - np.floor(zf_all)).astype(np.float32)
-    if np.all(az < 1e-6):
-        planes_all = volume[jnp.asarray(iz0)]  # pure (reversed) selection
-    else:
-        iz1 = np.clip(iz0 + 1, 0, nz - 1)
-        wz = np.zeros((n_planes, nz), dtype=np.float32)
-        wz[np.arange(n_planes), iz0] += 1.0 - az
-        wz[np.arange(n_planes), iz1] += az
-        planes_all = jax.lax.dot_general(
-            jnp.asarray(wz), volume.reshape(nz, ny * nx),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        ).reshape(n_planes, ny, nx)
+    planes_all, zs = _preblend_planes(
+        volume, n_planes, march.box_min, march.box_max
+    )
 
     origin = jnp.asarray(origin, dtype=jnp.float32)
     params = jnp.stack(
         [
             origin[0], origin[1], origin[2],
-            jnp.float32(density), jnp.float32(brightness),
-            jnp.float32(transfer_offset), jnp.float32(transfer_scale),
+            jnp.asarray(density, jnp.float32),
+            jnp.asarray(brightness, jnp.float32),
+            jnp.asarray(transfer_offset, jnp.float32),
+            jnp.asarray(transfer_scale, jnp.float32),
             jnp.float32(0.0),
         ]
     )[None, :]
     n_lut = tf_lut.shape[0]
-    lut_flat = jnp.asarray(tf_lut, dtype=jnp.float32).reshape(1, -1)
+    coef_flat = tf_relu_coefficients(
+        jnp.asarray(tf_lut, dtype=jnp.float32)
+    ).reshape(1, -1)
     zs_in = jnp.asarray(zs)[None, :]
 
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -265,29 +355,19 @@ def pallas_slice_render(
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, mm_dtype, pchunk,
     )
+    in_specs, out_spec, scratch, grid = _sweep_specs(
+        height, width, ny, nx, n_planes, n_lut, pchunk
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
-        grid=(height // STRIP, n_planes // pchunk),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i, k: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, n_planes), lambda i, k: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 4 * n_lut), lambda i, k: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (pchunk, ny, nx), lambda i, k: (k, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (4, STRIP, width), lambda i, k: (0, i, 0), memory_space=pltpu.VMEM
-        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(params, zs_in, lut_flat, planes_all)
+    )(params, zs_in, coef_flat, planes_all)
     return jnp.transpose(out, (1, 2, 0))

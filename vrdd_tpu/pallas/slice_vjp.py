@@ -18,20 +18,25 @@ per-plane premultiplied colors ``c_k = (col_rgb * a_k, a_k)``, freeze mask
     S_k = Ptot - Ppre_k,  P_k = m_k (g . c_k) T_{k-1}
 
 which needs one forward-order sweep for ``Ptot`` (pass 1) and one for the
-cotangents (pass 2). Three Pallas kernels:
+cotangents (pass 2). Three Pallas kernels, all plane-major
+(grid = (chunks, strips)) so the volume streams from HBM exactly once per
+pass, the x-resample weights are built once per chunk (they are
+strip-invariant), and strip-level early-termination flags skip all compute
+for saturated strips (exact: frozen rays contribute zero cotangent):
 
 - forward: vrdd_tpu/pallas/slice_kernel.py (brightness folded outside here so
   it stays differentiable),
 - pass 1: like the forward but carrying ``(T, Psum)`` per pixel in the
-  revisited output block; grid = (strips, chunks),
-- pass 2: grid = (chunks, strips) — PLANE-major, so the ``(NY, NX)``
-  plane-gradient output block is revisited consecutively across strips and
-  stays VMEM-resident; per-pixel ``(T, Ppre)`` lives in a full-image VMEM
-  scratch indexed by strip; the local transposes are two extra MXU matmuls
-  (``d_tmp = d_res @ Wx``, ``d_plane += Wy^T @ d_tmp``); LUT / density /
-  offset / scale gradients accumulate elementwise into VMEM scratch and are
-  cross-lane reduced exactly once, at the final grid step, into an SMEM
-  output.
+  resident (2, H, W) output block,
+- pass 2: the ``(NY, NX)`` plane-gradient output block is revisited
+  consecutively across strips and stays VMEM-resident; per-pixel
+  ``(T, Ppre)`` lives in a full-image VMEM scratch indexed by strip; the
+  local transposes are two extra MXU matmuls (``d_tmp = d_res @ Wx``,
+  ``d_plane += Wy^T @ d_tmp``); TF-coefficient / density / offset / scale
+  gradients accumulate elementwise into VMEM scratch, are cross-lane reduced
+  exactly once at the final grid step into an SMEM output, and the
+  relu-basis coefficient cotangent maps back to the LUT cotangent by the
+  transposed (static) basis matrix.
 
 Gradients flow to: volume (through the pre-blend matmul outside the kernel),
 TF LUT, density, brightness, transfer offset/scale — the same set as the XLA
@@ -54,8 +59,14 @@ from jax.experimental.pallas import tpu as pltpu
 from vrdd_tpu.utils.config import MarchConfig
 from vrdd_tpu.pallas.slice_kernel import (
     STRIP,
+    _make_kernel,
+    _preblend_planes,
+    _shrinking_footprint,
+    _sweep_specs,
     _tent_weights,
+    _tf_relu_forward,
     pallas_supported,
+    tf_relu_coefficients,
 )
 
 __all__ = ["pallas_slice_render_diff", "pallas_diff_supported"]
@@ -65,31 +76,7 @@ def pallas_diff_supported(volume_shape, width, height, n_planes) -> bool:
     return pallas_supported(volume_shape, width, height, n_planes)
 
 
-def _strip_rays(si, H: int, W: int, focal: float):
-    """Per-strip ray constants: u_row (1, W), v_col (STRIP, 1), |dz| (S, W)."""
-    py = (si * STRIP + jax.lax.broadcasted_iota(
-        jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
-    px = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
-    u_row = (px / W) * 2.0 - 1.0
-    v_col = (py / H) * 2.0 - 1.0
-    norm = jnp.sqrt(u_row * u_row + v_col * v_col + focal * focal)
-    abs_dz = focal / norm  # (STRIP, W); rays look down -z
-    return u_row, v_col, abs_dz
-
-
-def _decode_plane(z, plane, box, origin_xyz, u_row, v_col,
-                  focal, NY, NX, mm_dtype):
-    """One plane's resample + TF: returns (res, col4, covered, wx, wy).
-
-    ``res`` (S, W) scalar field on the strip, ``col4`` list of 4 (S, W) TF
-    channels, ``covered`` (S, W) f32 coverage mask (in-box x in-front).
-    """
-    (xlo, ylo, zlo), (xhi, yhi, zhi) = box
-    ox, oy, oz = origin_xyz
-    x_at = ox + (z - oz) * (u_row[0, :] / (-focal))  # (W,)
-    y_at = oy + (z - oz) * (v_col[:, 0] / (-focal))  # (STRIP,)
-    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
-    wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)
+def _resample_plane(plane, wx, wy, mm_dtype):
     tmp = jnp.dot(
         wy.astype(mm_dtype), plane.astype(mm_dtype),
         preferred_element_type=jnp.float32,
@@ -99,34 +86,58 @@ def _decode_plane(z, plane, box, origin_xyz, u_row, v_col,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (S, W)
+    return res
+
+
+def _build_wx(z, params_ref, W, NX, focal, xlo, xhi):
+    """x-resample weights for one plane — identical for every strip."""
+    ox = params_ref[0, 0]
+    oz = params_ref[0, 2]
+    px = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    u = (px[0, :] / W) * 2.0 - 1.0  # (W,)
+    x_at = ox + (z - oz) * (u / (-focal))
+    return _tent_weights(x_at, NX, xlo, xhi)
+
+
+def _coverage(z, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
+              with_wx):
+    """(covered (S, W) f32, wx or None, wy (S, NY), |dz| (S, W))."""
+    xlo, ylo, zlo = box_min
+    xhi, yhi, zhi = box_max
+    oy = params_ref[0, 1]
+    oz = params_ref[0, 2]
+    py = (si * STRIP + jax.lax.broadcasted_iota(
+        jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
+    px = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
+    u_row = (px / W) * 2.0 - 1.0
+    v_col = (py / H) * 2.0 - 1.0
+    norm = jnp.sqrt(u_row * u_row + v_col * v_col + focal * focal)
+    abs_dz = focal / norm
+    y_at = oy + (z - oz) * (v_col[:, 0] / (-focal))
+    wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)
+    if with_wx:
+        wx, inbox_x = _build_wx(z, params_ref, W, NX, focal, xlo, xhi)
+    else:
+        wx = None
+        ox = params_ref[0, 0]
+        x01 = (ox + (z - oz) * (u_row[0, :] / (-focal)) - xlo) / (xhi - xlo)
+        inbox_x = ((x01 >= 0.0) & (x01 <= 1.0)).astype(jnp.float32)
     in_front = (z < oz).astype(jnp.float32)
     covered = inbox_x[None, :] * inbox_y[:, None] * in_front
-    return res, covered, wx, wy
-
-
-def _tf_forward(res, lut_ref, n_lut, tf_off, tf_scale):
-    """TF tent-basis FMA: returns (q, [col_r, col_g, col_b, col_a])."""
-    q = jnp.clip((res - tf_off) * tf_scale * n_lut - 0.5, 0.0, n_lut - 1.0)
-    cols = [jnp.zeros_like(res) for _ in range(4)]
-    for li in range(n_lut):
-        wl = jnp.maximum(0.0, 1.0 - jnp.abs(q - li))
-        for c in range(4):
-            cols[c] = cols[c] + wl * lut_ref[0, li * 4 + c]
-    return q, cols
+    return covered, wx, wy, abs_dz
 
 
 def _make_pass1_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
                        tstep, threshold, length_correction, mm_dtype, pchunk):
-    (xlo, ylo, zlo), (xhi, yhi, zhi) = box_min, box_max
-    spacing = (zhi - zlo) / n_planes
+    """Strip-major (like the forward): (T, Psum) live in the revisited
+    (2, STRIP, W) output block."""
+    spacing = (box_max[2] - box_min[2]) / n_planes
     n_chunks = n_planes // pchunk
 
-    def kernel(params_ref, zs_ref, lut_ref, planes_ref, g_ref, tp_ref):
+    def kernel(params_ref, zs_ref, coef_ref, planes_ref, g_ref, tp_ref,
+               flag_ref):
         si = pl.program_id(0)
         k = pl.program_id(1)
-        ox = params_ref[0, 0]
-        oy = params_ref[0, 1]
-        oz = params_ref[0, 2]
         density = params_ref[0, 3]
         tf_off = params_ref[0, 5]
         tf_scale = params_ref[0, 6]
@@ -135,197 +146,236 @@ def _make_pass1_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         def _init():
             tp_ref[0] = jnp.ones((STRIP, W), dtype=jnp.float32)
             tp_ref[1] = jnp.zeros((STRIP, W), dtype=jnp.float32)
+            flag_ref[0] = 0
 
-        u_row, v_col, abs_dz = _strip_rays(si, H, W, focal)
-        if length_correction:
-            ab = spacing / (abs_dz * tstep)  # alpha base sans density
-        else:
-            ab = jnp.ones((STRIP, W), dtype=jnp.float32)
-
-        T = tp_ref[0]
-        Psum = tp_ref[1]
-        for i in range(pchunk):
-            z = zs_ref[0, k * pchunk + i]
-            res, covered, _, _ = _decode_plane(
-                z, planes_ref[i], (box_min, box_max),
-                (ox, oy, oz), u_row, v_col, focal, NY, NX, mm_dtype,
+        @pl.when(flag_ref[0] == 0)
+        def _body():
+            T = tp_ref[0]
+            Psum = tp_ref[1]
+            covered = None
+            for i in range(pchunk):
+                z = zs_ref[0, k * pchunk + i]
+                covered, wx, wy, abs_dz = _coverage(
+                    z, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
+                    with_wx=True,
+                )
+                if length_correction:
+                    ab = spacing / (abs_dz * tstep)
+                else:
+                    ab = jnp.ones((STRIP, W), dtype=jnp.float32)
+                res = _resample_plane(planes_ref[i], wx, wy, mm_dtype)
+                _, cols = _tf_relu_forward(res, coef_ref, n_lut, tf_off,
+                                           tf_scale)
+                a = jnp.minimum(cols[3] * density * ab, 1.0) * covered
+                m = (T >= 1.0 - threshold).astype(jnp.float32)
+                mT = m * T
+                gdotc = (
+                    g_ref[0] * cols[0] + g_ref[1] * cols[1]
+                    + g_ref[2] * cols[2] + g_ref[3]
+                ) * a
+                Psum = Psum + gdotc * mT
+                T = T - mT * a  # T * (1 - m a)
+            tp_ref[0] = T
+            tp_ref[1] = Psum
+            shrink = _shrinking_footprint(
+                params_ref, box_min, box_max
+            ).astype(jnp.float32)
+            done = jnp.maximum(
+                (T < 1.0 - threshold).astype(jnp.float32),
+                shrink * (1.0 - covered),
             )
-            _, cols = _tf_forward(res, lut_ref, n_lut, tf_off, tf_scale)
-            a = jnp.minimum(cols[3] * density * ab, 1.0) * covered
-            m = (T >= 1.0 - threshold).astype(jnp.float32)
-            mT = m * T
-            gdotc = (
-                g_ref[0] * cols[0] * a + g_ref[1] * cols[1] * a
-                + g_ref[2] * cols[2] * a + g_ref[3] * a
-            )
-            Psum = Psum + gdotc * mT
-            T = T - mT * a  # T * (1 - m a)
-        tp_ref[0] = T
-        tp_ref[1] = Psum
+            flag_ref[0] = (jnp.min(done) > 0.5).astype(jnp.int32)
 
     return kernel, n_chunks
 
 
 def _make_pass2_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
                        tstep, threshold, length_correction, mm_dtype, pchunk):
-    (xlo, ylo, zlo), (xhi, yhi, zhi) = box_min, box_max
+    """Plane-major (grid = (chunks, strips)): the (pchunk, NY, NX) plane-grad
+    output block is revisited consecutively across strips; x-weights are
+    hoisted to scratch (strip-invariant); LUT gradients accumulate in the
+    TENT basis directly (the relu-coefficient transpose is ill-conditioned:
+    its second-difference map cancels large ``sum q * d_col`` terms)."""
+    xlo, ylo, zlo = box_min
+    xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
     n_chunks = n_planes // pchunk
     n_strips = H // STRIP
 
-    def kernel(params_ref, zs_ref, lut_ref, planes_ref, g_ref, ptot_ref,
-               dplanes_ref, small_ref, state_ref, lutg_ref, sg_ref):
+    def kernel(params_ref, zs_ref, coef_ref, planes_ref, g_ref,
+               ptot_ref, dplanes_ref, small_ref, state_ref, cg_ref, sg_ref,
+               wx_ref, flag_ref):
         k = pl.program_id(0)
         si = pl.program_id(1)
-        ox = params_ref[0, 0]
-        oy = params_ref[0, 1]
-        oz = params_ref[0, 2]
         density = params_ref[0, 3]
         tf_off = params_ref[0, 5]
         tf_scale = params_ref[0, 6]
+        row0 = si * STRIP
 
         first = jnp.logical_and(k == 0, si == 0)
 
         @pl.when(first)
         def _init_acc():
-            lutg_ref[...] = jnp.zeros((4 * n_lut, STRIP, W), dtype=jnp.float32)
+            cg_ref[...] = jnp.zeros((4 * n_lut, STRIP, W), dtype=jnp.float32)
             sg_ref[...] = jnp.zeros((3, STRIP, W), dtype=jnp.float32)
+            for j in range(4 * n_lut + 3):
+                small_ref[0, j] = 0.0
 
         @pl.when(k == 0)
         def _init_state():
-            state_ref[0, pl.ds(si * STRIP, STRIP), :] = jnp.ones(
+            state_ref[0, pl.ds(row0, STRIP), :] = jnp.ones(
                 (STRIP, W), dtype=jnp.float32
             )
-            state_ref[1, pl.ds(si * STRIP, STRIP), :] = jnp.zeros(
+            state_ref[1, pl.ds(row0, STRIP), :] = jnp.zeros(
                 (STRIP, W), dtype=jnp.float32
             )
+            flag_ref[si] = 0
 
-        u_row, v_col, abs_dz = _strip_rays(si, H, W, focal)
-        if length_correction:
-            ab = spacing / (abs_dz * tstep)
-        else:
-            ab = jnp.ones((STRIP, W), dtype=jnp.float32)
+        @pl.when(si == 0)
+        def _cache_wx():
+            for i in range(pchunk):
+                z = zs_ref[0, k * pchunk + i]
+                wx, _ = _build_wx(z, params_ref, W, NX, focal, xlo, xhi)
+                wx_ref[i] = wx
 
-        T = state_ref[0, pl.ds(si * STRIP, STRIP), :]
-        Ppre = state_ref[1, pl.ds(si * STRIP, STRIP), :]
-        Ptot = ptot_ref[...]
-        g0 = g_ref[0]
-        g1 = g_ref[1]
-        g2 = g_ref[2]
-        g3 = g_ref[3]
+        @pl.when(si == 0)
+        def _init_dplanes():
+            dplanes_ref[...] = jnp.zeros((pchunk, NY, NX), dtype=jnp.float32)
 
-        lutg_acc = [None] * (4 * n_lut)
-        dens_acc = None
-        toff_acc = None
-        tscl_acc = None
+        @pl.when(flag_ref[si] == 0)
+        def _body():
+            T = state_ref[0, pl.ds(row0, STRIP), :]
+            Ppre = state_ref[1, pl.ds(row0, STRIP), :]
+            Ptot = ptot_ref[...]
+            g0 = g_ref[0]
+            g1 = g_ref[1]
+            g2 = g_ref[2]
+            g3 = g_ref[3]
 
-        def _add(acc, v):
-            return v if acc is None else acc + v
+            cg_acc = [None] * (4 * n_lut)
+            dens_acc = None
+            toff_acc = None
+            tscl_acc = None
 
-        for i in range(pchunk):
-            z = zs_ref[0, k * pchunk + i]
-            res, covered, wx, wy = _decode_plane(
-                z, planes_ref[i], (box_min, box_max),
-                (ox, oy, oz), u_row, v_col, focal, NY, NX, mm_dtype,
-            )
-            q, cols = _tf_forward(res, lut_ref, n_lut, tf_off, tf_scale)
-            raw = cols[3] * density * ab
-            a = jnp.minimum(raw, 1.0) * covered
-            m = (T >= 1.0 - threshold).astype(jnp.float32)
-            mT = m * T
+            def _add(acc, v):
+                return v if acc is None else acc + v
 
-            # composited-chain cotangents (see module docstring)
-            gdotc = (g0 * cols[0] + g1 * cols[1] + g2 * cols[2] + g3) * a
-            P_k = gdotc * mT
-            Ppre = Ppre + P_k
-            S_k = Ptot - Ppre
-            one_minus_a = 1.0 - a
-            chain = jnp.where(
-                jnp.abs(one_minus_a) > 1e-6, S_k / one_minus_a, 0.0
-            )
-            d_cr = mT * g0
-            d_cg = mT * g1
-            d_cb = mT * g2
-            d_ca = mT * g3 - m * chain
-
-            # transpose through (rgb, a) = (col_rgb * a, a)
-            d_col_r = d_cr * a
-            d_col_g = d_cg * a
-            d_col_b = d_cb * a
-            d_a = d_ca + d_cr * cols[0] + d_cg * cols[1] + d_cb * cols[2]
-            # a = min(col_a * density * ab, 1) * covered
-            openm = covered * (raw < 1.0).astype(jnp.float32)
-            d_open = d_a * openm
-            d_col_a = d_open * density * ab
-            dens_acc = _add(dens_acc, d_open * cols[3] * ab)
-
-            # transpose through the TF tent FMA; accumulate LUT grads
-            d_cols = (d_col_r, d_col_g, d_col_b, d_col_a)
-            dq = None
-            for li in range(n_lut):
-                dist = q - li
-                wl = jnp.maximum(0.0, 1.0 - jnp.abs(dist))
-                gl = (
-                    d_col_r * lut_ref[0, li * 4 + 0]
-                    + d_col_g * lut_ref[0, li * 4 + 1]
-                    + d_col_b * lut_ref[0, li * 4 + 2]
-                    + d_col_a * lut_ref[0, li * 4 + 3]
+            for i in range(pchunk):
+                z = zs_ref[0, k * pchunk + i]
+                covered, _, wy, abs_dz = _coverage(
+                    z, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
+                    with_wx=False,
                 )
-                dwl = jnp.where(
-                    jnp.abs(dist) < 1.0, -jnp.sign(dist), 0.0
+                if length_correction:
+                    ab = spacing / (abs_dz * tstep)
+                else:
+                    ab = jnp.ones((STRIP, W), dtype=jnp.float32)
+                res = _resample_plane(planes_ref[i], wx_ref[i], wy, mm_dtype)
+                q, cols = _tf_relu_forward(res, coef_ref, n_lut, tf_off,
+                                           tf_scale)
+                raw = cols[3] * density * ab
+                a = jnp.minimum(raw, 1.0) * covered
+                m = (T >= 1.0 - threshold).astype(jnp.float32)
+                mT = m * T
+
+                # composited-chain cotangents (see module docstring)
+                gdotc = (g0 * cols[0] + g1 * cols[1] + g2 * cols[2] + g3) * a
+                P_k = gdotc * mT
+                Ppre = Ppre + P_k
+                S_k = Ptot - Ppre
+                one_minus_a = 1.0 - a
+                chain = jnp.where(
+                    jnp.abs(one_minus_a) > 1e-6, S_k / one_minus_a, 0.0
                 )
-                dq = _add(dq, gl * dwl)
-                for c in range(4):
-                    lutg_acc[li * 4 + c] = _add(
-                        lutg_acc[li * 4 + c], wl * d_cols[c]
-                    )
-            qraw = (res - tf_off) * tf_scale * n_lut - 0.5
-            inm = ((qraw > 0.0) & (qraw < n_lut - 1.0)).astype(jnp.float32)
-            dq_in = dq * inm
-            d_res = dq_in * (tf_scale * n_lut)
-            toff_acc = _add(toff_acc, -d_res)
-            tscl_acc = _add(tscl_acc, dq_in * (res - tf_off) * n_lut)
+                d_cr = mT * g0
+                d_cg = mT * g1
+                d_cb = mT * g2
+                d_ca = mT * g3 - m * chain
 
-            # transpose through the separable resample: two MXU matmuls
-            d_tmp = jnp.dot(
-                d_res.astype(mm_dtype), wx.astype(mm_dtype),
-                preferred_element_type=jnp.float32,
-            )  # (S, NX)
-            d_plane = jax.lax.dot_general(
-                wy.astype(mm_dtype), d_tmp.astype(mm_dtype),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (NY, NX)
+                # transpose through (rgb, a) = (col_rgb * a, a)
+                d_col_r = d_cr * a
+                d_col_g = d_cg * a
+                d_col_b = d_cb * a
+                d_a = d_ca + d_cr * cols[0] + d_cg * cols[1] + d_cb * cols[2]
+                # a = min(col_a * density * ab, 1) * covered
+                openm = covered * (raw < 1.0).astype(jnp.float32)
+                d_open = d_a * openm
+                d_col_a = d_open * density * ab
+                dens_acc = _add(dens_acc, d_open * cols[3] * ab)
 
-            @pl.when(si == 0)
-            def _store():
-                dplanes_ref[i] = d_plane
+                # transpose through the TF: LUT cotangent in the TENT basis
+                # (well-conditioned: localized weights, no cancellation);
+                # dq from the relu-basis slope (c_0 + sum_l c_l [q > l] is
+                # exactly the local LUT slope, equal a.e. to the tent-form
+                # derivative the XLA oracle uses)
+                d_cols = (d_col_r, d_col_g, d_col_b, d_col_a)
+                dq = (
+                    d_col_r * coef_ref[0, 4 + 0]
+                    + d_col_g * coef_ref[0, 4 + 1]
+                    + d_col_b * coef_ref[0, 4 + 2]
+                    + d_col_a * coef_ref[0, 4 + 3]
+                )
+                for li in range(n_lut):
+                    wl = jnp.maximum(0.0, 1.0 - jnp.abs(q - li))
+                    for c in range(4):
+                        cg_acc[li * 4 + c] = _add(
+                            cg_acc[li * 4 + c], wl * d_cols[c]
+                        )
+                    if 1 <= li <= n_lut - 2:
+                        step = (q > li).astype(jnp.float32)
+                        gl = (
+                            d_col_r * coef_ref[0, (1 + li) * 4 + 0]
+                            + d_col_g * coef_ref[0, (1 + li) * 4 + 1]
+                            + d_col_b * coef_ref[0, (1 + li) * 4 + 2]
+                            + d_col_a * coef_ref[0, (1 + li) * 4 + 3]
+                        )
+                        dq = dq + gl * step
+                qraw = (res - tf_off) * tf_scale * n_lut - 0.5
+                inm = ((qraw > 0.0) & (qraw < n_lut - 1.0)).astype(
+                    jnp.float32
+                )
+                dq_in = dq * inm
+                d_res = dq_in * (tf_scale * n_lut)
+                toff_acc = _add(toff_acc, -d_res)
+                tscl_acc = _add(tscl_acc, dq_in * (res - tf_off) * n_lut)
 
-            @pl.when(si != 0)
-            def _accum():
+                # transpose through the separable resample: two MXU matmuls
+                d_tmp = jnp.dot(
+                    d_res.astype(mm_dtype), wx_ref[i].astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
+                )  # (S, NX)
+                d_plane = jax.lax.dot_general(
+                    wy.astype(mm_dtype), d_tmp.astype(mm_dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (NY, NX)
                 dplanes_ref[i] += d_plane
 
-            T = T - mT * a
+                T = T - mT * a
 
-        state_ref[0, pl.ds(si * STRIP, STRIP), :] = T
-        state_ref[1, pl.ds(si * STRIP, STRIP), :] = Ppre
-        for j in range(4 * n_lut):
-            lutg_ref[j] += lutg_acc[j]
-        sg_ref[0] += dens_acc
-        sg_ref[1] += toff_acc
-        sg_ref[2] += tscl_acc
-
-        @pl.when(first)
-        def _init_small():
-            for j in range(4 * n_lut + 3):
-                small_ref[0, j] = 0.0
+            state_ref[0, pl.ds(row0, STRIP), :] = T
+            state_ref[1, pl.ds(row0, STRIP), :] = Ppre
+            for j in range(4 * n_lut):
+                if cg_acc[j] is not None:
+                    cg_ref[j] += cg_acc[j]
+            sg_ref[0] += dens_acc
+            sg_ref[1] += toff_acc
+            sg_ref[2] += tscl_acc
+            shrink = _shrinking_footprint(
+                params_ref, box_min, box_max
+            ).astype(jnp.float32)
+            done = jnp.maximum(
+                (T < 1.0 - threshold).astype(jnp.float32),
+                shrink * (1.0 - covered),
+            )
+            flag_ref[si] = (jnp.min(done) > 0.5).astype(jnp.int32)
 
         last = jnp.logical_and(k == n_chunks - 1, si == n_strips - 1)
 
         @pl.when(last)
         def _finish():
             for j in range(4 * n_lut):
-                small_ref[0, j] = jnp.sum(lutg_ref[j])
+                small_ref[0, j] = jnp.sum(cg_ref[j])
             small_ref[0, 4 * n_lut + 0] = jnp.sum(sg_ref[0])
             small_ref[0, 4 * n_lut + 1] = jnp.sum(sg_ref[1])
             small_ref[0, 4 * n_lut + 2] = jnp.sum(sg_ref[2])
@@ -349,11 +399,9 @@ def _pack_params(origin, density, toff, tscl):
 def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
                      tstep, threshold, length_correction, precision, pchunk):
     """Build the custom-VJP sweep for one static configuration."""
-    from vrdd_tpu.pallas.slice_kernel import _make_kernel as _make_fwd_kernel
-
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
-    fwd_kernel = _make_fwd_kernel(
+    fwd_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
     )
@@ -368,86 +416,19 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-
-    def _fwd_call(planes_all, params, zs_in, lut_flat):
-        out = pl.pallas_call(
-            fwd_kernel,
-            out_shape=jax.ShapeDtypeStruct((4, H, W), jnp.float32),
-            grid=(H // STRIP, n_chunks),
-            in_specs=[
-                smem((1, 8), lambda i, k: (0, 0)),
-                smem((1, n_planes), lambda i, k: (0, 0)),
-                smem((1, 4 * n_lut), lambda i, k: (0, 0)),
-                vmem((pchunk, NY, NX), lambda i, k: (k, 0, 0)),
-            ],
-            out_specs=vmem((4, STRIP, W), lambda i, k: (0, i, 0)),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-        )(params, zs_in, lut_flat, planes_all)
-        return jnp.transpose(out, (1, 2, 0))
-
-    def _bwd_call(planes_all, params, zs_in, lut_flat, g):
-        g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
-        tp = pl.pallas_call(
-            p1_kernel,
-            out_shape=jax.ShapeDtypeStruct((2, H, W), jnp.float32),
-            grid=(H // STRIP, n_chunks),
-            in_specs=[
-                smem((1, 8), lambda i, k: (0, 0)),
-                smem((1, n_planes), lambda i, k: (0, 0)),
-                smem((1, 4 * n_lut), lambda i, k: (0, 0)),
-                vmem((pchunk, NY, NX), lambda i, k: (k, 0, 0)),
-                vmem((4, STRIP, W), lambda i, k: (0, i, 0)),
-            ],
-            out_specs=vmem((2, STRIP, W), lambda i, k: (0, i, 0)),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary"),
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-        )(params, zs_in, lut_flat, planes_all, g4)
-        ptot = tp[1]
-
-        d_planes, small = pl.pallas_call(
-            p2_kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((n_planes, NY, NX), jnp.float32),
-                jax.ShapeDtypeStruct((1, 4 * n_lut + 3), jnp.float32),
-            ),
-            grid=(n_chunks, n_strips),
-            in_specs=[
-                smem((1, 8), lambda k, s: (0, 0)),
-                smem((1, n_planes), lambda k, s: (0, 0)),
-                smem((1, 4 * n_lut), lambda k, s: (0, 0)),
-                vmem((pchunk, NY, NX), lambda k, s: (k, 0, 0)),
-                vmem((4, STRIP, W), lambda k, s: (0, s, 0)),
-                vmem((STRIP, W), lambda k, s: (s, 0)),
-            ],
-            out_specs=(
-                vmem((pchunk, NY, NX), lambda k, s: (k, 0, 0)),
-                smem((1, 4 * n_lut + 3), lambda k, s: (0, 0)),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, H, W), jnp.float32),
-                pltpu.VMEM((4 * n_lut, STRIP, W), jnp.float32),
-                pltpu.VMEM((3, STRIP, W), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary"),
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-        )(params, zs_in, lut_flat, planes_all, g4, ptot)
-        g_lut = small[0, : 4 * n_lut].reshape(n_lut, 4)
-        g_density = small[0, 4 * n_lut + 0]
-        g_toff = small[0, 4 * n_lut + 1]
-        g_tscl = small[0, 4 * n_lut + 2]
-        return d_planes, g_lut, g_density, g_toff, g_tscl
-
-    @jax.custom_vjp
-    def sweep(planes_all, origin, lut, density, toff, tscl):
-        params = _pack_params(origin, density, toff, tscl)
-        return _fwd_call(planes_all, params, _zs_in(), lut.reshape(1, -1))
+    in_specs, out_spec, scratch, grid = _sweep_specs(
+        H, W, NY, NX, n_planes, n_lut, pchunk
+    )
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    # pass 2 carries the (2, H, W) state + coeff-grad scratch on top of the
+    # double-buffered plane and plane-grad blocks; give it the full headroom
+    cparams_p2 = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=118 * 1024 * 1024,
+    )
 
     def _zs_in():
         spacing = (box_max[2] - box_min[2]) / n_planes
@@ -457,6 +438,75 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         ).astype(np.float32)[::-1].copy()
         return jnp.asarray(zs)[None, :]
 
+    def _fwd_call(planes_all, params, coef_flat):
+        out = pl.pallas_call(
+            fwd_kernel,
+            out_shape=jax.ShapeDtypeStruct((4, H, W), jnp.float32),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+        )(params, _zs_in(), coef_flat, planes_all)
+        return jnp.transpose(out, (1, 2, 0))
+
+    def _bwd_call(planes_all, params, coef_flat, g):
+        g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
+        # pass 1: strip-major like the forward; (T, Psum) in the revisited
+        # (2, STRIP, W) output block
+        tp = pl.pallas_call(
+            p1_kernel,
+            out_shape=jax.ShapeDtypeStruct((2, H, W), jnp.float32),
+            grid=grid,
+            in_specs=in_specs + [vmem((4, STRIP, W), lambda i, k: (0, i, 0))],
+            out_specs=vmem((2, STRIP, W), lambda i, k: (0, i, 0)),
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+        )(params, _zs_in(), coef_flat, planes_all, g4)
+        ptot = tp[1]
+
+        # pass 2: plane-major (grid = (chunks, strips))
+        in_specs_p2 = [
+            smem((1, 8), lambda k, s: (0, 0)),
+            smem((1, n_planes), lambda k, s: (0, 0)),
+            smem((1, 4 * n_lut), lambda k, s: (0, 0)),
+            vmem((pchunk, NY, NX), lambda k, s: (k, 0, 0)),
+            vmem((4, STRIP, W), lambda k, s: (0, s, 0)),
+            vmem((STRIP, W), lambda k, s: (s, 0)),
+        ]
+        d_planes, small = pl.pallas_call(
+            p2_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_planes, NY, NX), jnp.float32),
+                jax.ShapeDtypeStruct((1, 4 * n_lut + 3), jnp.float32),
+            ),
+            grid=(n_chunks, n_strips),
+            in_specs=in_specs_p2,
+            out_specs=(
+                vmem((pchunk, NY, NX), lambda k, s: (k, 0, 0)),
+                smem((1, 4 * n_lut + 3), lambda k, s: (0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, H, W), jnp.float32),
+                pltpu.VMEM((4 * n_lut, STRIP, W), jnp.float32),
+                pltpu.VMEM((3, STRIP, W), jnp.float32),
+                pltpu.VMEM((pchunk, W, NX), jnp.float32),
+                pltpu.SMEM((n_strips,), jnp.int32),
+            ],
+            compiler_params=cparams_p2,
+        )(params, _zs_in(), coef_flat, planes_all, g4, ptot)
+        g_lut = small[0, : 4 * n_lut].reshape(n_lut, 4)
+        g_density = small[0, 4 * n_lut + 0]
+        g_toff = small[0, 4 * n_lut + 1]
+        g_tscl = small[0, 4 * n_lut + 2]
+        return d_planes, g_lut, g_density, g_toff, g_tscl
+
+    @jax.custom_vjp
+    def sweep(planes_all, origin, lut, density, toff, tscl):
+        params = _pack_params(origin, density, toff, tscl)
+        coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
+        return _fwd_call(planes_all, params, coef_flat)
+
     def sweep_fwd(planes_all, origin, lut, density, toff, tscl):
         out = sweep(planes_all, origin, lut, density, toff, tscl)
         return out, (planes_all, origin, lut, density, toff, tscl)
@@ -464,8 +514,9 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
     def sweep_bwd(res, g):
         planes_all, origin, lut, density, toff, tscl = res
         params = _pack_params(origin, density, toff, tscl)
+        coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
         d_planes, g_lut, g_density, g_toff, g_tscl = _bwd_call(
-            planes_all, params, _zs_in(), lut.reshape(1, -1), g
+            planes_all, params, coef_flat, g
         )
         return (
             d_planes,
@@ -478,29 +529,6 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
 
     sweep.defvjp(sweep_fwd, sweep_bwd)
     return sweep
-
-
-def _preblend_planes(volume, n_planes, nz, box_min, box_max):
-    """Front-to-back plane stack via one CUDA-model z-resample matmul."""
-    zlo, zhi = box_min[2], box_max[2]
-    spacing = (zhi - zlo) / n_planes
-    zs = (zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)).astype(
-        np.float32
-    )[::-1]
-    zf_all = (zs - zlo) / (zhi - zlo) * nz - 0.5
-    iz0 = np.clip(np.floor(zf_all).astype(np.int64), 0, nz - 1)
-    az = (zf_all - np.floor(zf_all)).astype(np.float32)
-    ny, nx = volume.shape[1], volume.shape[2]
-    if np.all(az < 1e-6):
-        return volume[jnp.asarray(iz0)]
-    iz1 = np.clip(iz0 + 1, 0, nz - 1)
-    wz = np.zeros((n_planes, nz), dtype=np.float32)
-    wz[np.arange(n_planes), iz0] += 1.0 - az
-    wz[np.arange(n_planes), iz1] += az
-    return jax.lax.dot_general(
-        jnp.asarray(wz), volume.reshape(nz, ny * nx),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).reshape(n_planes, ny, nx)
 
 
 @functools.partial(
@@ -544,8 +572,8 @@ def pallas_slice_render_diff(
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, precision, pchunk,
     )
-    planes_all = _preblend_planes(
-        jnp.asarray(volume), n_planes, nz, march.box_min, march.box_max
+    planes_all, _ = _preblend_planes(
+        jnp.asarray(volume), n_planes, march.box_min, march.box_max
     )
     acc = sweep(
         planes_all,
