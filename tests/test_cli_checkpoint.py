@@ -87,3 +87,15 @@ def test_cli_fit_tf_and_resume(tmp_path):
     ])
     assert rc == 0
     assert int(load_checkpoint(ck)["step"]) == 15
+
+
+def test_cli_fit_tf_slice_renderer(tmp_path):
+    """Object-order fit path (the fused-VJP path selects 'slice' on CPU)."""
+    ck = str(tmp_path / "fit_slice.npz")
+    rc = cli.main([
+        "fit-tf", "--blocks", "6", "6", "4", "--size", "16",
+        "--iters", "8", "--checkpoint", ck, "--renderer", "slice",
+    ])
+    assert rc == 0 and os.path.exists(ck)
+    lut = load_checkpoint(ck)["tf_lut"]
+    assert np.all(np.isfinite(lut)) and lut.shape == (9, 4)

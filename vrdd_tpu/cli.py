@@ -186,20 +186,55 @@ def cmd_fit_tf(args) -> int:
     march = MarchConfig(max_steps=args.steps, tstep=2.0 / args.steps)
     W = H = args.size
 
-    target = render_image(
-        stats_sample_fn(stats, 0), inv_view, W, H,
-        jnp.asarray(default_transfer_function()),
-    )
+    renderer = getattr(args, "renderer", "auto")
+    if renderer == "auto":
+        from vrdd_tpu.pallas.slice_vjp import pallas_diff_supported
+
+        vol_shape = (stats.shape[0], stats.shape[1], stats.shape[2])
+        if jax.default_backend() == "tpu" and pallas_diff_supported(
+            vol_shape, W, H, max(64, 2 * stats.shape[0])
+        ):
+            renderer = "pallas"
+        else:
+            renderer = "slice"
+    print(f"fit-tf renderer: {renderer}")
+
+    if renderer in ("slice", "pallas"):
+        from vrdd_tpu.march.slice import slice_render_image
+        from vrdd_tpu.pallas.slice_vjp import pallas_slice_render_diff
+
+        vol = stats[..., 0]  # mean channel, query method 1
+        origin = inv_view[:, 3]
+        n_planes = max(64, 2 * vol.shape[0])
+
+        def fwd(v, lut):
+            if renderer == "pallas":
+                return pallas_slice_render_diff(
+                    v, origin, lut, width=W, height=H, n_planes=n_planes
+                )
+            return slice_render_image(
+                v, origin, W, H, lut, n_planes=n_planes
+            )
+
+        target = fwd(vol, jnp.asarray(default_transfer_function()))
+
+        def loss_fn(lut, stats, target):
+            return jnp.mean((fwd(stats[..., 0], lut) - target) ** 2)
+    else:
+        target = render_image(
+            stats_sample_fn(stats, 0), inv_view, W, H,
+            jnp.asarray(default_transfer_function()),
+        )
+
+        def loss_fn(lut, stats, target):
+            img = render_image(stats_sample_fn(stats, 0), inv_view, W, H, lut,
+                               march=march)
+            return jnp.mean((img - target) ** 2)
 
     optimizer = optax.adam(args.lr)
-
     # stats/target are jit arguments, not closures — closed-over device
     # arrays become XLA constants and constant folding of the render graph
     # takes minutes on remote-attached TPUs
-    def loss_fn(lut, stats, target):
-        img = render_image(stats_sample_fn(stats, 0), inv_view, W, H, lut,
-                           march=march)
-        return jnp.mean((img - target) ** 2)
 
     @jax.jit
     def step(lut, opt_state, stats, target):
@@ -290,6 +325,12 @@ def main(argv=None) -> int:
     pf.add_argument("--lr", type=float, default=1e-2)
     pf.add_argument("--checkpoint", default="tf_fit.npz")
     pf.add_argument("--resume", default=None)
+    pf.add_argument(
+        "--renderer", default="auto", choices=["auto", "scan", "slice", "pallas"],
+        help="forward for the fit: scan (bit-faithful marcher), slice (MXU "
+        "sweep, XLA analytic VJP), pallas (fused TPU kernels, fastest), or "
+        "auto (pallas on TPU when shapes allow, else slice)",
+    )
     pf.add_argument("--tf-checkpoint", default=None, help=argparse.SUPPRESS)
     pf.set_defaults(fn=cmd_fit_tf)
 
