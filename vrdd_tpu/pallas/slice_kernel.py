@@ -154,14 +154,24 @@ def _shrinking_footprint(params_ref, box_min, box_max):
 def _make_kernel(
     H: int, W: int, NY: int, NX: int, n_planes: int, n_lut: int,
     focal: float, box_min, box_max, tstep: float, threshold: float,
-    length_correction: bool, mm_dtype, pchunk: int,
+    length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
 ):
+    """``emit_ckpt``: additionally track per-ray transmittance in a 5th
+    accumulator row (the backward pass's own T recursion, bit-identical to
+    what pass 2 replays) and stream T-before-each-plane checkpoints to a
+    second output — lets the backward run a SINGLE reverse sweep with exact
+    prefix transmittance and suffix sums (see slice_vjp.py)."""
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
     n_chunks = n_planes // pchunk
+    n_rows = 5 if emit_ckpt else 4
 
-    def kernel(params_ref, zs_ref, coef_ref, planes_ref, out_ref, flag_ref):
+    def kernel(params_ref, zs_ref, coef_ref, planes_ref, out_ref, *rest):
+        if emit_ckpt:
+            tck_ref, flag_ref = rest
+        else:
+            (flag_ref,) = rest
         si = pl.program_id(0)
         k = pl.program_id(1)
         ox = params_ref[0, 0]
@@ -174,8 +184,19 @@ def _make_kernel(
 
         @pl.when(k == 0)
         def _init():
-            out_ref[...] = jnp.zeros((4, STRIP, W), dtype=jnp.float32)
+            out_ref[...] = jnp.zeros((n_rows, STRIP, W), dtype=jnp.float32)
+            if emit_ckpt:
+                out_ref[4] = jnp.ones((STRIP, W), dtype=jnp.float32)
             flag_ref[0] = 0
+
+        if emit_ckpt:
+            # frozen strips still stream their (constant) transmittance so
+            # the reverse pass reads valid masks for every plane
+            @pl.when(flag_ref[0] != 0)
+            def _ckpt_frozen():
+                T = out_ref[4]
+                for i in range(pchunk):
+                    tck_ref[i] = T
 
         @pl.when(flag_ref[0] == 0)
         def _body():
@@ -196,6 +217,7 @@ def _make_kernel(
             acc_g = out_ref[1]
             acc_b = out_ref[2]
             acc_a = out_ref[3]
+            T = out_ref[4] if emit_ckpt else None
             covered = None
             # unrolled over the plane block: amortizes per-grid-step overhead
             # (weight/constant rebuilds, DMA bookkeeping) over pchunk planes
@@ -232,10 +254,16 @@ def _make_kernel(
                 acc_g += cols[1] * at
                 acc_b += cols[2] * at
                 acc_a = acc_a + at
+                if emit_ckpt:
+                    tck_ref[i] = T
+                    mT = jnp.where(T >= 1.0 - threshold, T, 0.0)
+                    T = T - mT * a  # the backward's own T recursion
             out_ref[0] = acc_r
             out_ref[1] = acc_g
             out_ref[2] = acc_b
             out_ref[3] = acc_a
+            if emit_ckpt:
+                out_ref[4] = T
             # strip-level early termination: every ray past the threshold or
             # permanently outside the (shrinking) footprint
             shrink = _shrinking_footprint(
@@ -249,7 +277,7 @@ def _make_kernel(
 
         @pl.when(k == n_chunks - 1)
         def _finish():
-            out_ref[...] = out_ref[...] * brightness
+            out_ref[0:4] = out_ref[0:4] * brightness
 
     return kernel
 

@@ -2,41 +2,38 @@
 
 The XLA analytic VJP in vrdd_tpu/march/slice.py is O(1)-memory but still
 HBM-bound: every plane's premultiplied RGBA and cotangents round-trip HBM in
-each of its three sweeps. This module runs all three sweeps as fused Pallas
-kernels with the per-pixel state (transmittance, suffix sums, image strips)
-VMEM-resident, so HBM traffic collapses to the volume planes plus the plane
-gradients.
+each of its three sweeps. This module runs the whole thing as TWO fused Pallas
+kernels with the per-pixel state VMEM-resident:
 
-Math (identical to march/slice.py, the parity oracle for tests): with
-per-plane premultiplied colors ``c_k = (col_rgb * a_k, a_k)``, freeze mask
-``m_k = [T_{k-1} >= 1 - thr]`` (early ray termination) and transmittance
-``T_k = T_{k-1} * (1 - m_k a_k)``, the composited image is
-``out = sum_k m_k T_{k-1} c_k`` and the cotangents are
+- FORWARD (vrdd_tpu/pallas/slice_kernel.py with ``emit_ckpt=True``): the
+  normal fused sweep, additionally tracking per-ray transmittance with the
+  backward's own recursion ``T <- T - [T >= 1-thr] T a`` and streaming
+  T-before-each-plane checkpoints to HBM (4 B/ray/plane — ~2 GB at
+  512^3 -> 1024^2, ~2.5 ms each way at HBM speed; brightness is folded
+  outside so it stays differentiable).
+- BACKWARD: ONE reverse-order sweep. With per-plane premultiplied colors
+  ``c_k = (col_rgb * a_k, a_k)``, freeze mask ``m_k = [T_{k-1} >= 1 - thr]``
+  (early ray termination) and ``P_k = m_k (g . c_k) T_{k-1}``, the cotangents
 
-    dL/dc_k[rgb] = m_k T_{k-1} g[rgb]
-    dL/dc_k[a]   = m_k (T_{k-1} g[a] - S_k / (1 - a_k)),
-    S_k = Ptot - Ppre_k,  P_k = m_k (g . c_k) T_{k-1}
+      dL/dc_k[rgb] = m_k T_{k-1} g[rgb]
+      dL/dc_k[a]   = m_k (T_{k-1} g[a] - S_k / (1 - a_k)),
+      S_k = sum_{j>k} P_j
 
-which needs one forward-order sweep for ``Ptot`` (pass 1) and one for the
-cotangents (pass 2). Three Pallas kernels, all plane-major
-(grid = (chunks, strips)) so the volume streams from HBM exactly once per
-pass, the x-resample weights are built once per chunk (they are
-strip-invariant), and strip-level early-termination flags skip all compute
-for saturated strips (exact: frozen rays contribute zero cotangent):
-
-- forward: vrdd_tpu/pallas/slice_kernel.py (brightness folded outside here so
-  it stays differentiable),
-- pass 1: like the forward but carrying ``(T, Psum)`` per pixel in the
-  resident (2, H, W) output block,
-- pass 2: the ``(NY, NX)`` plane-gradient output block is revisited
-  consecutively across strips and stays VMEM-resident; per-pixel
-  ``(T, Ppre)`` lives in a full-image VMEM scratch indexed by strip; the
-  local transposes are two extra MXU matmuls (``d_tmp = d_res @ Wx``,
-  ``d_plane += Wy^T @ d_tmp``); TF-coefficient / density / offset / scale
-  gradients accumulate elementwise into VMEM scratch, are cross-lane reduced
-  exactly once at the final grid step into an SMEM output, and the
-  relu-basis coefficient cotangent maps back to the LUT cotangent by the
-  transposed (static) basis matrix.
+  need the PREFIX transmittance T_{k-1} (from the forward's checkpoints) and
+  the SUFFIX sum S_k — which accumulates naturally when sweeping back-to-front
+  (an earlier design ran two forward-order passes, one to total the P_j; the
+  checkpoint stream replaces that entire pass for ~2x less backward work).
+  The kernel is plane-major (grid = (chunks, strips), chunk index maps
+  REVERSED) so the ``(pchunk, NY, NX)`` plane-gradient output block is
+  revisited consecutively across strips and stays VMEM-resident; the local
+  transposes are two extra MXU matmuls (``d_tmp = d_res @ Wx``,
+  ``d_plane += Wy^T @ d_tmp``); x-weights are hoisted to scratch
+  (strip-invariant); LUT gradients accumulate in the TENT basis (the
+  relu-coefficient transpose is ill-conditioned — its second-difference map
+  cancels large ``sum q * d_col`` terms) into VMEM scratch, cross-lane
+  reduced exactly once at the final grid step into an SMEM output; a chunk
+  whose checkpointed transmittance is below the cutoff for every ray in the
+  strip is skipped outright (exact: frozen rays contribute zero cotangent).
 
 Gradients flow to: volume (through the pre-blend matmul outside the kernel),
 TF LUT, density, brightness, transfer offset/scale — the same set as the XLA
@@ -127,86 +124,22 @@ def _coverage(z, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
     return covered, wx, wy, abs_dz
 
 
-def _make_pass1_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
-                       tstep, threshold, length_correction, mm_dtype, pchunk):
-    """Strip-major (like the forward): (T, Psum) live in the revisited
-    (2, STRIP, W) output block."""
-    spacing = (box_max[2] - box_min[2]) / n_planes
-    n_chunks = n_planes // pchunk
-
-    def kernel(params_ref, zs_ref, coef_ref, planes_ref, g_ref, tp_ref,
-               flag_ref):
-        si = pl.program_id(0)
-        k = pl.program_id(1)
-        density = params_ref[0, 3]
-        tf_off = params_ref[0, 5]
-        tf_scale = params_ref[0, 6]
-
-        @pl.when(k == 0)
-        def _init():
-            tp_ref[0] = jnp.ones((STRIP, W), dtype=jnp.float32)
-            tp_ref[1] = jnp.zeros((STRIP, W), dtype=jnp.float32)
-            flag_ref[0] = 0
-
-        @pl.when(flag_ref[0] == 0)
-        def _body():
-            T = tp_ref[0]
-            Psum = tp_ref[1]
-            covered = None
-            for i in range(pchunk):
-                z = zs_ref[0, k * pchunk + i]
-                covered, wx, wy, abs_dz = _coverage(
-                    z, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
-                    with_wx=True,
-                )
-                if length_correction:
-                    ab = spacing / (abs_dz * tstep)
-                else:
-                    ab = jnp.ones((STRIP, W), dtype=jnp.float32)
-                res = _resample_plane(planes_ref[i], wx, wy, mm_dtype)
-                _, cols = _tf_relu_forward(res, coef_ref, n_lut, tf_off,
-                                           tf_scale)
-                a = jnp.minimum(cols[3] * density * ab, 1.0) * covered
-                m = (T >= 1.0 - threshold).astype(jnp.float32)
-                mT = m * T
-                gdotc = (
-                    g_ref[0] * cols[0] + g_ref[1] * cols[1]
-                    + g_ref[2] * cols[2] + g_ref[3]
-                ) * a
-                Psum = Psum + gdotc * mT
-                T = T - mT * a  # T * (1 - m a)
-            tp_ref[0] = T
-            tp_ref[1] = Psum
-            shrink = _shrinking_footprint(
-                params_ref, box_min, box_max
-            ).astype(jnp.float32)
-            done = jnp.maximum(
-                (T < 1.0 - threshold).astype(jnp.float32),
-                shrink * (1.0 - covered),
-            )
-            flag_ref[0] = (jnp.min(done) > 0.5).astype(jnp.int32)
-
-    return kernel, n_chunks
 
 
-def _make_pass2_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
-                       tstep, threshold, length_correction, mm_dtype, pchunk):
-    """Plane-major (grid = (chunks, strips)): the (pchunk, NY, NX) plane-grad
-    output block is revisited consecutively across strips; x-weights are
-    hoisted to scratch (strip-invariant); LUT gradients accumulate in the
-    TENT basis directly (the relu-coefficient transpose is ill-conditioned:
-    its second-difference map cancels large ``sum q * d_col`` terms)."""
+def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
+                     tstep, threshold, length_correction, mm_dtype, pchunk):
+    """Reverse-order cotangent sweep; see module docstring."""
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
     n_chunks = n_planes // pchunk
     n_strips = H // STRIP
 
-    def kernel(params_ref, zs_ref, coef_ref, planes_ref, g_ref,
-               ptot_ref, dplanes_ref, small_ref, state_ref, cg_ref, sg_ref,
-               wx_ref, flag_ref):
-        k = pl.program_id(0)
+    def kernel(params_ref, zs_ref, coef_ref, planes_ref, g_ref, tck_ref,
+               dplanes_ref, small_ref, S_ref, cg_ref, sg_ref, wx_ref):
+        k = pl.program_id(0)      # reversed: chunk kk = n_chunks - 1 - k
         si = pl.program_id(1)
+        kk = n_chunks - 1 - k
         density = params_ref[0, 3]
         tf_off = params_ref[0, 5]
         tf_scale = params_ref[0, 6]
@@ -223,18 +156,14 @@ def _make_pass2_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
 
         @pl.when(k == 0)
         def _init_state():
-            state_ref[0, pl.ds(row0, STRIP), :] = jnp.ones(
+            S_ref[pl.ds(row0, STRIP), :] = jnp.zeros(
                 (STRIP, W), dtype=jnp.float32
             )
-            state_ref[1, pl.ds(row0, STRIP), :] = jnp.zeros(
-                (STRIP, W), dtype=jnp.float32
-            )
-            flag_ref[si] = 0
 
         @pl.when(si == 0)
         def _cache_wx():
             for i in range(pchunk):
-                z = zs_ref[0, k * pchunk + i]
+                z = zs_ref[0, kk * pchunk + i]
                 wx, _ = _build_wx(z, params_ref, W, NX, focal, xlo, xhi)
                 wx_ref[i] = wx
 
@@ -242,11 +171,28 @@ def _make_pass2_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         def _init_dplanes():
             dplanes_ref[...] = jnp.zeros((pchunk, NY, NX), dtype=jnp.float32)
 
-        @pl.when(flag_ref[si] == 0)
+        # skip the chunk when every ray in the strip is frozen before it
+        # (the chunk's FIRST plane has the largest prefix transmittance) or
+        # permanently outside the volume's footprint (never-covered rays keep
+        # T = 1 but contribute zero cotangent; the chunk's first plane also
+        # has the widest footprint when it provably shrinks front-to-back)
+        z0 = zs_ref[0, kk * pchunk]
+        cov0, _, _, _ = _coverage(
+            z0, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
+            with_wx=False,
+        )
+        shrink = _shrinking_footprint(params_ref, box_min, box_max).astype(
+            jnp.float32
+        )
+        done_px = jnp.maximum(
+            (tck_ref[0] < 1.0 - threshold).astype(jnp.float32),
+            shrink * (1.0 - cov0),
+        )
+        chunk_live = jnp.min(done_px) < 0.5
+
+        @pl.when(chunk_live)
         def _body():
-            T = state_ref[0, pl.ds(row0, STRIP), :]
-            Ppre = state_ref[1, pl.ds(row0, STRIP), :]
-            Ptot = ptot_ref[...]
+            S = S_ref[pl.ds(row0, STRIP), :]
             g0 = g_ref[0]
             g1 = g_ref[1]
             g2 = g_ref[2]
@@ -260,8 +206,8 @@ def _make_pass2_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
             def _add(acc, v):
                 return v if acc is None else acc + v
 
-            for i in range(pchunk):
-                z = zs_ref[0, k * pchunk + i]
+            for i in reversed(range(pchunk)):
+                z = zs_ref[0, kk * pchunk + i]
                 covered, _, wy, abs_dz = _coverage(
                     z, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
                     with_wx=False,
@@ -275,22 +221,21 @@ def _make_pass2_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
                                            tf_scale)
                 raw = cols[3] * density * ab
                 a = jnp.minimum(raw, 1.0) * covered
+                T = tck_ref[i]  # prefix transmittance BEFORE this plane
                 m = (T >= 1.0 - threshold).astype(jnp.float32)
                 mT = m * T
 
-                # composited-chain cotangents (see module docstring)
+                # composited-chain cotangents; S currently = sum_{j>k} P_j
                 gdotc = (g0 * cols[0] + g1 * cols[1] + g2 * cols[2] + g3) * a
-                P_k = gdotc * mT
-                Ppre = Ppre + P_k
-                S_k = Ptot - Ppre
                 one_minus_a = 1.0 - a
                 chain = jnp.where(
-                    jnp.abs(one_minus_a) > 1e-6, S_k / one_minus_a, 0.0
+                    jnp.abs(one_minus_a) > 1e-6, S / one_minus_a, 0.0
                 )
                 d_cr = mT * g0
                 d_cg = mT * g1
                 d_cb = mT * g2
                 d_ca = mT * g3 - m * chain
+                S = S + gdotc * mT  # now includes P_k for the next-front plane
 
                 # transpose through (rgb, a) = (col_rgb * a, a)
                 d_col_r = d_cr * a
@@ -351,24 +296,13 @@ def _make_pass2_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
                 )  # (NY, NX)
                 dplanes_ref[i] += d_plane
 
-                T = T - mT * a
-
-            state_ref[0, pl.ds(row0, STRIP), :] = T
-            state_ref[1, pl.ds(row0, STRIP), :] = Ppre
+            S_ref[pl.ds(row0, STRIP), :] = S
             for j in range(4 * n_lut):
                 if cg_acc[j] is not None:
                     cg_ref[j] += cg_acc[j]
             sg_ref[0] += dens_acc
             sg_ref[1] += toff_acc
             sg_ref[2] += tscl_acc
-            shrink = _shrinking_footprint(
-                params_ref, box_min, box_max
-            ).astype(jnp.float32)
-            done = jnp.maximum(
-                (T < 1.0 - threshold).astype(jnp.float32),
-                shrink * (1.0 - covered),
-            )
-            flag_ref[si] = (jnp.min(done) > 0.5).astype(jnp.int32)
 
         last = jnp.logical_and(k == n_chunks - 1, si == n_strips - 1)
 
@@ -405,11 +339,11 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
     )
-    p1_kernel, n_chunks = _make_pass1_kernel(
+    fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max, tstep,
-        threshold, length_correction, mm_dtype, pchunk,
+        threshold, length_correction, mm_dtype, pchunk, emit_ckpt=True,
     )
-    p2_kernel, _, n_strips = _make_pass2_kernel(
+    bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
         H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
     )
@@ -423,9 +357,9 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         dimension_semantics=("parallel", "arbitrary"),
         vmem_limit_bytes=100 * 1024 * 1024,
     )
-    # pass 2 carries the (2, H, W) state + coeff-grad scratch on top of the
-    # double-buffered plane and plane-grad blocks; give it the full headroom
-    cparams_p2 = pltpu.CompilerParams(
+    # the backward carries the suffix-sum image + grad scratch on top of the
+    # double-buffered plane / plane-grad / checkpoint blocks
+    cparams_bwd = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=118 * 1024 * 1024,
     )
@@ -450,51 +384,54 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         )(params, _zs_in(), coef_flat, planes_all)
         return jnp.transpose(out, (1, 2, 0))
 
-    def _bwd_call(planes_all, params, coef_flat, g):
-        g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
-        # pass 1: strip-major like the forward; (T, Psum) in the revisited
-        # (2, STRIP, W) output block
-        tp = pl.pallas_call(
-            p1_kernel,
-            out_shape=jax.ShapeDtypeStruct((2, H, W), jnp.float32),
+    def _fwd_ckpt_call(planes_all, params, coef_flat):
+        out, tck = pl.pallas_call(
+            fwd_ckpt_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((5, H, W), jnp.float32),
+                jax.ShapeDtypeStruct((n_planes, H, W), jnp.float32),
+            ),
             grid=grid,
-            in_specs=in_specs + [vmem((4, STRIP, W), lambda i, k: (0, i, 0))],
-            out_specs=vmem((2, STRIP, W), lambda i, k: (0, i, 0)),
+            in_specs=in_specs,
+            out_specs=(
+                vmem((5, STRIP, W), lambda i, k: (0, i, 0)),
+                vmem((pchunk, STRIP, W), lambda i, k: (k, i, 0)),
+            ),
             scratch_shapes=scratch,
             compiler_params=cparams,
-        )(params, _zs_in(), coef_flat, planes_all, g4)
-        ptot = tp[1]
+        )(params, _zs_in(), coef_flat, planes_all)
+        return jnp.transpose(out[:4], (1, 2, 0)), tck
 
-        # pass 2: plane-major (grid = (chunks, strips))
-        in_specs_p2 = [
+    def _bwd_call(planes_all, params, coef_flat, tck, g):
+        g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
+        in_specs_bwd = [
             smem((1, 8), lambda k, s: (0, 0)),
             smem((1, n_planes), lambda k, s: (0, 0)),
             smem((1, 4 * n_lut), lambda k, s: (0, 0)),
-            vmem((pchunk, NY, NX), lambda k, s: (k, 0, 0)),
+            vmem((pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)),
             vmem((4, STRIP, W), lambda k, s: (0, s, 0)),
-            vmem((STRIP, W), lambda k, s: (s, 0)),
+            vmem((pchunk, STRIP, W), lambda k, s: (n_chunks - 1 - k, s, 0)),
         ]
         d_planes, small = pl.pallas_call(
-            p2_kernel,
+            bwd_kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((n_planes, NY, NX), jnp.float32),
                 jax.ShapeDtypeStruct((1, 4 * n_lut + 3), jnp.float32),
             ),
             grid=(n_chunks, n_strips),
-            in_specs=in_specs_p2,
+            in_specs=in_specs_bwd,
             out_specs=(
-                vmem((pchunk, NY, NX), lambda k, s: (k, 0, 0)),
+                vmem((pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)),
                 smem((1, 4 * n_lut + 3), lambda k, s: (0, 0)),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, H, W), jnp.float32),
+                pltpu.VMEM((H, W), jnp.float32),
                 pltpu.VMEM((4 * n_lut, STRIP, W), jnp.float32),
                 pltpu.VMEM((3, STRIP, W), jnp.float32),
                 pltpu.VMEM((pchunk, W, NX), jnp.float32),
-                pltpu.SMEM((n_strips,), jnp.int32),
             ],
-            compiler_params=cparams_p2,
-        )(params, _zs_in(), coef_flat, planes_all, g4, ptot)
+            compiler_params=cparams_bwd,
+        )(params, _zs_in(), coef_flat, planes_all, g4, tck)
         g_lut = small[0, : 4 * n_lut].reshape(n_lut, 4)
         g_density = small[0, 4 * n_lut + 0]
         g_toff = small[0, 4 * n_lut + 1]
@@ -508,15 +445,17 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         return _fwd_call(planes_all, params, coef_flat)
 
     def sweep_fwd(planes_all, origin, lut, density, toff, tscl):
-        out = sweep(planes_all, origin, lut, density, toff, tscl)
-        return out, (planes_all, origin, lut, density, toff, tscl)
+        params = _pack_params(origin, density, toff, tscl)
+        coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
+        out, tck = _fwd_ckpt_call(planes_all, params, coef_flat)
+        return out, (planes_all, origin, lut, density, toff, tscl, tck)
 
     def sweep_bwd(res, g):
-        planes_all, origin, lut, density, toff, tscl = res
+        planes_all, origin, lut, density, toff, tscl, tck = res
         params = _pack_params(origin, density, toff, tscl)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
         d_planes, g_lut, g_density, g_toff, g_tscl = _bwd_call(
-            planes_all, params, coef_flat, g
+            planes_all, params, coef_flat, tck, g
         )
         return (
             d_planes,
