@@ -136,6 +136,7 @@ def shearwarp_render_image(
     compute_dtype=jnp.float32,
     plane_chunk: int = 8,
     use_custom_vjp: bool = True,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA for an ARBITRARY view on the matmul sweep.
 
@@ -143,6 +144,12 @@ def shearwarp_render_image(
     array (static per compile; pass distinct views as distinct Python objects).
     ``oversample`` scales the intermediate m-grid resolution relative to the
     output image (2.0 keeps the warp's filtering loss ~1e-2).
+
+    ``backend``: 'xla' (march/slice.py sweep), 'pallas' (the fused TPU
+    kernels of vrdd_tpu/pallas — the slope-space sweep is slope-grid-generic,
+    so rotated views get the same fused forward+backward; the m-grid is
+    rounded up to the kernel's 128-tile alignment), or 'auto' (pallas on TPU
+    when supported).
     """
     inv_view = np.asarray(inv_view, dtype=np.float32)
     axis, (px, py, pz), slopes, dz_sign, ok = shearwarp_geometry(
@@ -175,6 +182,24 @@ def shearwarp_render_image(
     # bounding m-grid over the image's slopes (+ one-texel margin)
     wi = max(8, int(np.ceil(width * oversample)))
     hi = max(8, int(np.ceil(height * oversample)))
+    if backend == "auto":
+        from vrdd_tpu.pallas.slice_kernel import pallas_supported
+
+        nzp, nyp, nxp = (
+            volume.shape[2 - pz], volume.shape[2 - py], volume.shape[2 - px]
+        )
+        wi_r = -(-wi // 128) * 128
+        hi_r = -(-hi // 128) * 128
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and pallas_supported((nzp, nyp, nxp), wi_r, hi_r,
+                                 max(1, n_planes))
+            else "xla"
+        )
+    if backend == "pallas":  # round the m-grid up to the kernel tiling
+        wi = -(-wi // 128) * 128
+        hi = -(-hi // 128) * 128
     mx_all, my_all = slopes[..., 0], slopes[..., 1]
     mx_lo, mx_hi = float(mx_all.min()), float(mx_all.max())
     my_lo, my_hi = float(my_all.min()), float(my_all.max())
@@ -183,13 +208,23 @@ def shearwarp_render_image(
     mx = np.linspace(mx_lo - mx_pad, mx_hi + mx_pad, wi, dtype=np.float32)
     my = np.linspace(my_lo - my_pad, my_hi + my_pad, hi, dtype=np.float32)
 
-    img_m = sweep_slope_space(
-        vol_perm, origin_p, mx, my, tf_lut,
-        density, brightness, transfer_offset, transfer_scale, march_p,
-        dz_sign=dz_sign, n_planes=n_planes,
-        length_correction=length_correction, compute_dtype=compute_dtype,
-        plane_chunk=plane_chunk, use_custom_vjp=use_custom_vjp,
-    )
+    if backend == "pallas":
+        from vrdd_tpu.pallas.slice_vjp import pallas_sweep_slope_space_diff
+
+        img_m = pallas_sweep_slope_space_diff(
+            vol_perm, jnp.asarray(origin_p), mx, my, tf_lut,
+            density, brightness, transfer_offset, transfer_scale,
+            march=march_p, dz_sign=dz_sign, n_planes=n_planes,
+            length_correction=length_correction, plane_chunk=plane_chunk,
+        )
+    else:
+        img_m = sweep_slope_space(
+            vol_perm, origin_p, mx, my, tf_lut,
+            density, brightness, transfer_offset, transfer_scale, march_p,
+            dz_sign=dz_sign, n_planes=n_planes,
+            length_correction=length_correction, compute_dtype=compute_dtype,
+            plane_chunk=plane_chunk, use_custom_vjp=use_custom_vjp,
+        )
 
     # final homography warp m-space -> pixels (static fractional indices)
     ix = (mx_all - mx[0]) / (mx[-1] - mx[0]) * (wi - 1)

@@ -137,30 +137,38 @@ def _tf_relu_forward(res, coef_ref, n_lut, tf_off, tf_scale):
     return q, cols
 
 
-def _shrinking_footprint(params_ref, box_min, box_max):
+def _shrinking_footprint(params_ref, box_min, box_max, dz_sign):
     """Scalar predicate: the volume's image footprint provably shrinks
-    front-to-back (camera x/y over the box, in front of it), so a pixel
-    uncovered now is uncovered for all later planes."""
+    front-to-back (camera x/y over the box, in front of it along the sweep
+    direction), so a pixel uncovered now is uncovered for all later planes."""
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     ox = params_ref[0, 0]
     oy = params_ref[0, 1]
     oz = params_ref[0, 2]
+    side = (oz > zhi) if dz_sign < 0 else (oz < zlo)
     return (
-        (ox >= xlo) & (ox <= xhi) & (oy >= ylo) & (oy <= yhi) & (oz > zhi)
+        (ox >= xlo) & (ox <= xhi) & (oy >= ylo) & (oy <= yhi) & side
     )
 
 
 def _make_kernel(
     H: int, W: int, NY: int, NX: int, n_planes: int, n_lut: int,
-    focal: float, box_min, box_max, tstep: float, threshold: float,
+    mgrid, box_min, box_max, tstep: float, threshold: float,
     length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
 ):
     """``emit_ckpt``: additionally track per-ray transmittance in a 5th
     accumulator row (the backward pass's own T recursion, bit-identical to
     what pass 2 replays) and stream T-before-each-plane checkpoints to a
     second output — lets the backward run a SINGLE reverse sweep with exact
-    prefix transmittance and suffix sums (see slice_vjp.py)."""
+    prefix transmittance and suffix sums (see slice_vjp.py).
+
+    ``mgrid = (mx0, dmx, my0, dmy, dz_sign)`` defines the uniform ray-slope
+    grid (static floats): ray j of row i has slope
+    ``m = (mx0 + dmx * j, my0 + dmy * i)`` in volume axes (see
+    march/slice.py's slope-space factorization) — the unrotated pixel grid is
+    one instance; shear-warp's bounding m-grid for rotated views is another."""
+    mx0, dmx, my0, dmy, dz_sign = mgrid
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
@@ -204,12 +212,14 @@ def _make_kernel(
                 jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
             px = jax.lax.broadcasted_iota(
                 jnp.int32, (1, W), 1).astype(jnp.float32)
-            u_row = (px / W) * 2.0 - 1.0  # (1, W)
-            v_col = (py / H) * 2.0 - 1.0  # (STRIP, 1)
-            norm = jnp.sqrt(u_row * u_row + v_col * v_col + focal * focal)
-            dz = -focal / norm  # (STRIP, W)
+            mx_row = mx0 + dmx * px  # (1, W) ray slopes
+            my_col = my0 + dmy * py  # (STRIP, 1)
             if length_correction:
-                alpha_base = density * spacing / (jnp.abs(dz) * tstep)
+                # per-ray slab path length: spacing * |d| / |d_z|
+                stretch = jnp.sqrt(
+                    1.0 + mx_row * mx_row + my_col * my_col
+                )  # (STRIP, W)
+                alpha_base = density * spacing * stretch / tstep
             else:
                 alpha_base = jnp.full((STRIP, W), density, dtype=jnp.float32)
 
@@ -223,8 +233,8 @@ def _make_kernel(
             # (weight/constant rebuilds, DMA bookkeeping) over pchunk planes
             for i in range(pchunk):
                 z = zs_ref[0, k * pchunk + i]
-                x_at = ox + (z - oz) * (u_row[0, :] / (-focal))  # (W,)
-                y_at = oy + (z - oz) * (v_col[:, 0] / (-focal))  # (STRIP,)
+                x_at = ox + (z - oz) * mx_row[0, :]  # (W,)
+                y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
                 wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
                 wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)
                 plane = planes_ref[i]  # (NY, NX)
@@ -242,9 +252,11 @@ def _make_kernel(
                     res, coef_ref, n_lut, tf_off, tf_scale
                 )
 
-                # t > 0 <=> z < oz since dz < 0 everywhere (looking down -z);
+                # t > 0 <=> (z - oz) has the sign of d_z;
                 # per-axis coverage is the in-box predicate (tent rows sum to 1)
-                in_front = (z < oz).astype(jnp.float32)
+                in_front = ((z < oz) if dz_sign < 0 else (z > oz)).astype(
+                    jnp.float32
+                )
                 covered = inbox_x[None, :] * inbox_y[:, None] * in_front
                 a = jnp.minimum(cols[3] * alpha_base, 1.0) * covered
                 live = acc_a <= threshold
@@ -267,7 +279,7 @@ def _make_kernel(
             # strip-level early termination: every ray past the threshold or
             # permanently outside the (shrinking) footprint
             shrink = _shrinking_footprint(
-                params_ref, box_min, box_max
+                params_ref, box_min, box_max, dz_sign
             ).astype(jnp.float32)
             done = jnp.maximum(
                 (acc_a > threshold).astype(jnp.float32),
@@ -282,14 +294,16 @@ def _make_kernel(
     return kernel
 
 
-def _preblend_planes(volume, n_planes, box_min, box_max):
+def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1):
     """Front-to-back plane stack via one CUDA-model z-resample matmul."""
     nz, ny, nx = volume.shape
     zlo, zhi = box_min[2], box_max[2]
     spacing = (zhi - zlo) / n_planes
     zs = (zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)).astype(
         np.float32
-    )[::-1]
+    )
+    if dz_sign < 0:
+        zs = zs[::-1]
     zf_all = (zs - zlo) / (zhi - zlo) * nz - 0.5
     iz0 = np.clip(np.floor(zf_all).astype(np.int64), 0, nz - 1)
     az = (zf_all - np.floor(zf_all)).astype(np.float32)
@@ -323,41 +337,43 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk):
     return in_specs, out_spec, scratch, grid
 
 
+def _uniform_grid_params(m: np.ndarray, name: str):
+    """(m0, dm) of a uniform host grid; validates uniformity."""
+    m = np.asarray(m, dtype=np.float32)
+    if m.shape[0] < 2:
+        return float(m[0]), 0.0
+    dm = (float(m[-1]) - float(m[0])) / (m.shape[0] - 1)
+    if not np.allclose(m, m[0] + dm * np.arange(m.shape[0]), atol=1e-5 * (abs(dm) + 1e-6) * m.shape[0]):
+        raise ValueError(f"{name} slope grid must be uniform for the Pallas sweep")
+    return float(m[0]), dm
+
+
+def _pixel_slopes(width: int, height: int, focal: float):
+    """The unrotated NDC pixel grid's ray slopes (march/slice.py semantics)."""
+    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0)
+    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0)
+    return (u / (-focal)).astype(np.float32), (v / (-focal)).astype(np.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "march", "focal", "n_planes", "length_correction",
+        "mgrid", "width", "height", "march", "n_planes", "length_correction",
         "precision", "plane_chunk",
     ),
 )
-def pallas_slice_render(
-    volume: jnp.ndarray,
-    origin: jnp.ndarray,
-    tf_lut: jnp.ndarray,
-    density=0.05,
-    brightness=1.0,
-    transfer_offset=0.0,
-    transfer_scale=1.0,
-    *,
-    width: int,
-    height: int,
-    march: MarchConfig = MarchConfig(),
-    focal: float = 2.0,
-    n_planes: int = 0,
-    length_correction: bool = True,
-    precision: str = "f32",
-    plane_chunk: int = 8,
-) -> jnp.ndarray:
-    """Fused forward render; same semantics as slice_render_image."""
+def _sweep_call(
+    volume, origin, tf_lut, density, brightness, transfer_offset,
+    transfer_scale, *, mgrid, width, height, march, n_planes,
+    length_correction, precision, plane_chunk,
+):
     nz, ny, nx = volume.shape
-    if n_planes <= 0:
-        n_planes = 2 * nz
     pchunk = plane_chunk
     while n_planes % pchunk:
         pchunk -= 1
 
     planes_all, zs = _preblend_planes(
-        volume, n_planes, march.box_min, march.box_max
+        volume, n_planes, march.box_min, march.box_max, mgrid[4]
     )
 
     origin = jnp.asarray(origin, dtype=jnp.float32)
@@ -379,7 +395,7 @@ def pallas_slice_render(
 
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = _make_kernel(
-        height, width, ny, nx, n_planes, n_lut, focal,
+        height, width, ny, nx, n_planes, n_lut, mgrid,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, mm_dtype, pchunk,
     )
@@ -399,3 +415,71 @@ def pallas_slice_render(
         ),
     )(params, zs_in, coef_flat, planes_all)
     return jnp.transpose(out, (1, 2, 0))
+
+
+def pallas_sweep_slope_space(
+    volume: jnp.ndarray,
+    origin: jnp.ndarray,
+    mx: np.ndarray,
+    my: np.ndarray,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    march: MarchConfig = MarchConfig(),
+    dz_sign: int = -1,
+    n_planes: int = 0,
+    length_correction: bool = True,
+    precision: str = "f32",
+    plane_chunk: int = 8,
+) -> jnp.ndarray:
+    """Fused plane sweep over a UNIFORM ray-slope grid: (Hm, Wm, 4) RGBA.
+
+    The Pallas counterpart of march/slice.py's ``sweep_slope_space`` —
+    ``mx (Wm,)`` / ``my (Hm,)`` are HOST numpy slope grids (static per
+    compile). Used directly by the shear-warp renderer for rotated views."""
+    mx0, dmx = _uniform_grid_params(mx, "mx")
+    my0, dmy = _uniform_grid_params(my, "my")
+    volume = jnp.asarray(volume)
+    if n_planes <= 0:
+        n_planes = 2 * volume.shape[0]
+    return _sweep_call(
+        volume, origin, tf_lut, density, brightness, transfer_offset,
+        transfer_scale, mgrid=(mx0, dmx, my0, dmy, float(dz_sign)),
+        width=int(np.asarray(mx).shape[0]), height=int(np.asarray(my).shape[0]),
+        march=march, n_planes=n_planes, length_correction=length_correction,
+        precision=precision, plane_chunk=plane_chunk,
+    )
+
+
+def pallas_slice_render(
+    volume: jnp.ndarray,
+    origin: jnp.ndarray,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    width: int,
+    height: int,
+    march: MarchConfig = MarchConfig(),
+    focal: float = 2.0,
+    n_planes: int = 0,
+    length_correction: bool = True,
+    precision: str = "f32",
+    plane_chunk: int = 8,
+) -> jnp.ndarray:
+    """Fused forward render; same semantics as slice_render_image."""
+    volume = jnp.asarray(volume)
+    if n_planes <= 0:
+        n_planes = 2 * volume.shape[0]
+    mx, my = _pixel_slopes(width, height, focal)
+    return pallas_sweep_slope_space(
+        volume, origin, mx, my, tf_lut, density, brightness,
+        transfer_offset, transfer_scale, march=march, dz_sign=-1,
+        n_planes=n_planes, length_correction=length_correction,
+        precision=precision, plane_chunk=plane_chunk,
+    )

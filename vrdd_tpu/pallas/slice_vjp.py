@@ -57,16 +57,22 @@ from vrdd_tpu.utils.config import MarchConfig
 from vrdd_tpu.pallas.slice_kernel import (
     STRIP,
     _make_kernel,
+    _pixel_slopes,
     _preblend_planes,
     _shrinking_footprint,
     _sweep_specs,
     _tent_weights,
     _tf_relu_forward,
+    _uniform_grid_params,
     pallas_supported,
     tf_relu_coefficients,
 )
 
-__all__ = ["pallas_slice_render_diff", "pallas_diff_supported"]
+__all__ = [
+    "pallas_slice_render_diff",
+    "pallas_sweep_slope_space_diff",
+    "pallas_diff_supported",
+]
 
 
 def pallas_diff_supported(volume_shape, width, height, n_planes) -> bool:
@@ -86,19 +92,20 @@ def _resample_plane(plane, wx, wy, mm_dtype):
     return res
 
 
-def _build_wx(z, params_ref, W, NX, focal, xlo, xhi):
+def _build_wx(z, params_ref, W, NX, mgrid, xlo, xhi):
     """x-resample weights for one plane — identical for every strip."""
+    mx0, dmx = mgrid[0], mgrid[1]
     ox = params_ref[0, 0]
     oz = params_ref[0, 2]
     px = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
-    u = (px[0, :] / W) * 2.0 - 1.0  # (W,)
-    x_at = ox + (z - oz) * (u / (-focal))
+    x_at = ox + (z - oz) * (mx0 + dmx * px[0, :])  # (W,)
     return _tent_weights(x_at, NX, xlo, xhi)
 
 
-def _coverage(z, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
+def _coverage(z, params_ref, si, W, H, NX, NY, mgrid, box_min, box_max,
               with_wx):
-    """(covered (S, W) f32, wx or None, wy (S, NY), |dz| (S, W))."""
+    """(covered (S, W) f32, wx or None, wy (S, NY), stretch |d|/|dz| (S, W))."""
+    mx0, dmx, my0, dmy, dz_sign = mgrid
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     oy = params_ref[0, 1]
@@ -106,29 +113,29 @@ def _coverage(z, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
     py = (si * STRIP + jax.lax.broadcasted_iota(
         jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
     px = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
-    u_row = (px / W) * 2.0 - 1.0
-    v_col = (py / H) * 2.0 - 1.0
-    norm = jnp.sqrt(u_row * u_row + v_col * v_col + focal * focal)
-    abs_dz = focal / norm
-    y_at = oy + (z - oz) * (v_col[:, 0] / (-focal))
+    mx_row = mx0 + dmx * px  # (1, W)
+    my_col = my0 + dmy * py  # (STRIP, 1)
+    stretch = jnp.sqrt(1.0 + mx_row * mx_row + my_col * my_col)
+    y_at = oy + (z - oz) * my_col[:, 0]
     wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)
     if with_wx:
-        wx, inbox_x = _build_wx(z, params_ref, W, NX, focal, xlo, xhi)
+        wx, inbox_x = _build_wx(z, params_ref, W, NX, mgrid, xlo, xhi)
     else:
         wx = None
         ox = params_ref[0, 0]
-        x01 = (ox + (z - oz) * (u_row[0, :] / (-focal)) - xlo) / (xhi - xlo)
+        x01 = (ox + (z - oz) * mx_row[0, :] - xlo) / (xhi - xlo)
         inbox_x = ((x01 >= 0.0) & (x01 <= 1.0)).astype(jnp.float32)
-    in_front = (z < oz).astype(jnp.float32)
+    in_front = ((z < oz) if dz_sign < 0 else (z > oz)).astype(jnp.float32)
     covered = inbox_x[None, :] * inbox_y[:, None] * in_front
-    return covered, wx, wy, abs_dz
+    return covered, wx, wy, stretch
 
 
 
 
-def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
+def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                      tstep, threshold, length_correction, mm_dtype, pchunk):
     """Reverse-order cotangent sweep; see module docstring."""
+    dz_sign = mgrid[4]
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
@@ -164,7 +171,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         def _cache_wx():
             for i in range(pchunk):
                 z = zs_ref[0, kk * pchunk + i]
-                wx, _ = _build_wx(z, params_ref, W, NX, focal, xlo, xhi)
+                wx, _ = _build_wx(z, params_ref, W, NX, mgrid, xlo, xhi)
                 wx_ref[i] = wx
 
         @pl.when(si == 0)
@@ -178,12 +185,12 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         # has the widest footprint when it provably shrinks front-to-back)
         z0 = zs_ref[0, kk * pchunk]
         cov0, _, _, _ = _coverage(
-            z0, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
+            z0, params_ref, si, W, H, NX, NY, mgrid, box_min, box_max,
             with_wx=False,
         )
-        shrink = _shrinking_footprint(params_ref, box_min, box_max).astype(
-            jnp.float32
-        )
+        shrink = _shrinking_footprint(
+            params_ref, box_min, box_max, dz_sign
+        ).astype(jnp.float32)
         done_px = jnp.maximum(
             (tck_ref[0] < 1.0 - threshold).astype(jnp.float32),
             shrink * (1.0 - cov0),
@@ -208,12 +215,12 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
 
             for i in reversed(range(pchunk)):
                 z = zs_ref[0, kk * pchunk + i]
-                covered, _, wy, abs_dz = _coverage(
-                    z, params_ref, si, W, H, NX, NY, focal, box_min, box_max,
+                covered, _, wy, stretch = _coverage(
+                    z, params_ref, si, W, H, NX, NY, mgrid, box_min, box_max,
                     with_wx=False,
                 )
                 if length_correction:
-                    ab = spacing / (abs_dz * tstep)
+                    ab = spacing * stretch / tstep
                 else:
                     ab = jnp.ones((STRIP, W), dtype=jnp.float32)
                 res = _resample_plane(planes_ref[i], wx_ref[i], wy, mm_dtype)
@@ -330,21 +337,21 @@ def _pack_params(origin, density, toff, tscl):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
+def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                      tstep, threshold, length_correction, precision, pchunk):
     """Build the custom-VJP sweep for one static configuration."""
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     fwd_kernel = _make_kernel(
-        H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max, tstep,
+        H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
     )
     fwd_ckpt_kernel = _make_kernel(
-        H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max, tstep,
+        H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk, emit_ckpt=True,
     )
     bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
-        H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max, tstep,
+        H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
     )
 
@@ -369,7 +376,9 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
         zs = (
             box_min[2]
             + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)
-        ).astype(np.float32)[::-1].copy()
+        ).astype(np.float32)
+        if mgrid[4] < 0:
+            zs = zs[::-1].copy()
         return jnp.asarray(zs)[None, :]
 
     def _fwd_call(planes_all, params, coef_flat):
@@ -470,13 +479,79 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, focal, box_min, box_max,
     return sweep
 
 
+def pallas_sweep_slope_space_diff(
+    volume: jnp.ndarray,
+    origin: jnp.ndarray,
+    mx: np.ndarray,
+    my: np.ndarray,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    march: MarchConfig = MarchConfig(),
+    dz_sign: int = -1,
+    n_planes: int = 0,
+    length_correction: bool = True,
+    precision: str = "f32",
+    plane_chunk: int = 8,
+) -> jnp.ndarray:
+    """Differentiable fused sweep over a UNIFORM ray-slope grid.
+
+    The custom-VJP counterpart of ``pallas_sweep_slope_space`` — used by the
+    shear-warp renderer for rotated views. ``mx``/``my`` are HOST numpy
+    grids (static per compile)."""
+    mx0, dmx = _uniform_grid_params(mx, "mx")
+    my0, dmy = _uniform_grid_params(my, "my")
+    mgrid = (mx0, dmx, my0, dmy, float(dz_sign))
+    return _diff_call(
+        jnp.asarray(volume), origin, tf_lut, density, brightness,
+        transfer_offset, transfer_scale, mgrid=mgrid,
+        width=int(np.asarray(mx).shape[0]),
+        height=int(np.asarray(my).shape[0]), march=march, n_planes=n_planes,
+        length_correction=length_correction, precision=precision,
+        plane_chunk=plane_chunk,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "march", "focal", "n_planes", "length_correction",
+        "mgrid", "width", "height", "march", "n_planes", "length_correction",
         "precision", "plane_chunk",
     ),
 )
+def _diff_call(
+    volume, origin, tf_lut, density, brightness, transfer_offset,
+    transfer_scale, *, mgrid, width, height, march, n_planes,
+    length_correction, precision, plane_chunk,
+):
+    nz, ny, nx = volume.shape
+    if n_planes <= 0:
+        n_planes = 2 * nz
+    pchunk = plane_chunk
+    while n_planes % pchunk:
+        pchunk -= 1
+    sweep = _make_diff_sweep(
+        height, width, ny, nx, n_planes, int(tf_lut.shape[0]), mgrid,
+        march.box_min, march.box_max, march.tstep, march.opacity_threshold,
+        length_correction, precision, pchunk,
+    )
+    planes_all, _ = _preblend_planes(
+        volume, n_planes, march.box_min, march.box_max, mgrid[4]
+    )
+    acc = sweep(
+        planes_all,
+        jnp.asarray(origin, jnp.float32),
+        jnp.asarray(tf_lut, jnp.float32),
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+    )
+    return acc * jnp.asarray(brightness, dtype=jnp.float32)
+
+
 def pallas_slice_render_diff(
     volume: jnp.ndarray,
     origin: jnp.ndarray,
@@ -500,26 +575,13 @@ def pallas_slice_render_diff(
     Gradients flow to volume, tf_lut, density, brightness, transfer
     offset/scale via the fused analytic Pallas backward.
     """
-    nz, ny, nx = volume.shape
+    volume = jnp.asarray(volume)
     if n_planes <= 0:
-        n_planes = 2 * nz
-    pchunk = plane_chunk
-    while n_planes % pchunk:
-        pchunk -= 1
-    sweep = _make_diff_sweep(
-        height, width, ny, nx, n_planes, int(tf_lut.shape[0]), focal,
-        march.box_min, march.box_max, march.tstep, march.opacity_threshold,
-        length_correction, precision, pchunk,
+        n_planes = 2 * volume.shape[0]
+    mx, my = _pixel_slopes(width, height, focal)
+    return pallas_sweep_slope_space_diff(
+        volume, origin, mx, my, tf_lut, density, brightness,
+        transfer_offset, transfer_scale, march=march, dz_sign=-1,
+        n_planes=n_planes, length_correction=length_correction,
+        precision=precision, plane_chunk=plane_chunk,
     )
-    planes_all, _ = _preblend_planes(
-        jnp.asarray(volume), n_planes, march.box_min, march.box_max
-    )
-    acc = sweep(
-        planes_all,
-        jnp.asarray(origin, jnp.float32),
-        jnp.asarray(tf_lut, jnp.float32),
-        jnp.asarray(density, jnp.float32),
-        jnp.asarray(transfer_offset, jnp.float32),
-        jnp.asarray(transfer_scale, jnp.float32),
-    )
-    return acc * jnp.asarray(brightness, dtype=jnp.float32)
