@@ -187,16 +187,22 @@ def cmd_fit_tf(args) -> int:
     W = H = args.size
 
     renderer = getattr(args, "renderer", "auto")
-    if renderer == "auto":
-        from vrdd_tpu.pallas.slice_vjp import pallas_diff_supported
+    from vrdd_tpu.pallas.slice_vjp import pallas_diff_supported
 
-        vol_shape = (stats.shape[0], stats.shape[1], stats.shape[2])
-        if jax.default_backend() == "tpu" and pallas_diff_supported(
-            vol_shape, W, H, max(64, 2 * stats.shape[0])
-        ):
-            renderer = "pallas"
-        else:
-            renderer = "slice"
+    vol_shape = (stats.shape[0], stats.shape[1], stats.shape[2])
+    diff_ok = pallas_diff_supported(vol_shape, W, H, max(64, 2 * stats.shape[0]))
+    if renderer == "auto":
+        renderer = (
+            "pallas"
+            if jax.default_backend() == "tpu" and diff_ok
+            else "slice"
+        )
+    elif renderer == "pallas" and not diff_ok:
+        print(
+            f"fit-tf: pallas unsupported for image {W}x{H} "
+            "(width % 128 and height % 128 required); falling back to slice"
+        )
+        renderer = "slice"
     print(f"fit-tf renderer: {renderer}")
 
     if renderer in ("slice", "pallas"):

@@ -64,6 +64,12 @@ from jax.experimental.pallas import tpu as pltpu
 from vrdd_tpu.utils.config import MarchConfig
 
 STRIP = 128
+# column-tile width for footprint/ET predication: per (strip, chunk) the
+# kernel skips entire (STRIP, XTILE) pixel tiles that are provably outside
+# the volume's footprint or fully past the opacity cutoff — at 512^3 -> 1024^2
+# back planes cover <40% of the image width, and the kernel is VPU-bound in
+# the per-sample transfer function, so dead tiles are pure savings
+XTILE = 128
 # bytes per plane; the streamed block is plane_chunk (default 8) planes and
 # double-buffered, so VMEM holds ~8x this alongside the output strip
 _VMEM_PLANE_LIMIT = 2 * 1024 * 1024
@@ -137,6 +143,63 @@ def _tf_relu_forward(res, coef_ref, n_lut, tf_off, tf_scale):
     return q, cols
 
 
+def _xtile(W: int) -> int:
+    """Column-tile width for ET predication: divides W, gives at most 16
+    tiles (the per-chunk live bitmap must fit an int32), lane-aligned when W
+    is a multiple of 128. Falls back to one full-row tile for odd widths."""
+    if W % XTILE != 0:
+        return W
+    n = W // XTILE
+    m = (n + 15) // 16  # smallest group size keeping <= 16 tiles
+    while n % m:
+        m += 1
+    return XTILE * m
+
+
+def _corner_overlap(o, oz, m_a, m_b, z0, z1, lo, hi):
+    """Scalar predicate: does {o + (z-oz)·m : z ∈ [z0,z1], m ∈ [m_a,m_b]}
+    intersect [lo, hi]? The map is affine in both z and m, so its range over
+    the rectangle is attained at the 4 corners — all-scalar (SMEM) math."""
+    c00 = o + (z0 - oz) * m_a
+    c01 = o + (z0 - oz) * m_b
+    c10 = o + (z1 - oz) * m_a
+    c11 = o + (z1 - oz) * m_b
+    vmin = jnp.minimum(jnp.minimum(c00, c01), jnp.minimum(c10, c11))
+    vmax = jnp.maximum(jnp.maximum(c00, c01), jnp.maximum(c10, c11))
+    return (vmax >= lo) & (vmin <= hi)
+
+
+def _chunk_covered(params_ref, zs_ref, si, k, pchunk, mgrid, box_min,
+                   box_max, W):
+    """Scalar predicate: does ANY plane of chunk k intersect this strip's
+    ray bundle? Skipping an uncovered (strip, chunk) saves the entire
+    resample+TF+composite body (at 512^3 -> 1024^2 back planes cover <40%
+    of the image)."""
+    mx0, dmx, my0, dmy, dz_sign = mgrid
+    xlo, ylo, zlo = box_min
+    xhi, yhi, zhi = box_max
+    ox = params_ref[0, 0]
+    oy = params_ref[0, 1]
+    oz = params_ref[0, 2]
+    z0 = zs_ref[0, k * pchunk]
+    z1 = zs_ref[0, k * pchunk + pchunk - 1]
+    my_a = my0 + dmy * (si * STRIP)
+    my_b = my0 + dmy * (si * STRIP + STRIP - 1)
+    mx_a = mx0
+    mx_b = mx0 + dmx * (W - 1)
+
+    # any plane of the chunk in front of the camera along the sweep
+    in_front = (
+        (jnp.minimum(z0, z1) < oz) if dz_sign < 0
+        else (jnp.maximum(z0, z1) > oz)
+    )
+    return (
+        _corner_overlap(oy, oz, my_a, my_b, z0, z1, ylo, yhi)
+        & _corner_overlap(ox, oz, mx_a, mx_b, z0, z1, xlo, xhi)
+        & in_front
+    )
+
+
 def _shrinking_footprint(params_ref, box_min, box_max, dz_sign):
     """Scalar predicate: the volume's image footprint provably shrinks
     front-to-back (camera x/y over the box, in front of it along the sweep
@@ -174,12 +237,14 @@ def _make_kernel(
     spacing = (zhi - zlo) / n_planes
     n_chunks = n_planes // pchunk
     n_rows = 5 if emit_ckpt else 4
+    xt = _xtile(W)
+    n_xt = W // xt
 
     def kernel(params_ref, zs_ref, coef_ref, planes_ref, out_ref, *rest):
         if emit_ckpt:
-            tck_ref, flag_ref = rest
+            tck_ref, live_ref, flag_ref, tflag_ref, tmp_ref = rest
         else:
-            (flag_ref,) = rest
+            flag_ref, tflag_ref, tmp_ref = rest
         si = pl.program_id(0)
         k = pl.program_id(1)
         ox = params_ref[0, 0]
@@ -196,96 +261,148 @@ def _make_kernel(
             if emit_ckpt:
                 out_ref[4] = jnp.ones((STRIP, W), dtype=jnp.float32)
             flag_ref[0] = 0
+            for t in range(n_xt):
+                tflag_ref[t] = 0
+
+        # --- all-scalar (SMEM) liveness: strip-chunk coverage, per-tile
+        # x-footprint overlap, per-tile persistent early-termination flags ---
+        z0 = zs_ref[0, k * pchunk]
+        z1 = zs_ref[0, k * pchunk + pchunk - 1]
+        strip_cov = _chunk_covered(
+            params_ref, zs_ref, si, k, pchunk, mgrid, box_min, box_max, W
+        )
+        live = jnp.logical_and(flag_ref[0] == 0, strip_cov)
+        tile_live = []
+        for t in range(n_xt):
+            m_a = mx0 + dmx * (t * xt)
+            m_b = mx0 + dmx * (t * xt + xt - 1)
+            xcov = _corner_overlap(ox, oz, m_a, m_b, z0, z1, xlo, xhi)
+            tile_live.append(
+                jnp.logical_and(live, jnp.logical_and(xcov, tflag_ref[t] == 0))
+            )
 
         if emit_ckpt:
-            # frozen strips still stream their (constant) transmittance so
-            # the reverse pass reads valid masks for every plane
-            @pl.when(flag_ref[0] != 0)
-            def _ckpt_frozen():
-                T = out_ref[4]
-                for i in range(pchunk):
-                    tck_ref[i] = T
+            # per-(strip, chunk) bitmap of processed tiles: the backward
+            # skips exactly what the forward skipped (zero cotangents there)
+            bits = tile_live[0].astype(jnp.int32)
+            for t in range(1, n_xt):
+                bits = bits + tile_live[t].astype(jnp.int32) * (1 << t)
+            live_ref[si, k] = bits
 
-        @pl.when(flag_ref[0] == 0)
-        def _body():
+        shrink = _shrinking_footprint(
+            params_ref, box_min, box_max, dz_sign
+        ).astype(jnp.float32)
+
+        @pl.when(live)
+        def _stage_y():
+            # per-plane y-resample, shared by every x-tile of the strip
             py = (si * STRIP + jax.lax.broadcasted_iota(
                 jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
-            px = jax.lax.broadcasted_iota(
-                jnp.int32, (1, W), 1).astype(jnp.float32)
-            mx_row = mx0 + dmx * px  # (1, W) ray slopes
             my_col = my0 + dmy * py  # (STRIP, 1)
-            if length_correction:
-                # per-ray slab path length: spacing * |d| / |d_z|
-                stretch = jnp.sqrt(
-                    1.0 + mx_row * mx_row + my_col * my_col
-                )  # (STRIP, W)
-                alpha_base = density * spacing * stretch / tstep
-            else:
-                alpha_base = jnp.full((STRIP, W), density, dtype=jnp.float32)
-
-            acc_r = out_ref[0]
-            acc_g = out_ref[1]
-            acc_b = out_ref[2]
-            acc_a = out_ref[3]
-            T = out_ref[4] if emit_ckpt else None
-            covered = None
-            # unrolled over the plane block: amortizes per-grid-step overhead
-            # (weight/constant rebuilds, DMA bookkeeping) over pchunk planes
             for i in range(pchunk):
                 z = zs_ref[0, k * pchunk + i]
-                x_at = ox + (z - oz) * mx_row[0, :]  # (W,)
                 y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
-                wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
-                wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)
-                plane = planes_ref[i]  # (NY, NX)
-                tmp = jnp.dot(
-                    wy.astype(mm_dtype), plane.astype(mm_dtype),
+                wy, _ = _tent_weights(y_at, NY, ylo, yhi)
+                tmp_ref[i] = jnp.dot(
+                    wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                 )  # (STRIP, NX)
-                res = jax.lax.dot_general(
-                    tmp.astype(mm_dtype), wx.astype(mm_dtype),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (STRIP, W)
 
-                _, cols = _tf_relu_forward(
-                    res, coef_ref, n_lut, tf_off, tf_scale
-                )
+        for t in range(n_xt):
+            sl = slice(t * xt, (t + 1) * xt)
 
-                # t > 0 <=> (z - oz) has the sign of d_z;
-                # per-axis coverage is the in-box predicate (tent rows sum to 1)
-                in_front = ((z < oz) if dz_sign < 0 else (z > oz)).astype(
-                    jnp.float32
-                )
-                covered = inbox_x[None, :] * inbox_y[:, None] * in_front
-                a = jnp.minimum(cols[3] * alpha_base, 1.0) * covered
-                live = acc_a <= threshold
-                trans = jnp.where(live, 1.0 - acc_a, 0.0)
-                at = a * trans
-                acc_r += cols[0] * at
-                acc_g += cols[1] * at
-                acc_b += cols[2] * at
-                acc_a = acc_a + at
+            @pl.when(tile_live[t])
+            def _tile(t=t, sl=sl):
+                py = (si * STRIP + jax.lax.broadcasted_iota(
+                    jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
+                px = (t * xt + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, xt), 1)).astype(jnp.float32)
+                mx_row = mx0 + dmx * px  # (1, xt)
+                my_col = my0 + dmy * py  # (STRIP, 1)
+                if length_correction:
+                    # per-ray slab path length: spacing * |d| / |d_z|
+                    stretch = jnp.sqrt(
+                        1.0 + mx_row * mx_row + my_col * my_col
+                    )  # (STRIP, xt)
+                    alpha_base = density * spacing * stretch / tstep
+                else:
+                    alpha_base = jnp.full(
+                        (STRIP, xt), density, dtype=jnp.float32
+                    )
+
+                acc_r = out_ref[0, :, sl]
+                acc_g = out_ref[1, :, sl]
+                acc_b = out_ref[2, :, sl]
+                acc_a = out_ref[3, :, sl]
+                T = out_ref[4, :, sl] if emit_ckpt else None
+                covered = None
+                # unrolled over the plane block: amortizes per-grid-step
+                # overhead over pchunk planes
+                for i in range(pchunk):
+                    z = zs_ref[0, k * pchunk + i]
+                    x_at = ox + (z - oz) * mx_row[0, :]  # (XTILE,)
+                    y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
+                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
+                    y01 = (y_at - ylo) / (yhi - ylo)
+                    inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
+                        jnp.float32
+                    )
+                    res = jax.lax.dot_general(
+                        tmp_ref[i].astype(mm_dtype), wx.astype(mm_dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (STRIP, XTILE)
+
+                    _, cols = _tf_relu_forward(
+                        res, coef_ref, n_lut, tf_off, tf_scale
+                    )
+
+                    # t > 0 <=> (z - oz) has the sign of d_z; per-axis
+                    # coverage is the in-box predicate (tent rows sum to 1)
+                    in_front = (
+                        (z < oz) if dz_sign < 0 else (z > oz)
+                    ).astype(jnp.float32)
+                    covered = inbox_x[None, :] * inbox_y[:, None] * in_front
+                    a = jnp.minimum(cols[3] * alpha_base, 1.0) * covered
+                    live_px = acc_a <= threshold
+                    trans = jnp.where(live_px, 1.0 - acc_a, 0.0)
+                    at = a * trans
+                    acc_r += cols[0] * at
+                    acc_g += cols[1] * at
+                    acc_b += cols[2] * at
+                    acc_a = acc_a + at
+                    if emit_ckpt:
+                        tck_ref[i, :, sl] = T
+                        mT = jnp.where(T >= 1.0 - threshold, T, 0.0)
+                        T = T - mT * a  # the backward's own T recursion
+                out_ref[0, :, sl] = acc_r
+                out_ref[1, :, sl] = acc_g
+                out_ref[2, :, sl] = acc_b
+                out_ref[3, :, sl] = acc_a
                 if emit_ckpt:
-                    tck_ref[i] = T
-                    mT = jnp.where(T >= 1.0 - threshold, T, 0.0)
-                    T = T - mT * a  # the backward's own T recursion
-            out_ref[0] = acc_r
-            out_ref[1] = acc_g
-            out_ref[2] = acc_b
-            out_ref[3] = acc_a
+                    out_ref[4, :, sl] = T
+                # tile-level early termination: every ray past the threshold
+                # or permanently outside the (shrinking) footprint
+                done = jnp.maximum(
+                    (acc_a > threshold).astype(jnp.float32),
+                    shrink * (1.0 - covered),
+                )
+                tflag_ref[t] = (jnp.min(done) > 0.5).astype(jnp.int32)
+
             if emit_ckpt:
-                out_ref[4] = T
-            # strip-level early termination: every ray past the threshold or
-            # permanently outside the (shrinking) footprint
-            shrink = _shrinking_footprint(
-                params_ref, box_min, box_max, dz_sign
-            ).astype(jnp.float32)
-            done = jnp.maximum(
-                (acc_a > threshold).astype(jnp.float32),
-                shrink * (1.0 - covered),
-            )
-            flag_ref[0] = (jnp.min(done) > 0.5).astype(jnp.int32)
+                # skipped tiles still stream their (constant) transmittance
+                # so the reverse pass reads valid masks for every plane
+                @pl.when(jnp.logical_not(tile_live[t]))
+                def _tile_dead(sl=sl):
+                    T = out_ref[4, :, sl]
+                    for i in range(pchunk):
+                        tck_ref[i, :, sl] = T
+
+        # strip flag: cheap full-skip of later chunks once every tile froze
+        allset = tflag_ref[0]
+        for t in range(1, n_xt):
+            allset = allset * tflag_ref[t]
+        flag_ref[0] = allset
 
         @pl.when(k == n_chunks - 1)
         def _finish():
@@ -332,7 +449,11 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk):
         vmem((pchunk, NY, NX), lambda i, k: (k, 0, 0)),
     ]
     out_spec = vmem((4, STRIP, W), lambda i, k: (0, i, 0))
-    scratch = [pltpu.SMEM((1,), jnp.int32)]
+    scratch = [
+        pltpu.SMEM((1,), jnp.int32),                 # strip ET flag
+        pltpu.SMEM((W // _xtile(W),), jnp.int32),    # per-tile ET flags
+        pltpu.VMEM((pchunk, STRIP, NX), jnp.float32),  # y-resampled planes
+    ]
     grid = (H // STRIP, n_planes // pchunk)
     return in_specs, out_spec, scratch, grid
 

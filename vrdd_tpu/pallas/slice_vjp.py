@@ -57,9 +57,9 @@ from vrdd_tpu.utils.config import MarchConfig
 from vrdd_tpu.pallas.slice_kernel import (
     STRIP,
     _make_kernel,
+    _xtile,
     _pixel_slopes,
     _preblend_planes,
-    _shrinking_footprint,
     _sweep_specs,
     _tent_weights,
     _tf_relu_forward,
@@ -79,55 +79,8 @@ def pallas_diff_supported(volume_shape, width, height, n_planes) -> bool:
     return pallas_supported(volume_shape, width, height, n_planes)
 
 
-def _resample_plane(plane, wx, wy, mm_dtype):
-    tmp = jnp.dot(
-        wy.astype(mm_dtype), plane.astype(mm_dtype),
-        preferred_element_type=jnp.float32,
-    )  # (S, NX)
-    res = jax.lax.dot_general(
-        tmp.astype(mm_dtype), wx.astype(mm_dtype),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (S, W)
-    return res
 
 
-def _build_wx(z, params_ref, W, NX, mgrid, xlo, xhi):
-    """x-resample weights for one plane — identical for every strip."""
-    mx0, dmx = mgrid[0], mgrid[1]
-    ox = params_ref[0, 0]
-    oz = params_ref[0, 2]
-    px = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
-    x_at = ox + (z - oz) * (mx0 + dmx * px[0, :])  # (W,)
-    return _tent_weights(x_at, NX, xlo, xhi)
-
-
-def _coverage(z, params_ref, si, W, H, NX, NY, mgrid, box_min, box_max,
-              with_wx):
-    """(covered (S, W) f32, wx or None, wy (S, NY), stretch |d|/|dz| (S, W))."""
-    mx0, dmx, my0, dmy, dz_sign = mgrid
-    xlo, ylo, zlo = box_min
-    xhi, yhi, zhi = box_max
-    oy = params_ref[0, 1]
-    oz = params_ref[0, 2]
-    py = (si * STRIP + jax.lax.broadcasted_iota(
-        jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
-    px = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(jnp.float32)
-    mx_row = mx0 + dmx * px  # (1, W)
-    my_col = my0 + dmy * py  # (STRIP, 1)
-    stretch = jnp.sqrt(1.0 + mx_row * mx_row + my_col * my_col)
-    y_at = oy + (z - oz) * my_col[:, 0]
-    wy, inbox_y = _tent_weights(y_at, NY, ylo, yhi)
-    if with_wx:
-        wx, inbox_x = _build_wx(z, params_ref, W, NX, mgrid, xlo, xhi)
-    else:
-        wx = None
-        ox = params_ref[0, 0]
-        x01 = (ox + (z - oz) * mx_row[0, :] - xlo) / (xhi - xlo)
-        inbox_x = ((x01 >= 0.0) & (x01 <= 1.0)).astype(jnp.float32)
-    in_front = ((z < oz) if dz_sign < 0 else (z > oz)).astype(jnp.float32)
-    covered = inbox_x[None, :] * inbox_y[:, None] * in_front
-    return covered, wx, wy, stretch
 
 
 
@@ -135,18 +88,24 @@ def _coverage(z, params_ref, si, W, H, NX, NY, mgrid, box_min, box_max,
 def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                      tstep, threshold, length_correction, mm_dtype, pchunk):
     """Reverse-order cotangent sweep; see module docstring."""
-    dz_sign = mgrid[4]
+    mx0, dmx, my0, dmy, dz_sign = mgrid
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
     n_chunks = n_planes // pchunk
     n_strips = H // STRIP
+    xt = _xtile(W)
+    n_xt = W // xt
 
     def kernel(params_ref, zs_ref, coef_ref, planes_ref, g_ref, tck_ref,
-               dplanes_ref, small_ref, S_ref, cg_ref, sg_ref, wx_ref):
+               live_ref, dplanes_ref, small_ref, S_ref, cg_ref,
+               sg_ref, tmp_ref, dtmp_ref):
         k = pl.program_id(0)      # reversed: chunk kk = n_chunks - 1 - k
         si = pl.program_id(1)
         kk = n_chunks - 1 - k
+        ox = params_ref[0, 0]
+        oy = params_ref[0, 1]
+        oz = params_ref[0, 2]
         density = params_ref[0, 3]
         tf_off = params_ref[0, 5]
         tf_scale = params_ref[0, 6]
@@ -168,148 +127,187 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             )
 
         @pl.when(si == 0)
-        def _cache_wx():
-            for i in range(pchunk):
-                z = zs_ref[0, kk * pchunk + i]
-                wx, _ = _build_wx(z, params_ref, W, NX, mgrid, xlo, xhi)
-                wx_ref[i] = wx
-
-        @pl.when(si == 0)
         def _init_dplanes():
             dplanes_ref[...] = jnp.zeros((pchunk, NY, NX), dtype=jnp.float32)
 
-        # skip the chunk when every ray in the strip is frozen before it
-        # (the chunk's FIRST plane has the largest prefix transmittance) or
-        # permanently outside the volume's footprint (never-covered rays keep
-        # T = 1 but contribute zero cotangent; the chunk's first plane also
-        # has the widest footprint when it provably shrinks front-to-back)
-        z0 = zs_ref[0, kk * pchunk]
-        cov0, _, _, _ = _coverage(
-            z0, params_ref, si, W, H, NX, NY, mgrid, box_min, box_max,
-            with_wx=False,
-        )
-        shrink = _shrinking_footprint(
-            params_ref, box_min, box_max, dz_sign
-        ).astype(jnp.float32)
-        done_px = jnp.maximum(
-            (tck_ref[0] < 1.0 - threshold).astype(jnp.float32),
-            shrink * (1.0 - cov0),
-        )
-        chunk_live = jnp.min(done_px) < 0.5
+        # process exactly the tiles the forward processed (its live bitmap):
+        # everything else has identically-zero cotangents. One scalar SMEM
+        # read replaces a (STRIP, W) cross-lane reduction.
+        bits = live_ref[si, kk]
+        chunk_live = bits != 0
 
         @pl.when(chunk_live)
-        def _body():
-            S = S_ref[pl.ds(row0, STRIP), :]
-            g0 = g_ref[0]
-            g1 = g_ref[1]
-            g2 = g_ref[2]
-            g3 = g_ref[3]
-
-            cg_acc = [None] * (4 * n_lut)
-            dens_acc = None
-            toff_acc = None
-            tscl_acc = None
-
-            def _add(acc, v):
-                return v if acc is None else acc + v
-
-            for i in reversed(range(pchunk)):
+        def _stage_y():
+            # forward y-resample (shared by every x-tile) + d_tmp zeroing
+            py = (row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
+            my_col = my0 + dmy * py
+            for i in range(pchunk):
                 z = zs_ref[0, kk * pchunk + i]
-                covered, _, wy, stretch = _coverage(
-                    z, params_ref, si, W, H, NX, NY, mgrid, box_min, box_max,
-                    with_wx=False,
+                y_at = oy + (z - oz) * my_col[:, 0]
+                wy, _ = _tent_weights(y_at, NY, ylo, yhi)
+                tmp_ref[i] = jnp.dot(
+                    wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
                 )
+                dtmp_ref[i] = jnp.zeros((STRIP, NX), dtype=jnp.float32)
+
+        for t in range(n_xt):
+            sl = slice(t * xt, (t + 1) * xt)
+            tile_live = (
+                jnp.bitwise_and(jax.lax.shift_right_logical(bits, t), 1) != 0
+            )
+
+            @pl.when(tile_live)
+            def _tile(t=t, sl=sl):
+                S = S_ref[pl.ds(row0, STRIP), sl]
+                g0 = g_ref[0, :, sl]
+                g1 = g_ref[1, :, sl]
+                g2 = g_ref[2, :, sl]
+                g3 = g_ref[3, :, sl]
+
+                py = (row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
+                px = (t * xt + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, xt), 1)).astype(jnp.float32)
+                mx_row = mx0 + dmx * px  # (1, xt)
+                my_col = my0 + dmy * py  # (STRIP, 1)
                 if length_correction:
+                    stretch = jnp.sqrt(
+                        1.0 + mx_row * mx_row + my_col * my_col
+                    )
                     ab = spacing * stretch / tstep
                 else:
-                    ab = jnp.ones((STRIP, W), dtype=jnp.float32)
-                res = _resample_plane(planes_ref[i], wx_ref[i], wy, mm_dtype)
-                q, cols = _tf_relu_forward(res, coef_ref, n_lut, tf_off,
-                                           tf_scale)
-                raw = cols[3] * density * ab
-                a = jnp.minimum(raw, 1.0) * covered
-                T = tck_ref[i]  # prefix transmittance BEFORE this plane
-                m = (T >= 1.0 - threshold).astype(jnp.float32)
-                mT = m * T
+                    ab = jnp.ones((STRIP, xt), dtype=jnp.float32)
 
-                # composited-chain cotangents; S currently = sum_{j>k} P_j
-                gdotc = (g0 * cols[0] + g1 * cols[1] + g2 * cols[2] + g3) * a
-                one_minus_a = 1.0 - a
-                chain = jnp.where(
-                    jnp.abs(one_minus_a) > 1e-6, S / one_minus_a, 0.0
-                )
-                d_cr = mT * g0
-                d_cg = mT * g1
-                d_cb = mT * g2
-                d_ca = mT * g3 - m * chain
-                S = S + gdotc * mT  # now includes P_k for the next-front plane
+                cg_acc = [None] * (4 * n_lut)
+                dens_acc = None
+                toff_acc = None
+                tscl_acc = None
 
-                # transpose through (rgb, a) = (col_rgb * a, a)
-                d_col_r = d_cr * a
-                d_col_g = d_cg * a
-                d_col_b = d_cb * a
-                d_a = d_ca + d_cr * cols[0] + d_cg * cols[1] + d_cb * cols[2]
-                # a = min(col_a * density * ab, 1) * covered
-                openm = covered * (raw < 1.0).astype(jnp.float32)
-                d_open = d_a * openm
-                d_col_a = d_open * density * ab
-                dens_acc = _add(dens_acc, d_open * cols[3] * ab)
+                def _add(acc, v):
+                    return v if acc is None else acc + v
 
-                # transpose through the TF: LUT cotangent in the TENT basis
-                # (well-conditioned: localized weights, no cancellation);
-                # dq from the relu-basis slope (c_0 + sum_l c_l [q > l] is
-                # exactly the local LUT slope, equal a.e. to the tent-form
-                # derivative the XLA oracle uses)
-                d_cols = (d_col_r, d_col_g, d_col_b, d_col_a)
-                dq = (
-                    d_col_r * coef_ref[0, 4 + 0]
-                    + d_col_g * coef_ref[0, 4 + 1]
-                    + d_col_b * coef_ref[0, 4 + 2]
-                    + d_col_a * coef_ref[0, 4 + 3]
-                )
-                for li in range(n_lut):
-                    wl = jnp.maximum(0.0, 1.0 - jnp.abs(q - li))
-                    for c in range(4):
-                        cg_acc[li * 4 + c] = _add(
-                            cg_acc[li * 4 + c], wl * d_cols[c]
-                        )
-                    if 1 <= li <= n_lut - 2:
-                        step = (q > li).astype(jnp.float32)
-                        gl = (
-                            d_col_r * coef_ref[0, (1 + li) * 4 + 0]
-                            + d_col_g * coef_ref[0, (1 + li) * 4 + 1]
-                            + d_col_b * coef_ref[0, (1 + li) * 4 + 2]
-                            + d_col_a * coef_ref[0, (1 + li) * 4 + 3]
-                        )
-                        dq = dq + gl * step
-                qraw = (res - tf_off) * tf_scale * n_lut - 0.5
-                inm = ((qraw > 0.0) & (qraw < n_lut - 1.0)).astype(
-                    jnp.float32
-                )
-                dq_in = dq * inm
-                d_res = dq_in * (tf_scale * n_lut)
-                toff_acc = _add(toff_acc, -d_res)
-                tscl_acc = _add(tscl_acc, dq_in * (res - tf_off) * n_lut)
+                for i in reversed(range(pchunk)):
+                    z = zs_ref[0, kk * pchunk + i]
+                    x_at = ox + (z - oz) * mx_row[0, :]  # (XTILE,)
+                    y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
+                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
+                    y01 = (y_at - ylo) / (yhi - ylo)
+                    inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
+                        jnp.float32
+                    )
+                    in_front = (
+                        (z < oz) if dz_sign < 0 else (z > oz)
+                    ).astype(jnp.float32)
+                    covered = inbox_x[None, :] * inbox_y[:, None] * in_front
+                    res = jax.lax.dot_general(
+                        tmp_ref[i].astype(mm_dtype), wx.astype(mm_dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (STRIP, XTILE)
+                    q, cols = _tf_relu_forward(res, coef_ref, n_lut, tf_off,
+                                               tf_scale)
+                    raw = cols[3] * density * ab
+                    a = jnp.minimum(raw, 1.0) * covered
+                    T = tck_ref[i, :, sl]  # prefix transmittance BEFORE this plane
+                    m = (T >= 1.0 - threshold).astype(jnp.float32)
+                    mT = m * T
 
-                # transpose through the separable resample: two MXU matmuls
-                d_tmp = jnp.dot(
-                    d_res.astype(mm_dtype), wx_ref[i].astype(mm_dtype),
-                    preferred_element_type=jnp.float32,
-                )  # (S, NX)
-                d_plane = jax.lax.dot_general(
-                    wy.astype(mm_dtype), d_tmp.astype(mm_dtype),
+                    # composited-chain cotangents; S = sum_{j>k} P_j so far
+                    gdotc = (
+                        g0 * cols[0] + g1 * cols[1] + g2 * cols[2] + g3
+                    ) * a
+                    one_minus_a = 1.0 - a
+                    chain = jnp.where(
+                        jnp.abs(one_minus_a) > 1e-6, S / one_minus_a, 0.0
+                    )
+                    d_cr = mT * g0
+                    d_cg = mT * g1
+                    d_cb = mT * g2
+                    d_ca = mT * g3 - m * chain
+                    S = S + gdotc * mT  # includes P_k for the next-front plane
+
+                    # transpose through (rgb, a) = (col_rgb * a, a)
+                    d_col_r = d_cr * a
+                    d_col_g = d_cg * a
+                    d_col_b = d_cb * a
+                    d_a = (
+                        d_ca + d_cr * cols[0] + d_cg * cols[1]
+                        + d_cb * cols[2]
+                    )
+                    # a = min(col_a * density * ab, 1) * covered
+                    openm = covered * (raw < 1.0).astype(jnp.float32)
+                    d_open = d_a * openm
+                    d_col_a = d_open * density * ab
+                    dens_acc = _add(dens_acc, d_open * cols[3] * ab)
+
+                    # transpose through the TF: LUT cotangent in the TENT
+                    # basis (well-conditioned: localized weights, no
+                    # cancellation); dq from the relu-basis slope (c_0 +
+                    # sum_l c_l [q > l] is exactly the local LUT slope,
+                    # equal a.e. to the tent-form derivative of the oracle)
+                    d_cols = (d_col_r, d_col_g, d_col_b, d_col_a)
+                    dq = (
+                        d_col_r * coef_ref[0, 4 + 0]
+                        + d_col_g * coef_ref[0, 4 + 1]
+                        + d_col_b * coef_ref[0, 4 + 2]
+                        + d_col_a * coef_ref[0, 4 + 3]
+                    )
+                    for li in range(n_lut):
+                        wl = jnp.maximum(0.0, 1.0 - jnp.abs(q - li))
+                        for c in range(4):
+                            cg_acc[li * 4 + c] = _add(
+                                cg_acc[li * 4 + c], wl * d_cols[c]
+                            )
+                        if 1 <= li <= n_lut - 2:
+                            step = (q > li).astype(jnp.float32)
+                            gl = (
+                                d_col_r * coef_ref[0, (1 + li) * 4 + 0]
+                                + d_col_g * coef_ref[0, (1 + li) * 4 + 1]
+                                + d_col_b * coef_ref[0, (1 + li) * 4 + 2]
+                                + d_col_a * coef_ref[0, (1 + li) * 4 + 3]
+                            )
+                            dq = dq + gl * step
+                    qraw = (res - tf_off) * tf_scale * n_lut - 0.5
+                    inm = ((qraw > 0.0) & (qraw < n_lut - 1.0)).astype(
+                        jnp.float32
+                    )
+                    dq_in = dq * inm
+                    d_res = dq_in * (tf_scale * n_lut)
+                    toff_acc = _add(toff_acc, -d_res)
+                    tscl_acc = _add(tscl_acc, dq_in * (res - tf_off) * n_lut)
+
+                    # transpose through the x-resample; the y-transpose is
+                    # deferred to one full-width matmul per plane (below)
+                    dtmp_ref[i] += jnp.dot(
+                        d_res.astype(mm_dtype), wx.astype(mm_dtype),
+                        preferred_element_type=jnp.float32,
+                    )  # (STRIP, NX)
+
+                S_ref[pl.ds(row0, STRIP), sl] = S
+                for j in range(4 * n_lut):
+                    if cg_acc[j] is not None:
+                        cg_ref[j, :, sl] += cg_acc[j]
+                sg_ref[0, :, sl] += dens_acc
+                sg_ref[1, :, sl] += toff_acc
+                sg_ref[2, :, sl] += tscl_acc
+
+        @pl.when(chunk_live)
+        def _stage_dplane():
+            # y-transpose of the accumulated d_tmp: d_plane = wy^T @ d_tmp
+            py = (row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
+            my_col = my0 + dmy * py
+            for i in range(pchunk):
+                z = zs_ref[0, kk * pchunk + i]
+                y_at = oy + (z - oz) * my_col[:, 0]
+                wy, _ = _tent_weights(y_at, NY, ylo, yhi)
+                dplanes_ref[i] += jax.lax.dot_general(
+                    wy.astype(mm_dtype), dtmp_ref[i].astype(mm_dtype),
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (NY, NX)
-                dplanes_ref[i] += d_plane
-
-            S_ref[pl.ds(row0, STRIP), :] = S
-            for j in range(4 * n_lut):
-                if cg_acc[j] is not None:
-                    cg_ref[j] += cg_acc[j]
-            sg_ref[0] += dens_acc
-            sg_ref[1] += toff_acc
-            sg_ref[2] += tscl_acc
 
         last = jnp.logical_and(k == n_chunks - 1, si == n_strips - 1)
 
@@ -394,24 +392,26 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
         return jnp.transpose(out, (1, 2, 0))
 
     def _fwd_ckpt_call(planes_all, params, coef_flat):
-        out, tck = pl.pallas_call(
+        out, tck, live_map = pl.pallas_call(
             fwd_ckpt_kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((5, H, W), jnp.float32),
                 jax.ShapeDtypeStruct((n_planes, H, W), jnp.float32),
+                jax.ShapeDtypeStruct((n_strips, n_chunks), jnp.int32),
             ),
             grid=grid,
             in_specs=in_specs,
             out_specs=(
                 vmem((5, STRIP, W), lambda i, k: (0, i, 0)),
                 vmem((pchunk, STRIP, W), lambda i, k: (k, i, 0)),
+                smem((n_strips, n_chunks), lambda i, k: (0, 0)),
             ),
             scratch_shapes=scratch,
             compiler_params=cparams,
         )(params, _zs_in(), coef_flat, planes_all)
-        return jnp.transpose(out[:4], (1, 2, 0)), tck
+        return jnp.transpose(out[:4], (1, 2, 0)), tck, live_map
 
-    def _bwd_call(planes_all, params, coef_flat, tck, g):
+    def _bwd_call(planes_all, params, coef_flat, tck, live_map, g):
         g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
         in_specs_bwd = [
             smem((1, 8), lambda k, s: (0, 0)),
@@ -420,6 +420,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             vmem((pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)),
             vmem((4, STRIP, W), lambda k, s: (0, s, 0)),
             vmem((pchunk, STRIP, W), lambda k, s: (n_chunks - 1 - k, s, 0)),
+            smem((n_strips, n_chunks), lambda k, s: (0, 0)),
         ]
         d_planes, small = pl.pallas_call(
             bwd_kernel,
@@ -437,10 +438,11 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                 pltpu.VMEM((H, W), jnp.float32),
                 pltpu.VMEM((4 * n_lut, STRIP, W), jnp.float32),
                 pltpu.VMEM((3, STRIP, W), jnp.float32),
-                pltpu.VMEM((pchunk, W, NX), jnp.float32),
+                pltpu.VMEM((pchunk, STRIP, NX), jnp.float32),
+                pltpu.VMEM((pchunk, STRIP, NX), jnp.float32),
             ],
             compiler_params=cparams_bwd,
-        )(params, _zs_in(), coef_flat, planes_all, g4, tck)
+        )(params, _zs_in(), coef_flat, planes_all, g4, tck, live_map)
         g_lut = small[0, : 4 * n_lut].reshape(n_lut, 4)
         g_density = small[0, 4 * n_lut + 0]
         g_toff = small[0, 4 * n_lut + 1]
@@ -456,15 +458,16 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
     def sweep_fwd(planes_all, origin, lut, density, toff, tscl):
         params = _pack_params(origin, density, toff, tscl)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
-        out, tck = _fwd_ckpt_call(planes_all, params, coef_flat)
-        return out, (planes_all, origin, lut, density, toff, tscl, tck)
+        out, tck, live_map = _fwd_ckpt_call(planes_all, params, coef_flat)
+        return out, (planes_all, origin, lut, density, toff, tscl, tck,
+                     live_map)
 
     def sweep_bwd(res, g):
-        planes_all, origin, lut, density, toff, tscl, tck = res
+        planes_all, origin, lut, density, toff, tscl, tck, live_map = res
         params = _pack_params(origin, density, toff, tscl)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
         d_planes, g_lut, g_density, g_toff, g_tscl = _bwd_call(
-            planes_all, params, coef_flat, tck, g
+            planes_all, params, coef_flat, tck, live_map, g
         )
         return (
             d_planes,
