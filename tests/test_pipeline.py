@@ -129,9 +129,13 @@ def test_renderer_selection_and_slice_path(pipeline):
     from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
     rot = inv_view_from_rotation_translation(30.0, 0.0, (0.0, 0.0, -4.0))
     assert pipeline.resolve_renderer("auto", rot, cfg) == "shearwarp"
-    # in-march decode query -> scan
+    # query 7 pre-reduces its linear decode -> object-order too
+    assert pipeline.resolve_renderer(
+        "auto", iv, _cfg(QueryMethod.INTERP_MEAN)
+    ) in ("slice", "pallas")
+    # flex queries stay on the scan marcher
     assert (
-        pipeline.resolve_renderer("auto", iv, _cfg(QueryMethod.INTERP_MEAN))
+        pipeline.resolve_renderer("auto", iv, _cfg(QueryMethod.FLEX_MEAN))
         == "scan"
     )
     img_slice = np.asarray(pipeline.render(iv, cfg, renderer="slice"))
@@ -143,10 +147,35 @@ def test_renderer_selection_and_slice_path(pipeline):
     assert np.quantile(np.abs(img_slice - img_scan), 0.9) < 0.15
 
 
-def test_renderer_slice_rejects_in_march_queries(pipeline):
+def test_renderer_slice_rejects_flex_queries(pipeline):
     iv = default_benchmark_inv_view()
-    with pytest.raises(ValueError, match="1-6"):
-        pipeline.render(iv, _cfg(QueryMethod.INTERP_MEAN), renderer="slice")
+    with pytest.raises(ValueError, match="1-7"):
+        pipeline.render(iv, _cfg(QueryMethod.FLEX_MEAN), renderer="slice")
+
+
+def test_query7_object_order_parity(pipeline):
+    """Query 7 on the slice sweep (tex_offset=0, the block-boundary grid of
+    volumeRender_kernel.cu:395-478) matches the scan marcher's in-march
+    decode to sweep-discretization tolerance."""
+    iv = default_benchmark_inv_view()
+    cfg = _cfg(QueryMethod.INTERP_MEAN)
+    img_slice = np.asarray(pipeline.render(iv, cfg, renderer="slice"))
+    img_scan = np.asarray(pipeline.render(iv, cfg, renderer="scan"))
+    assert np.isfinite(img_slice).all()
+    assert img_slice[..., 3].max() > 0.01
+    assert np.quantile(np.abs(img_slice - img_scan), 0.9) < 0.15
+
+
+def test_query7_shearwarp_rotated_parity(pipeline):
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+
+    rot = inv_view_from_rotation_translation(20.0, 30.0, (0.0, 0.0, -4.0))
+    cfg = _cfg(QueryMethod.INTERP_MEAN)
+    assert pipeline.resolve_renderer("auto", rot, cfg) == "shearwarp"
+    img_sw = np.asarray(pipeline.render(rot, cfg, renderer="shearwarp"))
+    img_scan = np.asarray(pipeline.render(rot, cfg, renderer="scan"))
+    assert np.isfinite(img_sw).all()
+    assert np.quantile(np.abs(img_sw - img_scan), 0.9) < 0.15
 
 
 def test_renderer_shearwarp_rotated(pipeline):

@@ -137,6 +137,7 @@ def shearwarp_render_image(
     plane_chunk: int = 8,
     use_custom_vjp: bool = True,
     backend: str = "auto",
+    tex_offset: float = 0.5,
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA for an ARBITRARY view on the matmul sweep.
 
@@ -216,6 +217,7 @@ def shearwarp_render_image(
             density, brightness, transfer_offset, transfer_scale,
             march=march_p, dz_sign=dz_sign, n_planes=n_planes,
             length_correction=length_correction, plane_chunk=plane_chunk,
+            tex_offset=tex_offset,
         )
     else:
         img_m = sweep_slope_space(
@@ -224,6 +226,7 @@ def shearwarp_render_image(
             dz_sign=dz_sign, n_planes=n_planes,
             length_correction=length_correction, compute_dtype=compute_dtype,
             plane_chunk=plane_chunk, use_custom_vjp=use_custom_vjp,
+            tex_offset=tex_offset,
         )
 
     # final homography warp m-space -> pixels (static fractional indices)

@@ -65,15 +65,21 @@ from vrdd_tpu.utils.config import MarchConfig
 
 
 def _axis_weights(
-    coords: jnp.ndarray, n: int, lo: float, hi: float
+    coords: jnp.ndarray, n: int, lo: float, hi: float,
+    tex_offset: float = 0.5,
 ) -> jnp.ndarray:
     """Dense CUDA-model bilinear weight matrix (P, n) for world coords (P,).
 
     Out-of-box coords (outside [lo, hi]) get all-zero rows (no contribution);
     in-box coords clamp to edge texels exactly like the texture unit.
+
+    ``tex_offset`` selects the filtering convention: 0.5 is the CUDA texture
+    model (texel centers at (i + 0.5) / n); 0.0 is the block-boundary grid of
+    the reference's query 7 (volumeRender_kernel.cu:395-478), whose cell is
+    ``[floor(p01 * n), ceil(p01 * n)]`` with index clamping.
     """
     p01 = (coords - lo) / (hi - lo)
-    xf = p01 * n - 0.5
+    xf = p01 * n - tex_offset
     i0 = jnp.floor(xf)
     a = xf - i0
     i0i = i0.astype(jnp.int32)
@@ -126,6 +132,7 @@ def sweep_slope_space(
     compute_dtype=jnp.float32,
     plane_chunk: int = 8,
     use_custom_vjp: bool = True,
+    tex_offset: float = 0.5,
 ) -> jnp.ndarray:
     """Plane sweep over a ray-slope grid: returns ``(Hi, Wi, 4)`` RGBA.
 
@@ -176,7 +183,7 @@ def sweep_slope_space(
     # Pre-blend all sampling planes with ONE matmul (Wz has two CUDA-model
     # bilinear weights per row). Outside the sweep, so the volume cotangent is
     # a single transposed matmul.
-    zf_all = (zs - zlo) / (zhi - zlo) * nz - 0.5
+    zf_all = (zs - zlo) / (zhi - zlo) * nz - tex_offset
     iz0_all = np.floor(zf_all)
     az_all = (zf_all - iz0_all).astype(np.float32)
     iz0_all = np.clip(iz0_all.astype(np.int64), 0, nz - 1)
@@ -209,10 +216,10 @@ def sweep_slope_space(
         """
         x_at = ox + (z[:, None] - oz) * mx[None, :]  # (C, W)
         y_at = oy + (z[:, None] - oz) * my[None, :]  # (C, H)
-        wx = _axis_weights(x_at.reshape(-1), nx, xlo, xhi).reshape(
+        wx = _axis_weights(x_at.reshape(-1), nx, xlo, xhi, tex_offset).reshape(
             chunk, width, nx
         ).astype(dtype)
-        wy = _axis_weights(y_at.reshape(-1), ny, ylo, yhi).reshape(
+        wy = _axis_weights(y_at.reshape(-1), ny, ylo, yhi, tex_offset).reshape(
             chunk, height, ny
         ).astype(dtype)
         tmp = jax.lax.dot_general(
@@ -360,6 +367,7 @@ def slice_render_image(
     compute_dtype=jnp.float32,
     plane_chunk: int = 8,
     use_custom_vjp: bool = True,
+    tex_offset: float = 0.5,
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA by plane sweep (unrotated camera at ``origin``).
 
@@ -378,5 +386,5 @@ def slice_render_image(
         density, brightness, transfer_offset, transfer_scale, march,
         dz_sign=-1, n_planes=n_planes, length_correction=length_correction,
         compute_dtype=compute_dtype, plane_chunk=plane_chunk,
-        use_custom_vjp=use_custom_vjp,
+        use_custom_vjp=use_custom_vjp, tex_offset=tex_offset,
     )

@@ -35,6 +35,7 @@ from vrdd_tpu.models.flexible import FlexibleBlockVolume
 from vrdd_tpu.models.renderer import (
     flex_sample_fn,
     interp_mean_sample_fn,
+    interp_mean_volume,
     stats_sample_fn,
 )
 from vrdd_tpu.models.volumes import FractalHistogramVolume, RawHistogramVolume
@@ -75,6 +76,7 @@ class RenderPipeline:
             default_transfer_function() if tf_lut is None else tf_lut,
             dtype=jnp.float32,
         )
+        self._interp_mean_vol = None  # query-7 field, built on first use
 
     def sample_source(self, method: QueryMethod):
         """(source array, array -> SampleFn builder) for a query method.
@@ -136,10 +138,25 @@ class RenderPipeline:
             if self.fractal_stats is None:
                 raise ValueError("no fractal codebook volume loaded")
             return self.fractal_stats[..., query_channel(method)]
+        if method == QueryMethod.INTERP_MEAN:
+            if self.raw is None:
+                raise ValueError("query 7 needs the raw histogram volume")
+            if self._interp_mean_vol is None:
+                self._interp_mean_vol = interp_mean_volume(
+                    self.raw.histograms
+                )
+            return self._interp_mean_vol
         raise ValueError(
             "renderers 'slice'/'pallas'/'shearwarp' support precomputed-stats "
-            "query methods 1-6; use renderer='scan' for query 7/8/9/0"
+            "query methods 1-7; use renderer='scan' for query 8/9/0"
         )
+
+    @staticmethod
+    def _tex_offset(method) -> float:
+        """Filtering convention per query: 7 interpolates on the block-
+        boundary grid (volumeRender_kernel.cu:395-478, no -0.5 texel offset);
+        everything else uses the CUDA texture model."""
+        return 0.0 if QueryMethod(method) == QueryMethod.INTERP_MEAN else 0.5
 
     def resolve_renderer(
         self, renderer: str, inv_view: np.ndarray, config: RenderConfig
@@ -161,6 +178,7 @@ class RenderPipeline:
             QueryMethod.RAW_MEAN, QueryMethod.RAW_VARIANCE,
             QueryMethod.RAW_ENTROPY, QueryMethod.FRACTAL_MEAN,
             QueryMethod.FRACTAL_VARIANCE, QueryMethod.FRACTAL_ENTROPY,
+            QueryMethod.INTERP_MEAN,
         )
         if not stats_ok:
             return "scan"
@@ -231,6 +249,8 @@ class RenderPipeline:
         if renderer == "shearwarp":
             inv_view = np.frombuffer(iv_bytes, dtype=np.float32).reshape(3, 4)
 
+            toff = self._tex_offset(method)
+
             @jax.jit
             def run_sw(volume, tf_lut, density, brightness, offset, scale):
                 # distribution stats volumes are coarse (tens of blocks per
@@ -240,10 +260,12 @@ class RenderPipeline:
                     volume, inv_view, width, height, tf_lut, density,
                     brightness, offset, scale, march=march,
                     n_planes=max(64, 2 * volume.shape[0]),
+                    tex_offset=toff,
                 )
 
             return run_sw
         if renderer in ("slice", "pallas"):
+            toff = self._tex_offset(method)
 
             @jax.jit
             def run_obj(volume, inv_view, tf_lut, density, brightness,
@@ -254,11 +276,12 @@ class RenderPipeline:
                     return pallas_slice_render(
                         volume, origin, tf_lut, density, brightness,
                         offset, scale, width=width, height=height, march=march,
-                        n_planes=n_planes,
+                        n_planes=n_planes, tex_offset=toff,
                     )
                 return slice_render_image(
                     volume, origin, width, height, tf_lut, density,
                     brightness, offset, scale, march=march, n_planes=n_planes,
+                    tex_offset=toff,
                 )
 
             return run_obj

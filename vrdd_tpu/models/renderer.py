@@ -77,6 +77,21 @@ def flex_sample_fn(flex_stats: jnp.ndarray, channel: int) -> SampleFn:
     return f
 
 
+def interp_mean_volume(histograms: jnp.ndarray) -> jnp.ndarray:
+    """Query-7 scalar field: per-block histogram means x50 ``(Z, Y, X)``.
+
+    The decode half of the reference's query 7 (volumeRender_kernel.cu:
+    354-367, x50 at :479). The mean is linear in the histogram, so
+    interpolating this pre-reduced field equals the reference's per-corner
+    in-march decode; the object-order sweeps consume it with
+    ``tex_offset=0.0`` (query 7's block-boundary grid, :395-478)."""
+    bin_width = MAX_HISTOGRAM / N_BINS
+    centers = (
+        bin_width * jnp.arange(N_BINS, dtype=jnp.float32) + bin_width / 2.0
+    )
+    return jnp.sum(histograms * centers, axis=-1) * INTERP_MEAN_SCALE
+
+
 def interp_mean_sample_fn(histograms: jnp.ndarray) -> SampleFn:
     """Query 7 — on-the-fly trilinear-interpolated histogram mean.
 

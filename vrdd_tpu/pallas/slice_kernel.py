@@ -108,18 +108,22 @@ def _tf_coef_matrix(n: int) -> np.ndarray:
     return A
 
 
-def _tent_weights(coords, n: int, lo: float, hi: float):
+def _tent_weights(coords, n: int, lo: float, hi: float,
+                  tex_offset: float = 0.5):
     """(P,) world coords -> (P, n) bilinear weights + (P,) in-box f32 mask.
 
-    Tent identity: with ``q = clip(u * n - 0.5, 0, n - 1)``,
+    Tent identity: with ``q = clip(u * n - tex_offset, 0, n - 1)``,
     ``w_l = max(0, 1 - |q - l|)`` reproduces clamp-to-edge two-tap filtering.
+    ``tex_offset=0.5`` is the CUDA texture model (texel centers at
+    (i + 0.5)/n); ``0.0`` is the block-boundary grid of the reference's
+    query 7 (volumeRender_kernel.cu:395-478).
     In-box rows always sum to exactly 1, so the returned mask doubles as the
     per-axis coverage predicate — NEVER reduce the weight matrix to test
     coverage (a cross-lane ``sum(w, axis=1)`` per grid step costs ~10x the
     whole kernel on Mosaic).
     """
     p01 = (coords - lo) / (hi - lo)
-    q = jnp.clip(p01 * n - 0.5, 0.0, n - 1.0)
+    q = jnp.clip(p01 * n - tex_offset, 0.0, n - 1.0)
     l = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], n), 1).astype(
         jnp.float32
     )
@@ -219,6 +223,7 @@ def _make_kernel(
     H: int, W: int, NY: int, NX: int, n_planes: int, n_lut: int,
     mgrid, box_min, box_max, tstep: float, threshold: float,
     length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
+    tex_offset: float = 0.5,
 ):
     """``emit_ckpt``: additionally track per-ray transmittance in a 5th
     accumulator row (the backward pass's own T recursion, bit-identical to
@@ -302,7 +307,7 @@ def _make_kernel(
             for i in range(pchunk):
                 z = zs_ref[0, k * pchunk + i]
                 y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
-                wy, _ = _tent_weights(y_at, NY, ylo, yhi)
+                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset)
                 tmp_ref[i] = jnp.dot(
                     wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
@@ -342,7 +347,7 @@ def _make_kernel(
                     z = zs_ref[0, k * pchunk + i]
                     x_at = ox + (z - oz) * mx_row[0, :]  # (XTILE,)
                     y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
-                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
+                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi, tex_offset)
                     y01 = (y_at - ylo) / (yhi - ylo)
                     inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
                         jnp.float32
@@ -411,7 +416,8 @@ def _make_kernel(
     return kernel
 
 
-def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1):
+def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
+                     tex_offset=0.5):
     """Front-to-back plane stack via one CUDA-model z-resample matmul."""
     nz, ny, nx = volume.shape
     zlo, zhi = box_min[2], box_max[2]
@@ -421,7 +427,7 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1):
     )
     if dz_sign < 0:
         zs = zs[::-1]
-    zf_all = (zs - zlo) / (zhi - zlo) * nz - 0.5
+    zf_all = (zs - zlo) / (zhi - zlo) * nz - tex_offset
     iz0 = np.clip(np.floor(zf_all).astype(np.int64), 0, nz - 1)
     az = (zf_all - np.floor(zf_all)).astype(np.float32)
     if np.all(az < 1e-6):
@@ -480,13 +486,13 @@ def _pixel_slopes(width: int, height: int, focal: float):
     jax.jit,
     static_argnames=(
         "mgrid", "width", "height", "march", "n_planes", "length_correction",
-        "precision", "plane_chunk",
+        "precision", "plane_chunk", "tex_offset",
     ),
 )
 def _sweep_call(
     volume, origin, tf_lut, density, brightness, transfer_offset,
     transfer_scale, *, mgrid, width, height, march, n_planes,
-    length_correction, precision, plane_chunk,
+    length_correction, precision, plane_chunk, tex_offset=0.5,
 ):
     nz, ny, nx = volume.shape
     pchunk = plane_chunk
@@ -494,7 +500,7 @@ def _sweep_call(
         pchunk -= 1
 
     planes_all, zs = _preblend_planes(
-        volume, n_planes, march.box_min, march.box_max, mgrid[4]
+        volume, n_planes, march.box_min, march.box_max, mgrid[4], tex_offset
     )
 
     origin = jnp.asarray(origin, dtype=jnp.float32)
@@ -518,7 +524,7 @@ def _sweep_call(
     kernel = _make_kernel(
         height, width, ny, nx, n_planes, n_lut, mgrid,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
-        length_correction, mm_dtype, pchunk,
+        length_correction, mm_dtype, pchunk, tex_offset=tex_offset,
     )
     in_specs, out_spec, scratch, grid = _sweep_specs(
         height, width, ny, nx, n_planes, n_lut, pchunk
@@ -555,6 +561,7 @@ def pallas_sweep_slope_space(
     length_correction: bool = True,
     precision: str = "f32",
     plane_chunk: int = 8,
+    tex_offset: float = 0.5,
 ) -> jnp.ndarray:
     """Fused plane sweep over a UNIFORM ray-slope grid: (Hm, Wm, 4) RGBA.
 
@@ -572,6 +579,7 @@ def pallas_sweep_slope_space(
         width=int(np.asarray(mx).shape[0]), height=int(np.asarray(my).shape[0]),
         march=march, n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk,
+        tex_offset=float(tex_offset),
     )
 
 
@@ -592,6 +600,7 @@ def pallas_slice_render(
     length_correction: bool = True,
     precision: str = "f32",
     plane_chunk: int = 8,
+    tex_offset: float = 0.5,
 ) -> jnp.ndarray:
     """Fused forward render; same semantics as slice_render_image."""
     volume = jnp.asarray(volume)
@@ -602,5 +611,5 @@ def pallas_slice_render(
         volume, origin, mx, my, tf_lut, density, brightness,
         transfer_offset, transfer_scale, march=march, dz_sign=-1,
         n_planes=n_planes, length_correction=length_correction,
-        precision=precision, plane_chunk=plane_chunk,
+        precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
     )

@@ -86,7 +86,8 @@ def pallas_diff_supported(volume_shape, width, height, n_planes) -> bool:
 
 
 def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
-                     tstep, threshold, length_correction, mm_dtype, pchunk):
+                     tstep, threshold, length_correction, mm_dtype, pchunk,
+                     tex_offset=0.5):
     """Reverse-order cotangent sweep; see module docstring."""
     mx0, dmx, my0, dmy, dz_sign = mgrid
     xlo, ylo, zlo = box_min
@@ -145,7 +146,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             for i in range(pchunk):
                 z = zs_ref[0, kk * pchunk + i]
                 y_at = oy + (z - oz) * my_col[:, 0]
-                wy, _ = _tent_weights(y_at, NY, ylo, yhi)
+                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset)
                 tmp_ref[i] = jnp.dot(
                     wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
@@ -192,7 +193,8 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                     z = zs_ref[0, kk * pchunk + i]
                     x_at = ox + (z - oz) * mx_row[0, :]  # (XTILE,)
                     y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
-                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi)
+                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi,
+                                                tex_offset)
                     y01 = (y_at - ylo) / (yhi - ylo)
                     inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
                         jnp.float32
@@ -302,7 +304,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             for i in range(pchunk):
                 z = zs_ref[0, kk * pchunk + i]
                 y_at = oy + (z - oz) * my_col[:, 0]
-                wy, _ = _tent_weights(y_at, NY, ylo, yhi)
+                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset)
                 dplanes_ref[i] += jax.lax.dot_general(
                     wy.astype(mm_dtype), dtmp_ref[i].astype(mm_dtype),
                     (((0,), (0,)), ((), ())),
@@ -336,21 +338,25 @@ def _pack_params(origin, density, toff, tscl):
 
 @functools.lru_cache(maxsize=64)
 def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
-                     tstep, threshold, length_correction, precision, pchunk):
+                     tstep, threshold, length_correction, precision, pchunk,
+                     tex_offset=0.5):
     """Build the custom-VJP sweep for one static configuration."""
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     fwd_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
+        tex_offset=tex_offset,
     )
     fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk, emit_ckpt=True,
+        tex_offset=tex_offset,
     )
     bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
         H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
+        tex_offset=tex_offset,
     )
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
@@ -499,6 +505,7 @@ def pallas_sweep_slope_space_diff(
     length_correction: bool = True,
     precision: str = "f32",
     plane_chunk: int = 8,
+    tex_offset: float = 0.5,
 ) -> jnp.ndarray:
     """Differentiable fused sweep over a UNIFORM ray-slope grid.
 
@@ -514,7 +521,7 @@ def pallas_sweep_slope_space_diff(
         width=int(np.asarray(mx).shape[0]),
         height=int(np.asarray(my).shape[0]), march=march, n_planes=n_planes,
         length_correction=length_correction, precision=precision,
-        plane_chunk=plane_chunk,
+        plane_chunk=plane_chunk, tex_offset=float(tex_offset),
     )
 
 
@@ -522,13 +529,13 @@ def pallas_sweep_slope_space_diff(
     jax.jit,
     static_argnames=(
         "mgrid", "width", "height", "march", "n_planes", "length_correction",
-        "precision", "plane_chunk",
+        "precision", "plane_chunk", "tex_offset",
     ),
 )
 def _diff_call(
     volume, origin, tf_lut, density, brightness, transfer_offset,
     transfer_scale, *, mgrid, width, height, march, n_planes,
-    length_correction, precision, plane_chunk,
+    length_correction, precision, plane_chunk, tex_offset=0.5,
 ):
     nz, ny, nx = volume.shape
     if n_planes <= 0:
@@ -539,10 +546,10 @@ def _diff_call(
     sweep = _make_diff_sweep(
         height, width, ny, nx, n_planes, int(tf_lut.shape[0]), mgrid,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
-        length_correction, precision, pchunk,
+        length_correction, precision, pchunk, tex_offset,
     )
     planes_all, _ = _preblend_planes(
-        volume, n_planes, march.box_min, march.box_max, mgrid[4]
+        volume, n_planes, march.box_min, march.box_max, mgrid[4], tex_offset
     )
     acc = sweep(
         planes_all,
@@ -572,6 +579,7 @@ def pallas_slice_render_diff(
     length_correction: bool = True,
     precision: str = "f32",
     plane_chunk: int = 8,
+    tex_offset: float = 0.5,
 ) -> jnp.ndarray:
     """Differentiable fused render: same value as ``pallas_slice_render``.
 
@@ -586,5 +594,5 @@ def pallas_slice_render_diff(
         volume, origin, mx, my, tf_lut, density, brightness,
         transfer_offset, transfer_scale, march=march, dz_sign=-1,
         n_planes=n_planes, length_correction=length_correction,
-        precision=precision, plane_chunk=plane_chunk,
+        precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
     )
