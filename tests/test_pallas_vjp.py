@@ -95,3 +95,45 @@ def test_pallas_vjp_early_termination_freeze():
     # back planes (far side, z index 0 after reversal maps to far z) see
     # saturated rays: their gradient must be much smaller than front planes
     assert np.abs(rg).max() > 0
+
+
+def test_pallas_vjp_wrt_pruning():
+    """wrt prunes cotangent paths statically: requested grads match the full
+    path exactly; pruned ones come back as exact zeros."""
+    vol, tf, o, kw, tgt = _setup("rainbow")
+
+    def make_loss(wrt):
+        def loss(v, t, d, b, toff, tscl):
+            img = pallas_slice_render_diff(
+                v, o, t, d, b, toff, tscl,
+                width=kw["width"], height=kw["height"],
+                n_planes=kw["n_planes"], wrt=wrt,
+            )
+            return jnp.sum(img * tgt)
+        return loss
+
+    args = (
+        vol, tf, jnp.float32(kw["density"]), jnp.float32(kw["brightness"]),
+        jnp.float32(kw["transfer_offset"]), jnp.float32(kw["transfer_scale"]),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        full = jax.grad(make_loss(("volume", "lut", "params")),
+                        argnums=(0, 1, 2, 4, 5))(*args)
+        lut_only = jax.grad(make_loss(("lut",)), argnums=(0, 1, 2, 4, 5))(*args)
+        vol_only = jax.grad(make_loss(("volume",)),
+                            argnums=(0, 1, 2, 4, 5))(*args)
+
+    # lut-only: lut grad matches, volume/params exactly zero
+    assert np.allclose(np.asarray(lut_only[1]), np.asarray(full[1]),
+                       rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(lut_only[0]) == 0.0)
+    for j in (2, 3, 4):
+        assert float(np.asarray(lut_only[j])) == 0.0
+    # volume-only: volume grad matches, lut/params exactly zero
+    assert np.allclose(np.asarray(vol_only[0]), np.asarray(full[0]),
+                       rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(vol_only[1]) == 0.0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown wrt"):
+        make_loss(("volume", "typo"))(*args)

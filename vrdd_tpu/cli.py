@@ -215,8 +215,11 @@ def cmd_fit_tf(args) -> int:
 
         def fwd(v, lut):
             if renderer == "pallas":
+                # the fit trains only the LUT: prune the volume/param
+                # cotangent paths in the fused backward
                 return pallas_slice_render_diff(
-                    v, origin, lut, width=W, height=H, n_planes=n_planes
+                    v, origin, lut, width=W, height=H, n_planes=n_planes,
+                    wrt=("lut",),
                 )
             return slice_render_image(
                 v, origin, W, H, lut, n_planes=n_planes

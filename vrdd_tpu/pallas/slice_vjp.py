@@ -79,6 +79,16 @@ def pallas_diff_supported(volume_shape, width, height, n_planes) -> bool:
     return pallas_supported(volume_shape, width, height, n_planes)
 
 
+def _norm_wrt(wrt) -> tuple:
+    """Canonical hashable form (it keys the kernel cache)."""
+    allowed = ("volume", "lut", "params")
+    wset = set(wrt)
+    bad = wset - set(allowed)
+    if bad:
+        raise ValueError(f"unknown wrt entries {sorted(bad)}; use {allowed}")
+    return tuple(w for w in allowed if w in wset)
+
+
 
 
 
@@ -87,8 +97,18 @@ def pallas_diff_supported(volume_shape, width, height, n_planes) -> bool:
 
 def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                      tstep, threshold, length_correction, mm_dtype, pchunk,
-                     tex_offset=0.5):
-    """Reverse-order cotangent sweep; see module docstring."""
+                     tex_offset=0.5, wrt=("volume", "lut", "params")):
+    """Reverse-order cotangent sweep; see module docstring.
+
+    ``wrt`` statically prunes cotangent paths: "volume" (d_planes — the
+    x-transpose matmuls and the plane-gradient accumulation), "lut" (the
+    per-LUT-entry tent accumulation, the single largest VPU cost), "params"
+    (density / TF offset / TF scale). Skipped outputs come back as exact
+    zeros (their accumulators are zero-initialized and never touched)."""
+    g_vol = "volume" in wrt
+    g_lut = "lut" in wrt
+    g_par = "params" in wrt
+    need_dres = g_vol or g_par  # d_res feeds d_planes and toff/tscl
     mx0, dmx, my0, dmy, dz_sign = mgrid
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
@@ -151,7 +171,8 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                     wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                 )
-                dtmp_ref[i] = jnp.zeros((STRIP, NX), dtype=jnp.float32)
+                if g_vol:
+                    dtmp_ref[i] = jnp.zeros((STRIP, NX), dtype=jnp.float32)
 
         for t in range(n_xt):
             sl = slice(t * xt, (t + 1) * xt)
@@ -242,7 +263,8 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                     openm = covered * (raw < 1.0).astype(jnp.float32)
                     d_open = d_a * openm
                     d_col_a = d_open * density * ab
-                    dens_acc = _add(dens_acc, d_open * cols[3] * ab)
+                    if g_par:
+                        dens_acc = _add(dens_acc, d_open * cols[3] * ab)
 
                     # transpose through the TF: LUT cotangent in the TENT
                     # basis (well-conditioned: localized weights, no
@@ -255,14 +277,15 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                         + d_col_g * coef_ref[0, 4 + 1]
                         + d_col_b * coef_ref[0, 4 + 2]
                         + d_col_a * coef_ref[0, 4 + 3]
-                    )
+                    ) if need_dres else None
                     for li in range(n_lut):
-                        wl = jnp.maximum(0.0, 1.0 - jnp.abs(q - li))
-                        for c in range(4):
-                            cg_acc[li * 4 + c] = _add(
-                                cg_acc[li * 4 + c], wl * d_cols[c]
-                            )
-                        if 1 <= li <= n_lut - 2:
+                        if g_lut:
+                            wl = jnp.maximum(0.0, 1.0 - jnp.abs(q - li))
+                            for c in range(4):
+                                cg_acc[li * 4 + c] = _add(
+                                    cg_acc[li * 4 + c], wl * d_cols[c]
+                                )
+                        if need_dres and 1 <= li <= n_lut - 2:
                             step = (q > li).astype(jnp.float32)
                             gl = (
                                 d_col_r * coef_ref[0, (1 + li) * 4 + 0]
@@ -271,45 +294,54 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                                 + d_col_a * coef_ref[0, (1 + li) * 4 + 3]
                             )
                             dq = dq + gl * step
-                    qraw = (res - tf_off) * tf_scale * n_lut - 0.5
-                    inm = ((qraw > 0.0) & (qraw < n_lut - 1.0)).astype(
-                        jnp.float32
-                    )
-                    dq_in = dq * inm
-                    d_res = dq_in * (tf_scale * n_lut)
-                    toff_acc = _add(toff_acc, -d_res)
-                    tscl_acc = _add(tscl_acc, dq_in * (res - tf_off) * n_lut)
-
-                    # transpose through the x-resample; the y-transpose is
-                    # deferred to one full-width matmul per plane (below)
-                    dtmp_ref[i] += jnp.dot(
-                        d_res.astype(mm_dtype), wx.astype(mm_dtype),
-                        preferred_element_type=jnp.float32,
-                    )  # (STRIP, NX)
+                    if need_dres:
+                        qraw = (res - tf_off) * tf_scale * n_lut - 0.5
+                        inm = ((qraw > 0.0) & (qraw < n_lut - 1.0)).astype(
+                            jnp.float32
+                        )
+                        dq_in = dq * inm
+                        if g_par:
+                            d_res_p = dq_in * (tf_scale * n_lut)
+                            toff_acc = _add(toff_acc, -d_res_p)
+                            tscl_acc = _add(
+                                tscl_acc, dq_in * (res - tf_off) * n_lut
+                            )
+                    if g_vol:
+                        d_res = dq_in * (tf_scale * n_lut)
+                        # transpose through the x-resample; the y-transpose
+                        # is deferred to one full-width matmul per plane
+                        dtmp_ref[i] += jnp.dot(
+                            d_res.astype(mm_dtype), wx.astype(mm_dtype),
+                            preferred_element_type=jnp.float32,
+                        )  # (STRIP, NX)
 
                 S_ref[pl.ds(row0, STRIP), sl] = S
                 for j in range(4 * n_lut):
                     if cg_acc[j] is not None:
                         cg_ref[j, :, sl] += cg_acc[j]
-                sg_ref[0, :, sl] += dens_acc
-                sg_ref[1, :, sl] += toff_acc
-                sg_ref[2, :, sl] += tscl_acc
+                if dens_acc is not None:
+                    sg_ref[0, :, sl] += dens_acc
+                if toff_acc is not None:
+                    sg_ref[1, :, sl] += toff_acc
+                if tscl_acc is not None:
+                    sg_ref[2, :, sl] += tscl_acc
 
-        @pl.when(chunk_live)
-        def _stage_dplane():
-            # y-transpose of the accumulated d_tmp: d_plane = wy^T @ d_tmp
-            py = (row0 + jax.lax.broadcasted_iota(
-                jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
-            my_col = my0 + dmy * py
-            for i in range(pchunk):
-                z = zs_ref[0, kk * pchunk + i]
-                y_at = oy + (z - oz) * my_col[:, 0]
-                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset)
-                dplanes_ref[i] += jax.lax.dot_general(
-                    wy.astype(mm_dtype), dtmp_ref[i].astype(mm_dtype),
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (NY, NX)
+        if g_vol:
+            @pl.when(chunk_live)
+            def _stage_dplane():
+                # y-transpose of the accumulated d_tmp: d_plane = wy^T @ d_tmp
+                py = (row0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
+                my_col = my0 + dmy * py
+                for i in range(pchunk):
+                    z = zs_ref[0, kk * pchunk + i]
+                    y_at = oy + (z - oz) * my_col[:, 0]
+                    wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset)
+                    dplanes_ref[i] += jax.lax.dot_general(
+                        wy.astype(mm_dtype), dtmp_ref[i].astype(mm_dtype),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (NY, NX)
 
         last = jnp.logical_and(k == n_chunks - 1, si == n_strips - 1)
 
@@ -339,7 +371,7 @@ def _pack_params(origin, density, toff, tscl):
 @functools.lru_cache(maxsize=64)
 def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                      tstep, threshold, length_correction, precision, pchunk,
-                     tex_offset=0.5):
+                     tex_offset=0.5, wrt=("volume", "lut", "params")):
     """Build the custom-VJP sweep for one static configuration."""
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
@@ -356,7 +388,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
     bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
         H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
-        tex_offset=tex_offset,
+        tex_offset=tex_offset, wrt=wrt,
     )
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
@@ -506,6 +538,7 @@ def pallas_sweep_slope_space_diff(
     precision: str = "f32",
     plane_chunk: int = 8,
     tex_offset: float = 0.5,
+    wrt: tuple = ("volume", "lut", "params"),
 ) -> jnp.ndarray:
     """Differentiable fused sweep over a UNIFORM ray-slope grid.
 
@@ -522,6 +555,7 @@ def pallas_sweep_slope_space_diff(
         height=int(np.asarray(my).shape[0]), march=march, n_planes=n_planes,
         length_correction=length_correction, precision=precision,
         plane_chunk=plane_chunk, tex_offset=float(tex_offset),
+        wrt=_norm_wrt(wrt),
     )
 
 
@@ -529,13 +563,14 @@ def pallas_sweep_slope_space_diff(
     jax.jit,
     static_argnames=(
         "mgrid", "width", "height", "march", "n_planes", "length_correction",
-        "precision", "plane_chunk", "tex_offset",
+        "precision", "plane_chunk", "tex_offset", "wrt",
     ),
 )
 def _diff_call(
     volume, origin, tf_lut, density, brightness, transfer_offset,
     transfer_scale, *, mgrid, width, height, march, n_planes,
     length_correction, precision, plane_chunk, tex_offset=0.5,
+    wrt=("volume", "lut", "params"),
 ):
     nz, ny, nx = volume.shape
     if n_planes <= 0:
@@ -546,11 +581,14 @@ def _diff_call(
     sweep = _make_diff_sweep(
         height, width, ny, nx, n_planes, int(tf_lut.shape[0]), mgrid,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
-        length_correction, precision, pchunk, tex_offset,
+        length_correction, precision, pchunk, tex_offset, wrt,
     )
     planes_all, _ = _preblend_planes(
         volume, n_planes, march.box_min, march.box_max, mgrid[4], tex_offset
     )
+    if "volume" not in wrt:
+        # also kills the pre-blend transpose matmul in the outer XLA graph
+        planes_all = jax.lax.stop_gradient(planes_all)
     acc = sweep(
         planes_all,
         jnp.asarray(origin, jnp.float32),
@@ -580,11 +618,16 @@ def pallas_slice_render_diff(
     precision: str = "f32",
     plane_chunk: int = 8,
     tex_offset: float = 0.5,
+    wrt: tuple = ("volume", "lut", "params"),
 ) -> jnp.ndarray:
     """Differentiable fused render: same value as ``pallas_slice_render``.
 
     Gradients flow to volume, tf_lut, density, brightness, transfer
-    offset/scale via the fused analytic Pallas backward.
+    offset/scale via the fused analytic Pallas backward. ``wrt`` statically
+    prunes cotangent paths ("volume" / "lut" / "params"): a LUT-only fit
+    skips the plane-gradient matmul transposes, a volume-only fit skips the
+    per-LUT-entry tent accumulation (the backward's largest VPU cost).
+    Pruned inputs receive exact-zero gradients — only list what you train.
     """
     volume = jnp.asarray(volume)
     if n_planes <= 0:
@@ -595,4 +638,5 @@ def pallas_slice_render_diff(
         transfer_offset, transfer_scale, march=march, dz_sign=-1,
         n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
+        wrt=wrt,
     )
