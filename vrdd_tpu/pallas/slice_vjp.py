@@ -202,13 +202,27 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                 else:
                     ab = jnp.ones((STRIP, xt), dtype=jnp.float32)
 
-                cg_acc = [None] * (4 * n_lut)
+                cga_acc = [None] * n_lut   # alpha-channel LUT cotangents
+                w_acc = [None] * n_lut     # shared rgb weights (see below)
                 dens_acc = None
                 toff_acc = None
                 tscl_acc = None
 
                 def _add(acc, v):
                     return v if acc is None else acc + v
+
+                # the image cotangent g is plane-invariant, so the rgb LUT
+                # cotangents factor: cg[li, c] = g_c * sum_planes wl*mT*a —
+                # ONE weight accumulation per (plane, li) instead of three,
+                # expanded rank-1 once per tile (after the plane loop). The
+                # slope dot in dq factors the same way through G[li].
+                if need_dres:
+                    G = [
+                        g0 * coef_ref[0, (1 + li) * 4 + 0]
+                        + g1 * coef_ref[0, (1 + li) * 4 + 1]
+                        + g2 * coef_ref[0, (1 + li) * 4 + 2]
+                        for li in range(0, n_lut - 1)
+                    ]
 
                 for i in reversed(range(pchunk)):
                     z = zs_ref[0, kk * pchunk + i]
@@ -238,27 +252,19 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                     mT = m * T
 
                     # composited-chain cotangents; S = sum_{j>k} P_j so far
-                    gdotc = (
-                        g0 * cols[0] + g1 * cols[1] + g2 * cols[2] + g3
-                    ) * a
+                    gc3 = g0 * cols[0] + g1 * cols[1] + g2 * cols[2]
+                    gdotc = (gc3 + g3) * a
                     one_minus_a = 1.0 - a
                     chain = jnp.where(
                         jnp.abs(one_minus_a) > 1e-6, S / one_minus_a, 0.0
                     )
-                    d_cr = mT * g0
-                    d_cg = mT * g1
-                    d_cb = mT * g2
                     d_ca = mT * g3 - m * chain
                     S = S + gdotc * mT  # includes P_k for the next-front plane
 
-                    # transpose through (rgb, a) = (col_rgb * a, a)
-                    d_col_r = d_cr * a
-                    d_col_g = d_cg * a
-                    d_col_b = d_cb * a
-                    d_a = (
-                        d_ca + d_cr * cols[0] + d_cg * cols[1]
-                        + d_cb * cols[2]
-                    )
+                    # transpose through (rgb, a) = (col_rgb * a, a);
+                    # d_col_rgb = mT*a*g_c never materializes (factored out)
+                    mTa = mT * a
+                    d_a = d_ca + mT * gc3
                     # a = min(col_a * density * ab, 1) * covered
                     openm = covered * (raw < 1.0).astype(jnp.float32)
                     d_open = d_a * openm
@@ -271,26 +277,18 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                     # cancellation); dq from the relu-basis slope (c_0 +
                     # sum_l c_l [q > l] is exactly the local LUT slope,
                     # equal a.e. to the tent-form derivative of the oracle)
-                    d_cols = (d_col_r, d_col_g, d_col_b, d_col_a)
                     dq = (
-                        d_col_r * coef_ref[0, 4 + 0]
-                        + d_col_g * coef_ref[0, 4 + 1]
-                        + d_col_b * coef_ref[0, 4 + 2]
-                        + d_col_a * coef_ref[0, 4 + 3]
+                        mTa * G[0] + d_col_a * coef_ref[0, 4 + 3]
                     ) if need_dres else None
                     for li in range(n_lut):
                         if g_lut:
                             wl = jnp.maximum(0.0, 1.0 - jnp.abs(q - li))
-                            for c in range(4):
-                                cg_acc[li * 4 + c] = _add(
-                                    cg_acc[li * 4 + c], wl * d_cols[c]
-                                )
+                            w_acc[li] = _add(w_acc[li], wl * mTa)
+                            cga_acc[li] = _add(cga_acc[li], wl * d_col_a)
                         if need_dres and 1 <= li <= n_lut - 2:
                             step = (q > li).astype(jnp.float32)
                             gl = (
-                                d_col_r * coef_ref[0, (1 + li) * 4 + 0]
-                                + d_col_g * coef_ref[0, (1 + li) * 4 + 1]
-                                + d_col_b * coef_ref[0, (1 + li) * 4 + 2]
+                                mTa * G[li]
                                 + d_col_a * coef_ref[0, (1 + li) * 4 + 3]
                             )
                             dq = dq + gl * step
@@ -316,9 +314,14 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                         )  # (STRIP, NX)
 
                 S_ref[pl.ds(row0, STRIP), sl] = S
-                for j in range(4 * n_lut):
-                    if cg_acc[j] is not None:
-                        cg_ref[j, :, sl] += cg_acc[j]
+                for li in range(n_lut):
+                    # rank-1 expansion of the factored rgb cotangents
+                    if w_acc[li] is not None:
+                        cg_ref[li * 4 + 0, :, sl] += g0 * w_acc[li]
+                        cg_ref[li * 4 + 1, :, sl] += g1 * w_acc[li]
+                        cg_ref[li * 4 + 2, :, sl] += g2 * w_acc[li]
+                    if cga_acc[li] is not None:
+                        cg_ref[li * 4 + 3, :, sl] += cga_acc[li]
                 if dens_acc is not None:
                     sg_ref[0, :, sl] += dens_acc
                 if toff_acc is not None:
