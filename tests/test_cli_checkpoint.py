@@ -99,3 +99,20 @@ def test_cli_fit_tf_slice_renderer(tmp_path):
     assert rc == 0 and os.path.exists(ck)
     lut = load_checkpoint(ck)["tf_lut"]
     assert np.all(np.isfinite(lut)) and lut.shape == (9, 4)
+
+
+def test_fit_voxels_cli(tmp_path):
+    """BASELINE config 3 smoke: mu/sigma recovery through the renderer."""
+    from vrdd_tpu.cli import main
+    from vrdd_tpu.io.checkpoint import load_checkpoint
+
+    ck = str(tmp_path / "vox.npz")
+    rc = main([
+        "fit-voxels", "--size", "8", "--image", "24", "--views", "2",
+        "--iters", "8", "--checkpoint", ck, "--renderer", "slice",
+    ])
+    assert rc == 0
+    out = load_checkpoint(ck)
+    assert out["mu"].shape == (8, 8, 8)
+    assert out["sigma"].shape == (8, 8, 8)
+    assert float(out["loss"]) < 0.05  # decreased from the zero-init render

@@ -276,6 +276,129 @@ def cmd_fit_tf(args) -> int:
     return 0
 
 
+def cmd_fit_voxels(args) -> int:
+    """BASELINE config 3: per-voxel Gaussian (mu, sigma) recovered from
+    multi-view renders through the differentiable renderer.
+
+    The decode (``ops/gaussian.py`` gaussian_stats) and the fused render are
+    differentiated end-to-end: volume cotangents from the Pallas backward
+    (wrt=('volume',) — the LUT path is pruned) chain back through the
+    moment-decode by XLA. Rotated views ride the shear-warp sweep, so every
+    view uses the same fused kernels.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    from vrdd_tpu.core.transfer import grayscale_ramp
+    from vrdd_tpu.io.checkpoint import save_checkpoint
+    from vrdd_tpu.io.synthetic import gaussian_blob_volume
+    from vrdd_tpu.march.shearwarp import shearwarp_render_image
+    from vrdd_tpu.march.slice import slice_render_image
+    from vrdd_tpu.ops.gaussian import gaussian_stats
+    from vrdd_tpu.pallas.slice_vjp import (
+        pallas_diff_supported,
+        pallas_slice_render_diff,
+    )
+
+    n, W = args.size, args.image
+    H = W
+    renderer = args.renderer
+    diff_ok = pallas_diff_supported((n, n, n), W, H, 2 * n)
+    if renderer == "auto":
+        renderer = (
+            "pallas"
+            if jax.default_backend() == "tpu" and diff_ok
+            else "slice"
+        )
+    elif renderer == "pallas" and not diff_ok:
+        print(f"fit-voxels: pallas unsupported for {W}x{H}; using slice")
+        renderer = "slice"
+    print(f"fit-voxels renderer: {renderer}")
+
+    # ground truth: blob mu, spatially varying sigma
+    mu_true = jnp.asarray(gaussian_blob_volume((n, n, n), seed=args.seed))
+    sigma_true = 0.05 + 0.15 * jnp.asarray(
+        gaussian_blob_volume((n, n, n), seed=args.seed + 1)
+    )
+    lut = jnp.asarray(grayscale_ramp(9))
+    a = float(args.view_angle)
+    views = [(0.0, 0.0), (a, 0.0), (0.0, a), (-a, 0.0), (0.0, -a)]
+    views = views[: max(1, args.views)]
+    # variance lives in [0, ~sigma_max^2]; scale it into the TF domain
+    var_scale = 1.0 / float(jnp.max(sigma_true) ** 2)
+
+    def render_channel(vol, rx, ry, tf_scale):
+        if (rx, ry) == (0.0, 0.0):
+            origin = jnp.asarray([0.0, 0.0, 4.0])
+            if renderer == "pallas":
+                return pallas_slice_render_diff(
+                    vol, origin, lut, transfer_scale=tf_scale,
+                    width=W, height=H, n_planes=2 * n, wrt=("volume",),
+                )
+            return slice_render_image(
+                vol, origin, W, H, lut, transfer_scale=tf_scale,
+                n_planes=2 * n,
+            )
+        iv = inv_view_from_rotation_translation(rx, ry, (0.0, 0.0, -4.0))
+        return shearwarp_render_image(
+            vol, iv, W, H, lut, transfer_scale=tf_scale, n_planes=2 * n,
+            backend="pallas" if renderer == "pallas" else "xla",
+            wrt=("volume",),
+        )
+
+    def render_views(mu, log_sigma):
+        stats = gaussian_stats(mu, jnp.exp(log_sigma))
+        return [
+            (
+                render_channel(stats[..., 0], rx, ry, 1.0),
+                render_channel(stats[..., 1], rx, ry, var_scale),
+            )
+            for rx, ry in views
+        ]
+
+    targets = jax.jit(render_views)(mu_true, jnp.log(sigma_true))
+    targets = jax.tree_util.tree_map(jax.lax.stop_gradient, targets)
+
+    def loss_fn(params, targets):
+        rend = render_views(*params)
+        loss = 0.0
+        for (rm, rv), (tm, tv) in zip(rend, targets):
+            loss = loss + jnp.mean((rm - tm) ** 2) + jnp.mean((rv - tv) ** 2)
+        return loss / len(views)
+
+    optimizer = optax.adam(args.lr)
+    params = (
+        jnp.zeros((n, n, n), jnp.float32),
+        jnp.full((n, n, n), jnp.log(0.1), jnp.float32),
+    )
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, targets):
+        loss, g = jax.value_and_grad(loss_fn)(params, targets)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = float("nan")
+    for i in range(args.iters):
+        params, opt_state, loss = step(params, opt_state, targets)
+        if (i + 1) % max(1, args.iters // 10) == 0:
+            print(f"step {i + 1}: loss {float(loss):.6f}")
+    mu, sigma = np.asarray(params[0]), np.asarray(jnp.exp(params[1]))
+    err = float(np.sqrt(np.mean((mu - np.asarray(mu_true)) ** 2)))
+    save_checkpoint(
+        args.checkpoint,
+        {"mu": mu, "sigma": sigma, "loss": np.float32(loss)},
+    )
+    print(
+        f"saved {args.checkpoint} (final loss {float(loss):.6f}, "
+        f"mu RMSE {err:.4f} over {len(views)} views)"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     try:
         from vrdd_tpu.utils.profiling import enable_compilation_cache
@@ -342,6 +465,23 @@ def main(argv=None) -> int:
     )
     pf.add_argument("--tf-checkpoint", default=None, help=argparse.SUPPRESS)
     pf.set_defaults(fn=cmd_fit_tf)
+
+    pv = sub.add_parser(
+        "fit-voxels",
+        help="fit per-voxel Gaussian (mu, sigma) from multi-view renders",
+    )
+    pv.add_argument("--size", type=int, default=32, help="volume dimension")
+    pv.add_argument("--image", type=int, default=128)
+    pv.add_argument("--views", type=int, default=3, help="1-5 views")
+    pv.add_argument("--view-angle", type=float, default=25.0)
+    pv.add_argument("--iters", type=int, default=100)
+    pv.add_argument("--lr", type=float, default=3e-2)
+    pv.add_argument("--seed", type=int, default=0)
+    pv.add_argument("--checkpoint", default="voxel_fit.npz")
+    pv.add_argument(
+        "--renderer", default="auto", choices=["auto", "slice", "pallas"]
+    )
+    pv.set_defaults(fn=cmd_fit_voxels)
 
     pb = sub.add_parser("bench", help="performance benchmark")
     pb.add_argument("--size", type=int, default=512)

@@ -138,6 +138,7 @@ def shearwarp_render_image(
     use_custom_vjp: bool = True,
     backend: str = "auto",
     tex_offset: float = 0.5,
+    wrt: tuple = ("volume", "lut", "params"),
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA for an ARBITRARY view on the matmul sweep.
 
@@ -217,7 +218,7 @@ def shearwarp_render_image(
             density, brightness, transfer_offset, transfer_scale,
             march=march_p, dz_sign=dz_sign, n_planes=n_planes,
             length_correction=length_correction, plane_chunk=plane_chunk,
-            tex_offset=tex_offset,
+            tex_offset=tex_offset, wrt=wrt,
         )
     else:
         img_m = sweep_slope_space(
