@@ -141,8 +141,11 @@ def main() -> None:
     def fwdbwd_many(v, tf, o):
         def loss(v, tf, i):
             if use_pallas_diff:
+                # wrt mirrors value_and_grad(argnums=(0, 1)): volume + LUT
+                # cotangents only (XLA autodiff would prune the rest too)
                 img = pallas_slice_render_diff(
-                    v * (1.0 + 1e-6 * i), o, tf, width=W, height=W, n_planes=n
+                    v * (1.0 + 1e-6 * i), o, tf, width=W, height=W,
+                    n_planes=n, wrt=("volume", "lut"),
                 )
             else:
                 img = slice_render_image(

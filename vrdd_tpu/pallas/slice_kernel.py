@@ -133,16 +133,20 @@ def _tent_weights(coords, n: int, lo: float, hi: float,
     return w * in_box[:, None], in_box
 
 
-def _tf_relu_forward(res, coef_ref, n_lut, tf_off, tf_scale):
-    """Relu-basis TF: returns (q, [col_r, col_g, col_b, col_a])."""
+def _tf_relu_forward(res, coef_ref, n_lut, tf_off, tf_scale,
+                     channels=(0, 1, 2, 3)):
+    """Relu-basis TF: returns (q, cols) with cols[c] = None for skipped
+    channels (the backward caches the alpha channel from its replay pass and
+    only recomputes rgb)."""
     q = jnp.clip((res - tf_off) * tf_scale * n_lut - 0.5, 0.0, n_lut - 1.0)
     cols = [
         coef_ref[0, c] + coef_ref[0, 4 + c] * q  # base + c_0 * relu(q - 0)
+        if c in channels else None
         for c in range(4)
     ]
     for li in range(1, n_lut - 1):
         r = jnp.maximum(q - li, 0.0)
-        for c in range(4):
+        for c in channels:
             cols[c] = cols[c] + coef_ref[0, (1 + li) * 4 + c] * r
     return q, cols
 
@@ -227,9 +231,11 @@ def _make_kernel(
 ):
     """``emit_ckpt``: additionally track per-ray transmittance in a 5th
     accumulator row (the backward pass's own T recursion, bit-identical to
-    what pass 2 replays) and stream T-before-each-plane checkpoints to a
-    second output — lets the backward run a SINGLE reverse sweep with exact
-    prefix transmittance and suffix sums (see slice_vjp.py).
+    what the backward replays) and stream ONE T-at-chunk-start checkpoint per
+    (strip, chunk) to a second output — the backward replays the within-chunk
+    recursion from it, so it runs a SINGLE reverse sweep with exact prefix
+    transmittance and suffix sums at 1/pchunk the per-plane checkpoint HBM
+    traffic (see slice_vjp.py).
 
     ``mgrid = (mx0, dmx, my0, dmy, dz_sign)`` defines the uniform ray-slope
     grid (static floats): ray j of row i has slope
@@ -293,6 +299,10 @@ def _make_kernel(
             for t in range(1, n_xt):
                 bits = bits + tile_live[t].astype(jnp.int32) * (1 << t)
             live_ref[si, k] = bits
+            # ONE chunk-start transmittance checkpoint (the backward replays
+            # the within-chunk T recursion from it — 1/pchunk the HBM traffic
+            # of per-plane streaming); must precede any tile update of T
+            tck_ref[0] = out_ref[4]
 
         shrink = _shrinking_footprint(
             params_ref, box_min, box_max, dz_sign
@@ -377,7 +387,6 @@ def _make_kernel(
                     acc_b += cols[2] * at
                     acc_a = acc_a + at
                     if emit_ckpt:
-                        tck_ref[i, :, sl] = T
                         mT = jnp.where(T >= 1.0 - threshold, T, 0.0)
                         T = T - mT * a  # the backward's own T recursion
                 out_ref[0, :, sl] = acc_r
@@ -393,15 +402,6 @@ def _make_kernel(
                     shrink * (1.0 - covered),
                 )
                 tflag_ref[t] = (jnp.min(done) > 0.5).astype(jnp.int32)
-
-            if emit_ckpt:
-                # skipped tiles still stream their (constant) transmittance
-                # so the reverse pass reads valid masks for every plane
-                @pl.when(jnp.logical_not(tile_live[t]))
-                def _tile_dead(sl=sl):
-                    T = out_ref[4, :, sl]
-                    for i in range(pchunk):
-                        tck_ref[i, :, sl] = T
 
         # strip flag: cheap full-skip of later chunks once every tile froze
         allset = tflag_ref[0]

@@ -7,10 +7,11 @@ kernels with the per-pixel state VMEM-resident:
 
 - FORWARD (vrdd_tpu/pallas/slice_kernel.py with ``emit_ckpt=True``): the
   normal fused sweep, additionally tracking per-ray transmittance with the
-  backward's own recursion ``T <- T - [T >= 1-thr] T a`` and streaming
-  T-before-each-plane checkpoints to HBM (4 B/ray/plane — ~2 GB at
-  512^3 -> 1024^2, ~2.5 ms each way at HBM speed; brightness is folded
-  outside so it stays differentiable).
+  backward's own recursion ``T <- T - [T >= 1-thr] T a`` and streaming ONE
+  T-at-chunk-start checkpoint per (strip, plane-chunk) to HBM
+  (4 B/ray/chunk — 0.5 GB at 512^3 -> 1024^2 with plane_chunk=8, vs 4 GB for
+  per-plane streaming; brightness is folded outside so it stays
+  differentiable).
 - BACKWARD: ONE reverse-order sweep. With per-plane premultiplied colors
   ``c_k = (col_rgb * a_k, a_k)``, freeze mask ``m_k = [T_{k-1} >= 1 - thr]``
   (early ray termination) and ``P_k = m_k (g . c_k) T_{k-1}``, the cotangents
@@ -19,8 +20,11 @@ kernels with the per-pixel state VMEM-resident:
       dL/dc_k[a]   = m_k (T_{k-1} g[a] - S_k / (1 - a_k)),
       S_k = sum_{j>k} P_j
 
-  need the PREFIX transmittance T_{k-1} (from the forward's checkpoints) and
-  the SUFFIX sum S_k — which accumulates naturally when sweeping back-to-front
+  need the PREFIX transmittance T_{k-1} (replayed within each chunk from its
+  checkpoint by the forward's own recursion — only the alpha channel of the
+  TF is needed, and res / col_a are cached in VMEM so the reverse loop skips
+  its resample matmul and alpha-TF entirely) and the SUFFIX sum S_k — which
+  accumulates naturally when sweeping back-to-front
   (an earlier design ran two forward-order passes, one to total the P_j; the
   checkpoint stream replaces that entire pass for ~2x less backward work).
   The kernel is plane-major (grid = (chunks, strips), chunk index maps
@@ -120,7 +124,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
 
     def kernel(params_ref, zs_ref, coef_ref, planes_ref, g_ref, tck_ref,
                live_ref, dplanes_ref, small_ref, S_ref, cg_ref,
-               sg_ref, tmp_ref, dtmp_ref):
+               sg_ref, tmp_ref, dtmp_ref, tloc_ref, resloc_ref, caloc_ref):
         k = pl.program_id(0)      # reversed: chunk kk = n_chunks - 1 - k
         si = pl.program_id(1)
         kk = n_chunks - 1 - k
@@ -202,6 +206,42 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                 else:
                     ab = jnp.ones((STRIP, xt), dtype=jnp.float32)
 
+                # --- replay pass (front-to-back): rebuild the per-plane
+                # prefix transmittance from the chunk-start checkpoint with
+                # the forward's own recursion (bit-identical: same alpha-
+                # channel relu-basis arithmetic), caching T / res / col_a in
+                # VMEM for the reverse loop — per-plane checkpoints would
+                # cost pchunk x the HBM traffic for the same information ---
+                T = tck_ref[0, :, sl]
+                for i in range(pchunk):
+                    z = zs_ref[0, kk * pchunk + i]
+                    x_at = ox + (z - oz) * mx_row[0, :]
+                    y_at = oy + (z - oz) * my_col[:, 0]
+                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi,
+                                                tex_offset)
+                    y01 = (y_at - ylo) / (yhi - ylo)
+                    inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
+                        jnp.float32
+                    )
+                    in_front = (
+                        (z < oz) if dz_sign < 0 else (z > oz)
+                    ).astype(jnp.float32)
+                    covered = inbox_x[None, :] * inbox_y[:, None] * in_front
+                    res = jax.lax.dot_general(
+                        tmp_ref[i].astype(mm_dtype), wx.astype(mm_dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (STRIP, XTILE)
+                    _, ca = _tf_relu_forward(
+                        res, coef_ref, n_lut, tf_off, tf_scale, channels=(3,)
+                    )
+                    a = jnp.minimum(ca[3] * density * ab, 1.0) * covered
+                    tloc_ref[i, :, sl] = T
+                    resloc_ref[i, :, sl] = res
+                    caloc_ref[i, :, sl] = ca[3]
+                    mT_ = jnp.where(T >= 1.0 - threshold, T, 0.0)
+                    T = T - mT_ * a
+
                 cga_acc = [None] * n_lut   # alpha-channel LUT cotangents
                 w_acc = [None] * n_lut     # shared rgb weights (see below)
                 dens_acc = None
@@ -238,16 +278,13 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                         (z < oz) if dz_sign < 0 else (z > oz)
                     ).astype(jnp.float32)
                     covered = inbox_x[None, :] * inbox_y[:, None] * in_front
-                    res = jax.lax.dot_general(
-                        tmp_ref[i].astype(mm_dtype), wx.astype(mm_dtype),
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (STRIP, XTILE)
+                    res = resloc_ref[i, :, sl]  # cached by the replay pass
                     q, cols = _tf_relu_forward(res, coef_ref, n_lut, tf_off,
-                                               tf_scale)
+                                               tf_scale, channels=(0, 1, 2))
+                    cols[3] = caloc_ref[i, :, sl]
                     raw = cols[3] * density * ab
                     a = jnp.minimum(raw, 1.0) * covered
-                    T = tck_ref[i, :, sl]  # prefix transmittance BEFORE this plane
+                    T = tloc_ref[i, :, sl]  # prefix transmittance BEFORE this plane
                     m = (T >= 1.0 - threshold).astype(jnp.float32)
                     mT = m * T
 
@@ -437,14 +474,14 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             fwd_ckpt_kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((5, H, W), jnp.float32),
-                jax.ShapeDtypeStruct((n_planes, H, W), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks, H, W), jnp.float32),
                 jax.ShapeDtypeStruct((n_strips, n_chunks), jnp.int32),
             ),
             grid=grid,
             in_specs=in_specs,
             out_specs=(
                 vmem((5, STRIP, W), lambda i, k: (0, i, 0)),
-                vmem((pchunk, STRIP, W), lambda i, k: (k, i, 0)),
+                vmem((1, STRIP, W), lambda i, k: (k, i, 0)),
                 smem((n_strips, n_chunks), lambda i, k: (0, 0)),
             ),
             scratch_shapes=scratch,
@@ -460,7 +497,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             smem((1, 4 * n_lut), lambda k, s: (0, 0)),
             vmem((pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)),
             vmem((4, STRIP, W), lambda k, s: (0, s, 0)),
-            vmem((pchunk, STRIP, W), lambda k, s: (n_chunks - 1 - k, s, 0)),
+            vmem((1, STRIP, W), lambda k, s: (n_chunks - 1 - k, s, 0)),
             smem((n_strips, n_chunks), lambda k, s: (0, 0)),
         ]
         d_planes, small = pl.pallas_call(
@@ -481,6 +518,9 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                 pltpu.VMEM((3, STRIP, W), jnp.float32),
                 pltpu.VMEM((pchunk, STRIP, NX), jnp.float32),
                 pltpu.VMEM((pchunk, STRIP, NX), jnp.float32),
+                pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # T replay
+                pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # res cache
+                pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # col_a cache
             ],
             compiler_params=cparams_bwd,
         )(params, _zs_in(), coef_flat, planes_all, g4, tck, live_map)
