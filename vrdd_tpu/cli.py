@@ -9,6 +9,8 @@ Subcommands:
 - ``encode``   offline data reduction: raw scalar volume -> block-histogram /
                flexible-block binary files in the reference formats
 - ``fit-tf``   differentiable transfer-function fitting with checkpoint/resume
+- ``view``     interactive browser viewer (the GLUT window replacement:
+               mouse rotate/pan/zoom + the reference's keyboard map)
 - ``bench``    the performance benchmark (same as bench.py)
 
 Interactive keyboard controls (volumeRender.cpp:302-384) map to flags:
@@ -399,6 +401,29 @@ def cmd_fit_voxels(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Interactive browser viewer — the GLUT main-loop replacement.
+
+    Serves the page + raw-RGBA frames from a stateless HTTP server; the
+    browser holds the camera/render state and maps the reference's keyboard
+    and mouse interactions (volumeRender.cpp:302-432). See vrdd_tpu/viewer.py.
+    """
+    from vrdd_tpu.viewer import ViewerServer
+
+    pipeline = _build_pipeline(args)
+    server = ViewerServer(
+        pipeline,
+        width=args.width,
+        height=args.height,
+        renderer=args.renderer,
+        query=args.query,
+        host=args.host,
+        port=args.port,
+    )
+    server.serve_forever()
+    return 0
+
+
 def main(argv=None) -> int:
     try:
         from vrdd_tpu.utils.profiling import enable_compilation_cache
@@ -482,6 +507,29 @@ def main(argv=None) -> int:
         "--renderer", default="auto", choices=["auto", "slice", "pallas"]
     )
     pv.set_defaults(fn=cmd_fit_voxels)
+
+    pw = sub.add_parser(
+        "view",
+        help="interactive browser viewer (the GLUT window replacement)",
+    )
+    pw.add_argument("--volume", default="synthetic",
+                    help="'synthetic' or path to a raw block-histogram blob")
+    pw.add_argument("--blocks", type=int, nargs=3, default=[50, 50, 10],
+                    metavar=("X", "Y", "Z"))
+    pw.add_argument("--bins", type=int, default=32)
+    pw.add_argument("--flex-block", type=int, default=4)
+    pw.add_argument("--seed", type=int, default=0)
+    pw.add_argument("--width", type=int, default=512)
+    pw.add_argument("--height", type=int, default=512)
+    pw.add_argument("--query", type=int, default=1)
+    pw.add_argument("--renderer", default="scan",
+                    choices=("scan", "slice", "pallas", "auto"),
+                    help="scan keeps the view a traced argument (no "
+                    "recompile while dragging)")
+    pw.add_argument("--host", default="127.0.0.1")
+    pw.add_argument("--port", type=int, default=8412)
+    pw.add_argument("--tf-checkpoint", help="load fitted TF LUT")
+    pw.set_defaults(fn=cmd_view)
 
     pb = sub.add_parser("bench", help="performance benchmark")
     pb.add_argument("--size", type=int, default=512)

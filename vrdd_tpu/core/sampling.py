@@ -56,7 +56,8 @@ def sample_nearest_3d(vol: jnp.ndarray, p01: jnp.ndarray) -> jnp.ndarray:
     channels = vol.ndim == 4
     sizes = _axis_sizes(vol, channels)
     idx = jnp.floor(p01 * sizes).astype(jnp.int32)
-    nx, ny, nz = (int(s) for s in sizes)
+    shape = vol.shape[:-1] if channels else vol.shape
+    nz, ny, nx = (int(d) for d in shape)  # static — safe under any trace
     ix = jnp.clip(idx[..., 0], 0, nx - 1)
     iy = jnp.clip(idx[..., 1], 0, ny - 1)
     iz = jnp.clip(idx[..., 2], 0, nz - 1)

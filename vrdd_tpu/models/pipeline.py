@@ -78,8 +78,12 @@ class RenderPipeline:
         )
         self._interp_mean_vol = None  # query-7 field, built on first use
 
-    def sample_source(self, method: QueryMethod):
+    def sample_source(self, method: QueryMethod, linear: bool = True):
         """(source array, array -> SampleFn builder) for a query method.
+
+        ``linear=False`` selects point filtering for the stats-volume fetch
+        (the reference's 'f' key, volumeRender.cpp:311-314); query 7 and the
+        flexible-block fetch stay linear like the reference's textures.
 
         The source array is threaded through jit as an ARGUMENT, never a
         closure: a closed-over device array becomes an XLA constant, and
@@ -95,7 +99,7 @@ class RenderPipeline:
             if self.raw_stats is None:
                 raise ValueError("no raw histogram volume loaded")
             ch = query_channel(method)
-            return self.raw_stats, lambda a: stats_sample_fn(a, ch)
+            return self.raw_stats, lambda a: stats_sample_fn(a, ch, linear)
         if method in (
             QueryMethod.FRACTAL_MEAN,
             QueryMethod.FRACTAL_VARIANCE,
@@ -104,7 +108,7 @@ class RenderPipeline:
             if self.fractal_stats is None:
                 raise ValueError("no fractal codebook volume loaded")
             ch = query_channel(method)
-            return self.fractal_stats, lambda a: stats_sample_fn(a, ch)
+            return self.fractal_stats, lambda a: stats_sample_fn(a, ch, linear)
         if method == QueryMethod.INTERP_MEAN:
             if self.raw is None:
                 raise ValueError("query 7 needs the raw histogram volume")
@@ -235,6 +239,7 @@ class RenderPipeline:
             config.camera.height,
             config.march,
             renderer,
+            linear=config.filter_linear,
         )
         if renderer in ("slice", "pallas"):
             src = self._stats_channel(config.query_method)
@@ -244,7 +249,7 @@ class RenderPipeline:
 
     @functools.lru_cache(maxsize=32)
     def _compiled(self, method, width, height, march, renderer="scan",
-                  iv_bytes=None):
+                  iv_bytes=None, linear=True):
         # the sample source is a jit ARGUMENT (see sample_source docstring)
         if renderer == "shearwarp":
             inv_view = np.frombuffer(iv_bytes, dtype=np.float32).reshape(3, 4)
@@ -287,7 +292,7 @@ class RenderPipeline:
             return run_obj
         if renderer != "scan":
             raise ValueError(f"unknown renderer {renderer!r}")
-        _, build = self.sample_source(method)
+        _, build = self.sample_source(method, linear)
 
         @jax.jit
         def run(src, inv_view, tf_lut, density, brightness, offset, scale):

@@ -19,6 +19,7 @@ import numpy as np
 
 from vrdd_tpu.core.geometry import default_benchmark_inv_view
 from vrdd_tpu.core.sampling import (
+    sample_nearest_3d,
     sample_trilinear_3d,
     sample_trilinear_3d_unnormalized,
 )
@@ -37,22 +38,31 @@ from vrdd_tpu.utils.config import (
 SampleFn = Callable[[jnp.ndarray], jnp.ndarray]
 
 
-def scalar_sample_fn(values: jnp.ndarray) -> SampleFn:
-    """Trilinear sampling of a plain scalar volume ``(Z, Y, X)``."""
+def scalar_sample_fn(values: jnp.ndarray, linear: bool = True) -> SampleFn:
+    """Sampling of a plain scalar volume ``(Z, Y, X)``; ``linear=False`` is
+    the point-filter mode of the reference's 'f' key (setTextureFilterMode,
+    volumeRender.cpp:311-314)."""
 
     def f(p01: jnp.ndarray) -> jnp.ndarray:
-        return sample_trilinear_3d(values, p01)
+        if linear:
+            return sample_trilinear_3d(values, p01)
+        return sample_nearest_3d(values, p01)
 
     return f
 
 
-def stats_sample_fn(stats_vol: jnp.ndarray, channel: int) -> SampleFn:
+def stats_sample_fn(
+    stats_vol: jnp.ndarray, channel: int, linear: bool = True
+) -> SampleFn:
     """Channel fetch from a (Z, Y, X, 3) stats volume — queries 1-6 semantics
-    (trilinear-filtered float4 fetch then channel select,
-    volumeRender_kernel.cu:600-652)."""
+    (linear-filtered float4 fetch then channel select,
+    volumeRender_kernel.cu:600-652); ``linear=False`` is the point-filter
+    mode of the reference's 'f' key (volumeRender.cpp:311-314)."""
 
     def f(p01: jnp.ndarray) -> jnp.ndarray:
-        return sample_trilinear_3d(stats_vol, p01)[..., channel]
+        if linear:
+            return sample_trilinear_3d(stats_vol, p01)[..., channel]
+        return sample_nearest_3d(stats_vol, p01)[..., channel]
 
     return f
 

@@ -102,6 +102,11 @@ class RenderConfig:
     density: float = 0.05
     brightness: float = 1.0
     query_method: QueryMethod = QueryMethod.RAW_MEAN
+    #: linear vs point filtering of the query volume fetch — the reference's
+    #: 'f' key (setTextureFilterMode, volumeRender.cpp:311-314). Applies to
+    #: the scan renderer's stats fetch (queries 1-6); the object-order sweep
+    #: is linear by construction.
+    filter_linear: bool = True
 
 
 # --- Distribution-decode constants (reference quirks preserved for parity) ---
