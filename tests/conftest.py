@@ -22,3 +22,12 @@ jax.config.update("jax_enable_x64", False)
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--regen-golden",
+        action="store_true",
+        default=False,
+        help="regenerate golden-image fixtures (tests/golden/*.ppm)",
+    )

@@ -1,0 +1,70 @@
+"""Golden-image regression against stored fixtures.
+
+The reference's only automated test is its golden-image compare
+(runSingleTest, volumeRender.cpp:1016-1084: render a fixed view, compare to a
+stored PPM with per-pixel epsilon 5/255 and a 30% outlier budget). These
+fixtures pin our render semantics the same way ACROSS code revisions: any
+change to camera math, sampling, decoding, the TF, or compositing that shifts
+the image beyond the reference's own tolerance fails here.
+
+Fixtures are generated on CPU (conftest pins the backend) by this file's
+``--regen`` hook:  python -m pytest tests/test_golden.py --regen-golden
+"""
+
+import pathlib
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vrdd_tpu.core.image import rgba_to_uint8
+from vrdd_tpu.io import formats
+from vrdd_tpu.io.synthetic import random_histogram_volume
+from vrdd_tpu.models.pipeline import RenderPipeline
+from vrdd_tpu.models.volumes import RawHistogramVolume
+from vrdd_tpu.utils.config import CameraConfig, QueryMethod, RenderConfig
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+W = H = 128
+
+
+def _pipeline() -> RenderPipeline:
+    hist = random_histogram_volume((10, 50, 50), n_bins=32, seed=0)
+    return RenderPipeline(raw=RawHistogramVolume(jnp.asarray(hist)))
+
+
+def _render(pipeline, query, renderer) -> np.ndarray:
+    config = RenderConfig(
+        camera=CameraConfig(width=W, height=H),
+        density=0.5,
+        query_method=QueryMethod(query),
+    )
+    img = pipeline.render(None, config, renderer)  # benchmark view
+    return np.asarray(rgba_to_uint8(img))
+
+
+CASES = [
+    ("scan_q1", 1, "scan"),
+    ("scan_q3", 3, "scan"),
+    ("scan_q7", 7, "scan"),
+    ("slice_q1", 1, "slice"),
+]
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return _pipeline()
+
+
+@pytest.mark.parametrize("name,query,renderer", CASES)
+def test_golden(pipeline, name, query, renderer, pytestconfig):
+    path = GOLDEN / f"{name}_{W}.ppm"
+    img = _render(pipeline, query, renderer)
+    if pytestconfig.getoption("--regen-golden"):
+        GOLDEN.mkdir(exist_ok=True)
+        formats.write_ppm(str(path), img)
+        pytest.skip(f"regenerated {path}")
+    assert path.exists(), f"missing fixture {path}; run --regen-golden"
+    ref = formats.read_ppm(str(path))  # (H, W, 3): PPM drops alpha
+    ok, outliers = formats.compare_ppm(img[..., :3], ref)  # reference tolerances
+    assert ok, f"{name}: {outliers:.1%} pixels beyond epsilon"

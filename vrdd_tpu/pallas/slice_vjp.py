@@ -98,11 +98,6 @@ def _norm_wrt(wrt) -> tuple:
 
 
 
-
-
-
-
-
 def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                      tstep, threshold, length_correction, mm_dtype, pchunk,
                      tex_offset=0.5, wrt=("volume", "lut", "params")):
