@@ -143,3 +143,36 @@ def test_flex_render_query_methods():
             flex_sample_fn(fb.stats_grid, ch), jnp.asarray(iv), 32, 32, jnp.asarray(tf)
         )
         np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_normalized_stats_grid():
+    """normalized() min-max maps each channel to [0,1] (the normalization the
+    reference left commented out, volumeRender_kernel.cu:1102-1104) and the
+    mean channel becomes renderable through the default TF."""
+    from vrdd_tpu.io.synthetic import synthetic_flexible_dataset
+    from vrdd_tpu.models.flexible import FlexibleBlockVolume
+
+    ds = synthetic_flexible_dataset(dims=(16, 16, 16), seed=2)
+    fb = FlexibleBlockVolume.from_raw(ds["raw"], block_size=4, vmax=256.0)
+    raw_ranges = fb.stat_ranges()
+    assert raw_ranges[0, 1] > 1.5  # raw mean channel exceeds the TF domain
+
+    nb = fb.normalized()
+    g = np.asarray(nb.stats_grid)
+    for c in range(3):
+        assert g[..., c].min() == 0.0
+        assert abs(g[..., c].max() - 1.0) < 1e-6
+    assert nb.block_size == fb.block_size and nb.volume_dim == fb.volume_dim
+
+    # renders non-black through the default TF (query 9 = flex mean)
+    from vrdd_tpu.core.geometry import default_benchmark_inv_view
+    from vrdd_tpu.core.transfer import default_transfer_function
+    from vrdd_tpu.march.scan import render_image
+    from vrdd_tpu.models.renderer import flex_sample_fn
+
+    img = render_image(
+        flex_sample_fn(nb.stats_grid, 0),
+        jnp.asarray(default_benchmark_inv_view()), 32, 32,
+        jnp.asarray(default_transfer_function()), density=0.5,
+    )
+    assert float(jnp.max(img[..., :3])) > 0.0

@@ -14,7 +14,29 @@ def test_pallas_supported_predicate():
     assert pallas_supported((10, 50, 50), 512, 512, 500)
     assert pallas_supported((512, 512, 512), 1024, 1024, 512)  # v2: streamed
     assert not pallas_supported((8, 1200, 1200), 512, 512, 64)  # plane > VMEM
-    assert not pallas_supported((10, 50, 50), 500, 512, 100)  # tile alignment
+    assert pallas_supported((10, 50, 50), 500, 300, 100)  # pad+crop handles it
+
+
+def test_pallas_unaligned_image_pad_crop():
+    """Non-tile-aligned image sizes render via grid padding + output crop and
+    equal the aligned render's top-left window (identical rays)."""
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.random((8, 20, 20), dtype=np.float32))
+    tf = jnp.asarray(default_transfer_function())
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    with pltpu.force_tpu_interpret_mode():
+        full = np.asarray(pallas_slice_render(
+            vol, o, tf, width=256, height=128, n_planes=16, density=0.4))
+        odd = np.asarray(pallas_slice_render(
+            vol, o, tf, width=200, height=100, n_planes=16, density=0.4))
+    assert odd.shape == (100, 200, 4)
+    # same focal => same NDC grid only when width matches; compare vs the
+    # XLA path at the odd size instead
+    ref = np.asarray(slice_render_image(
+        vol, o, 200, 100, tf, 0.4, n_planes=16))
+    diff = np.abs(odd - ref)
+    assert np.quantile(diff, 0.999) < 1e-4
+    assert full.shape == (128, 256, 4)
 
 
 @pytest.mark.parametrize("tf_name", ["rainbow", "gray"])

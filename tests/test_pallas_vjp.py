@@ -67,6 +67,35 @@ def test_pallas_vjp_matches_xla(tf_name):
         assert (err > 5e-3).mean() < 1e-3, f"{name}: outliers {(err > 5e-3).mean()}"
 
 
+def test_pallas_vjp_unaligned_image():
+    """Pad+crop path: gradients at a non-tile-aligned image size match the
+    XLA slice path (the crop's transpose zero-pads the cotangent)."""
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.random((8, 20, 20), dtype=np.float32))
+    tf = jnp.asarray(default_transfer_function())
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    W, H, P = 200, 72, 16
+    tgt = jnp.asarray(rng.random((H, W, 4), dtype=np.float32))
+
+    def loss_ref(v, t):
+        img = slice_render_image(v, o, W, H, t, 0.4, n_planes=P)
+        return jnp.sum(img * tgt)
+
+    def loss_pl(v, t):
+        img = pallas_slice_render_diff(v, o, t, 0.4, width=W, height=H,
+                                       n_planes=P)
+        return jnp.sum(img * tgt)
+
+    ref_l, ref_g = jax.value_and_grad(loss_ref, argnums=(0, 1))(vol, tf)
+    with pltpu.force_tpu_interpret_mode():
+        got_l, got_g = jax.value_and_grad(loss_pl, argnums=(0, 1))(vol, tf)
+    assert np.allclose(float(ref_l), float(got_l), rtol=2e-4)
+    for rg, gg in zip(ref_g, got_g):
+        rg, gg = np.asarray(rg), np.asarray(gg)
+        err = np.abs(rg - gg) / (np.abs(rg).max() + 1e-6)
+        assert np.quantile(err, 0.999) < 5e-3
+
+
 def test_pallas_vjp_early_termination_freeze():
     """Gradients are zero past the opacity cutoff, matching the XLA path."""
     vol, tf, o, kw, tgt = _setup("gray")

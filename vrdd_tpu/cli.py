@@ -40,6 +40,11 @@ def _add_render_params(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rot-y", type=float, default=0.0)
     p.add_argument("--translate-z", type=float, default=-4.0)
     p.add_argument("--tf-checkpoint", help="load fitted TF LUT from checkpoint")
+    p.add_argument(
+        "--flex-normalize", action="store_true",
+        help="min-max map flexible-block mean/variance onto [0,1] for the TF "
+        "(the reference leaves them in raw bin-domain units)",
+    )
 
 
 def _build_pipeline(args):
@@ -77,14 +82,20 @@ def _build_pipeline(args):
         seed=args.seed + 1,
     )
     ds = synthetic_flexible_dataset(dims=(16, 16, 16), seed=args.seed + 2)
+    flexible = FlexibleBlockVolume.from_raw(
+        ds["raw"], block_size=args.flex_block, vmax=256.0
+    )
+    if getattr(args, "flex_normalize", False):
+        # min-max map the raw-unit mean/variance channels onto the TF domain
+        # (the normalization the reference left as a TODO; queries 9/0 are
+        # otherwise black until transferScale is wound down manually)
+        flexible = flexible.normalized()
     return RenderPipeline(
         raw=RawHistogramVolume(jnp.asarray(hist)),
         fractal=FractalHistogramVolume(
             jnp.asarray(cb), jnp.asarray(eb), jnp.asarray(ev), jnp.asarray(t)
         ),
-        flexible=FlexibleBlockVolume.from_raw(
-            ds["raw"], block_size=args.flex_block, vmax=256.0
-        ),
+        flexible=flexible,
         tf_lut=tf_lut,
     )
 
@@ -201,8 +212,8 @@ def cmd_fit_tf(args) -> int:
         )
     elif renderer == "pallas" and not diff_ok:
         print(
-            f"fit-tf: pallas unsupported for image {W}x{H} "
-            "(width % 128 and height % 128 required); falling back to slice"
+            f"fit-tf: pallas unsupported for volume {vol_shape} "
+            "(plane exceeds the VMEM streaming limit); falling back to slice"
         )
         renderer = "slice"
     print(f"fit-tf renderer: {renderer}")
@@ -529,6 +540,8 @@ def main(argv=None) -> int:
     pw.add_argument("--host", default="127.0.0.1")
     pw.add_argument("--port", type=int, default=8412)
     pw.add_argument("--tf-checkpoint", help="load fitted TF LUT")
+    pw.add_argument("--flex-normalize", action="store_true",
+                    help="min-max map flexible-block stats onto the TF domain")
     pw.set_defaults(fn=cmd_view)
 
     pb = sub.add_parser("bench", help="performance benchmark")

@@ -62,6 +62,31 @@ class FlexibleBlockVolume:
     def n_blocks(self) -> Tuple[int, int, int]:
         return self.stats_grid.shape[:3]
 
+    def stat_ranges(self) -> np.ndarray:
+        """(3, 2) per-channel (min, max) over blocks — what bindToTex computes
+        and prints for TF calibration (volumeRender_kernel.cu:1592-1622)."""
+        g = np.asarray(self.stats_grid).reshape(-1, 3)
+        return np.stack([g.min(axis=0), g.max(axis=0)], axis=-1)
+
+    def normalized(self) -> "FlexibleBlockVolume":
+        """Copy with each stat channel min-max mapped to [0, 1].
+
+        The reference stores flexible-block mean/variance in RAW bin-domain
+        units (mean in [0, 255], variance up to ~2e3 for the 64-bin domain),
+        leaving their normalization as an open TODO ("think about how to
+        normalize mean", volumeRender_kernel.cu:1092, commented-out min/max
+        mapping at :1102-1104) — so queries 9/0 render black until the user
+        manually winds transferScale down. This applies exactly the mapping
+        the reference left commented out, using the min/max bindToTex already
+        computes; entropy is normalized to [0, 1] at decode either way.
+        Constant channels (max == min) map to 0.
+        """
+        g = self.stats_grid
+        lo = jnp.min(g.reshape(-1, 3), axis=0)
+        hi = jnp.max(g.reshape(-1, 3), axis=0)
+        span = jnp.where(hi > lo, hi - lo, 1.0)
+        return dataclasses.replace(self, stats_grid=(g - lo) / span)
+
     # ---------------------------------------------------------------- raw path
     @classmethod
     def from_raw(

@@ -78,12 +78,28 @@ _VMEM_PLANE_LIMIT = 2 * 1024 * 1024
 def pallas_supported(
     volume_shape: Tuple[int, int, int], width: int, height: int, n_planes: int
 ) -> bool:
+    """Image sizes are unrestricted: the sweep pads the slope grid up to the
+    (STRIP, 128) kernel tiling and crops the output (see _pad_grid)."""
     nz, ny, nx = volume_shape
-    return (
-        width % 128 == 0
-        and height % STRIP == 0
-        and 4 * ny * nx <= _VMEM_PLANE_LIMIT
-    )
+    return 4 * ny * nx <= _VMEM_PLANE_LIMIT
+
+
+def _pad_grid(m: np.ndarray, mult: int) -> np.ndarray:
+    """Extend a uniform slope grid to the next multiple of ``mult``.
+
+    The kernel needs (H % STRIP == 0, W % 128 == 0); instead of refusing
+    other sizes (and falling back to the ~6x slower XLA sweep), extend the
+    grid with the same spacing — extra rays march like any others and the
+    caller crops them away (their gradients are exact zeros through the
+    crop's transpose)."""
+    m = np.asarray(m, dtype=np.float32)
+    n = m.shape[0]
+    pad = (-n) % mult
+    if pad == 0:
+        return m
+    dm = float(m[1] - m[0]) if n > 1 else 1.0
+    ext = m[-1] + dm * np.arange(1, pad + 1, dtype=np.float32)
+    return np.concatenate([m, ext.astype(np.float32)])
 
 
 def tf_relu_coefficients(lut: jnp.ndarray) -> jnp.ndarray:
@@ -567,20 +583,27 @@ def pallas_sweep_slope_space(
 
     The Pallas counterpart of march/slice.py's ``sweep_slope_space`` —
     ``mx (Wm,)`` / ``my (Hm,)`` are HOST numpy slope grids (static per
-    compile). Used directly by the shear-warp renderer for rotated views."""
+    compile). Used directly by the shear-warp renderer for rotated views.
+    Grids of any length are accepted: they are padded up to the kernel
+    tiling and the output is cropped back (see _pad_grid)."""
+    Wm = int(np.asarray(mx).shape[0])
+    Hm = int(np.asarray(my).shape[0])
+    mx = _pad_grid(mx, 128)
+    my = _pad_grid(my, STRIP)
     mx0, dmx = _uniform_grid_params(mx, "mx")
     my0, dmy = _uniform_grid_params(my, "my")
     volume = jnp.asarray(volume)
     if n_planes <= 0:
         n_planes = 2 * volume.shape[0]
-    return _sweep_call(
+    out = _sweep_call(
         volume, origin, tf_lut, density, brightness, transfer_offset,
         transfer_scale, mgrid=(mx0, dmx, my0, dmy, float(dz_sign)),
-        width=int(np.asarray(mx).shape[0]), height=int(np.asarray(my).shape[0]),
+        width=int(mx.shape[0]), height=int(my.shape[0]),
         march=march, n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk,
         tex_offset=float(tex_offset),
     )
+    return out[:Hm, :Wm]
 
 
 def pallas_slice_render(

@@ -65,6 +65,7 @@ from vrdd_tpu.utils.config import MarchConfig
 from vrdd_tpu.pallas.slice_kernel import (
     STRIP,
     _make_kernel,
+    _pad_grid,
     _xtile,
     _pixel_slopes,
     _preblend_planes,
@@ -586,19 +587,26 @@ def pallas_sweep_slope_space_diff(
 
     The custom-VJP counterpart of ``pallas_sweep_slope_space`` — used by the
     shear-warp renderer for rotated views. ``mx``/``my`` are HOST numpy
-    grids (static per compile)."""
+    grids (static per compile). Grids of any length are accepted: padded up
+    to the kernel tiling and cropped back (the crop's transpose zero-pads
+    the incoming image cotangent, so gradients are exact)."""
+    Wm = int(np.asarray(mx).shape[0])
+    Hm = int(np.asarray(my).shape[0])
+    mx = _pad_grid(mx, 128)
+    my = _pad_grid(my, STRIP)
     mx0, dmx = _uniform_grid_params(mx, "mx")
     my0, dmy = _uniform_grid_params(my, "my")
     mgrid = (mx0, dmx, my0, dmy, float(dz_sign))
-    return _diff_call(
+    out = _diff_call(
         jnp.asarray(volume), origin, tf_lut, density, brightness,
         transfer_offset, transfer_scale, mgrid=mgrid,
-        width=int(np.asarray(mx).shape[0]),
-        height=int(np.asarray(my).shape[0]), march=march, n_planes=n_planes,
+        width=int(mx.shape[0]),
+        height=int(my.shape[0]), march=march, n_planes=n_planes,
         length_correction=length_correction, precision=precision,
         plane_chunk=plane_chunk, tex_offset=float(tex_offset),
         wrt=_norm_wrt(wrt),
     )
+    return out[:Hm, :Wm]
 
 
 @functools.partial(
