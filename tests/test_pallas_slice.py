@@ -13,8 +13,18 @@ from vrdd_tpu.pallas.slice_kernel import pallas_slice_render, pallas_supported
 def test_pallas_supported_predicate():
     assert pallas_supported((10, 50, 50), 512, 512, 500)
     assert pallas_supported((512, 512, 512), 1024, 1024, 512)  # v2: streamed
-    assert not pallas_supported((8, 1200, 1200), 512, 512, 64)  # plane > VMEM
+    assert pallas_supported((1024, 1024, 1024), 1024, 1024, 1024)
+    assert not pallas_supported((8, 1500, 1200), 512, 512, 64)  # plane > VMEM
     assert pallas_supported((10, 50, 50), 500, 300, 100)  # pad+crop handles it
+
+
+def test_fit_plane_chunk():
+    from vrdd_tpu.pallas.slice_kernel import _fit_plane_chunk
+
+    assert _fit_plane_chunk(8, 512, 512, 512) == 8      # fits as-is
+    assert _fit_plane_chunk(8, 1024, 1024, 1024) == 4   # shrunk to VMEM budget
+    assert _fit_plane_chunk(8, 100, 64, 64) == 5        # divisibility
+    assert _fit_plane_chunk(4, 7, 64, 64) == 1          # prime plane count
 
 
 def test_pallas_unaligned_image_pad_crop():
@@ -64,3 +74,31 @@ def test_pallas_matches_xla_slice(tf_name):
     # allow isolated opacity-cutoff flips; bulk must match tightly
     assert np.quantile(diff, 0.999) < 1e-4, np.quantile(diff, 0.999)
     assert diff.max() < 0.05, diff.max()
+
+
+def test_empty_space_skip_exact():
+    """TF-interval tile culling: with a zero-alpha band in the LUT, the
+    ESS-enabled render equals the XLA slice path on a mostly-empty volume
+    (skipped samples contribute exactly nothing)."""
+    rng = np.random.default_rng(5)
+    vol = np.zeros((16, 24, 24), dtype=np.float32)
+    vol[4:8, 6:12, 6:12] = rng.uniform(0.7, 1.0, (4, 6, 6)).astype(np.float32)
+    vol = jnp.asarray(vol)
+    # alpha zero for values below ~0.5, ramps above
+    lut = np.zeros((8, 4), dtype=np.float32)
+    lut[:, 0] = np.linspace(0, 1, 8)
+    lut[5:, 3] = [0.3, 0.7, 1.0]
+    tf = jnp.asarray(lut)
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    kw = dict(width=128, height=128, n_planes=32, density=0.8)
+    ref = np.asarray(slice_render_image(
+        vol, o, kw["width"], kw["height"], tf, kw["density"],
+        n_planes=kw["n_planes"]))
+    with pltpu.force_tpu_interpret_mode():
+        ess = np.asarray(pallas_slice_render(
+            vol, o, tf, **kw, empty_space_skip=True))
+        no_ess = np.asarray(pallas_slice_render(vol, o, tf, **kw))
+    for got in (ess, no_ess):
+        diff = np.abs(got - ref)
+        assert np.quantile(diff, 0.999) < 1e-4
+    assert ess.max() > 0  # the blob still renders

@@ -166,3 +166,43 @@ def test_pallas_vjp_wrt_pruning():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown wrt"):
         make_loss(("volume", "typo"))(*args)
+
+
+def test_ess_volume_grad_exact():
+    """Opt-in empty-space skipping with wrt=('volume',): volume gradients
+    still match the XLA slice path (zero-alpha segments have zero slope, so
+    skipped tiles carry exactly-zero volume cotangents)."""
+    rng = np.random.default_rng(11)
+    vol = np.zeros((8, 20, 20), dtype=np.float32)
+    vol[2:5, 5:12, 5:12] = rng.uniform(0.7, 1.0, (3, 7, 7)).astype(np.float32)
+    vol = jnp.asarray(vol)
+    lut = np.zeros((8, 4), dtype=np.float32)
+    lut[:, 1] = np.linspace(0, 1, 8)
+    lut[5:, 3] = [0.4, 0.8, 1.0]
+    tf = jnp.asarray(lut)
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    W, H, P = 128, 128, 16
+    tgt = jnp.asarray(rng.random((H, W, 4), dtype=np.float32))
+
+    def loss_ref(v):
+        return jnp.sum(slice_render_image(v, o, W, H, tf, 0.8, n_planes=P) * tgt)
+
+    def loss_pl(v):
+        img = pallas_slice_render_diff(v, o, tf, 0.8, width=W, height=H,
+                                       n_planes=P, wrt=("volume",),
+                                       empty_space_skip=True)
+        return jnp.sum(img * tgt)
+
+    rg = np.asarray(jax.grad(loss_ref)(vol))
+    with pltpu.force_tpu_interpret_mode():
+        gg = np.asarray(jax.grad(loss_pl)(vol))
+    err = np.abs(rg - gg) / (np.abs(rg).max() + 1e-6)
+    assert np.quantile(err, 0.999) < 5e-3, np.quantile(err, 0.999)
+    assert np.abs(rg).max() > 0
+
+    # requesting ESS alongside LUT/param cotangents is rejected (inexact)
+    with pytest.raises(ValueError, match="empty_space_skip"):
+        pallas_slice_render_diff(
+            jnp.asarray(vol), o, tf, width=W, height=H, n_planes=P,
+            wrt=("volume", "lut"), empty_space_skip=True,
+        )

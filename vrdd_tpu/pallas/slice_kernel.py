@@ -71,8 +71,23 @@ STRIP = 128
 # the per-sample transfer function, so dead tiles are pure savings
 XTILE = 128
 # bytes per plane; the streamed block is plane_chunk (default 8) planes and
-# double-buffered, so VMEM holds ~8x this alongside the output strip
-_VMEM_PLANE_LIMIT = 2 * 1024 * 1024
+# double-buffered, so VMEM holds ~8x this alongside the output strip.
+# 4 MB admits 1024^2 planes (1024^3 volumes render single-chip; the sweep
+# auto-shrinks plane_chunk to fit, see _fit_plane_chunk)
+_VMEM_PLANE_LIMIT = 4 * 1024 * 1024
+# keep the double-buffered plane block comfortably inside VMEM next to the
+# output strip and scratch
+_VMEM_PLANE_BLOCK_BUDGET = 32 * 1024 * 1024
+
+
+def _fit_plane_chunk(pchunk: int, n_planes: int, ny: int, nx: int) -> int:
+    """Largest chunk <= pchunk that divides n_planes and whose double-buffered
+    plane block fits the VMEM budget."""
+    while pchunk > 1 and 2 * pchunk * 4 * ny * nx > _VMEM_PLANE_BLOCK_BUDGET:
+        pchunk -= 1
+    while n_planes % pchunk:
+        pchunk -= 1
+    return pchunk
 
 
 def pallas_supported(
@@ -239,11 +254,116 @@ def _shrinking_footprint(params_ref, box_min, box_max, dz_sign):
     )
 
 
+def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
+                mgrid, box_min, box_max, H, W, pchunk, tex_offset):
+    """Empty-space-skipping bitmaps: (n_strips, n_chunks) int32, bit t set
+    iff x-tile t of the strip can contribute during the chunk.
+
+    The classic TF-interval culling the reference lacks (cf. distance-map TF
+    acceleration literature): per (strip, chunk, tile) bound the resampled
+    value by block min/max of the plane stack (the bilinear tent weights are
+    a convex combination, so res lies in [block_min, block_max] of the
+    1-voxel-dilated footprint), map the value interval through the LUT's
+    alpha channel (piecewise linear => extrema at knots and endpoints), and
+    cull when max |alpha| == 0 — the tile's samples then contribute exactly
+    nothing and leave transmittance unchanged, so skipping is EXACT for the
+    rendered image and for volume cotangents (the flat-zero alpha segment
+    has zero slope). It is NOT valid for alpha-LUT / density / TF-offset /
+    TF-scale cotangents (raising a LUT alpha entry would make empty samples
+    visible), so the diff path only applies it for wrt=('volume',).
+    """
+    n_planes, NY, NX = planes_all.shape
+    n_chunks = n_planes // pchunk
+    n_strips = H // STRIP
+    xt = _xtile(W)
+    n_xt = W // xt
+    mx0, dmx, my0, dmy, dz_sign = mgrid
+    xlo, ylo, zlo = box_min
+    xhi, yhi, zhi = box_max
+    ox, oy, oz = origin[0], origin[1], origin[2]
+    n_lut = tf_lut.shape[0]
+
+    # per-(chunk, block) min/max of the plane stack (edge-pad to block grid)
+    YB = XB = 8
+    by = -(-NY // YB)
+    bx = -(-NX // XB)
+    p = jnp.pad(planes_all, ((0, 0), (0, YB * by - NY), (0, XB * bx - NX)),
+                mode="edge")
+    p = p.reshape(n_chunks, pchunk, YB, by, XB, bx)
+    bmin = p.min(axis=(1, 3, 5))  # (n_chunks, YB, XB)
+    bmax = p.max(axis=(1, 3, 5))
+
+    # world-coordinate ranges: affine in (z, m) => extremes at the 4 corners
+    zc = jnp.asarray(zs).reshape(n_chunks, pchunk)
+    z_lo = zc.min(1)[None, :]  # (1, C)
+    z_hi = zc.max(1)[None, :]
+
+    def corner_range(o, m_a, m_b):
+        c = jnp.stack([
+            o + (z_lo - oz) * m_a, o + (z_lo - oz) * m_b,
+            o + (z_hi - oz) * m_a, o + (z_hi - oz) * m_b,
+        ])
+        return c.min(0), c.max(0)
+
+    srow = np.arange(n_strips, dtype=np.float32)[:, None]
+    ylo_r, yhi_r = corner_range(
+        oy, my0 + dmy * (srow * STRIP), my0 + dmy * (srow * STRIP + STRIP - 1)
+    )  # (S, C)
+    tcol = np.arange(n_xt, dtype=np.float32)[:, None]
+    xlo_r, xhi_r = corner_range(
+        ox, mx0 + dmx * (tcol * xt), mx0 + dmx * (tcol * xt + xt - 1)
+    )  # (T, C)
+
+    def block_range(lo_w, hi_w, lo_box, hi_box, N, bsz, nb):
+        # coordinate range -> 1-voxel-dilated texel range -> block range
+        u_lo = (lo_w - lo_box) / (hi_box - lo_box)
+        u_hi = (hi_w - lo_box) / (hi_box - lo_box)
+        v_lo = jnp.floor(u_lo * N - tex_offset) - 1.0
+        v_hi = jnp.ceil(u_hi * N - tex_offset) + 2.0
+        return (jnp.clip(jnp.floor(v_lo / bsz), 0, nb - 1),
+                jnp.clip(jnp.floor(v_hi / bsz), 0, nb - 1))
+
+    yb_lo, yb_hi = block_range(ylo_r, yhi_r, ylo, yhi, NY, by, YB)  # (S, C)
+    xb_lo, xb_hi = block_range(xlo_r, xhi_r, xlo, xhi, NX, bx, XB)  # (T, C)
+
+    ybi = jnp.arange(YB, dtype=jnp.float32)
+    xbi = jnp.arange(XB, dtype=jnp.float32)
+    ym = (ybi >= yb_lo[..., None]) & (ybi <= yb_hi[..., None])  # (S, C, YB)
+    xm = (xbi >= xb_lo[..., None]) & (xbi <= xb_hi[..., None])  # (T, C, XB)
+    m4 = ym[:, None, :, :, None] & xm[None, :, :, None, :]  # (S, T, C, YB, XB)
+    vmin = jnp.where(m4, bmin[None, None], jnp.inf).min(axis=(3, 4))
+    vmax = jnp.where(m4, bmax[None, None], -jnp.inf).max(axis=(3, 4))
+    nonempty = m4.any(axis=(3, 4))  # (S, T, C)
+
+    # max |alpha| of the clamped piecewise-linear LUT over [vmin, vmax]
+    la = jnp.asarray(tf_lut, jnp.float32)[:, 3]
+    q_a = (vmin - tf_off) * tf_scale * n_lut - 0.5
+    q_b = (vmax - tf_off) * tf_scale * n_lut - 0.5  # tf_scale sign-safe below
+    q_lo = jnp.clip(jnp.minimum(q_a, q_b), 0.0, n_lut - 1.0)
+    q_hi = jnp.clip(jnp.maximum(q_a, q_b), 0.0, n_lut - 1.0)
+
+    def alpha_at(q):
+        i0 = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, n_lut - 1)
+        i1 = jnp.clip(i0 + 1, 0, n_lut - 1)
+        return la[i0] * (1.0 - (q - i0)) + la[i1] * (q - i0)
+
+    amax = jnp.maximum(jnp.abs(alpha_at(q_lo)), jnp.abs(alpha_at(q_hi)))
+    for l in range(n_lut):
+        inside = (q_lo <= l) & (l <= q_hi)
+        amax = jnp.maximum(amax, jnp.where(inside, jnp.abs(la[l]), 0.0))
+
+    live = nonempty & (amax > 0.0)  # (S, T, C)
+    weights = jnp.asarray([1 << t for t in range(n_xt)], dtype=jnp.int32)
+    return jnp.tensordot(
+        live.astype(jnp.int32), weights, axes=((1,), (0,))
+    ).astype(jnp.int32)  # (S, C)
+
+
 def _make_kernel(
     H: int, W: int, NY: int, NX: int, n_planes: int, n_lut: int,
     mgrid, box_min, box_max, tstep: float, threshold: float,
     length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
-    tex_offset: float = 0.5,
+    tex_offset: float = 0.5, ess: bool = False,
 ):
     """``emit_ckpt``: additionally track per-ray transmittance in a 5th
     accumulator row (the backward pass's own T recursion, bit-identical to
@@ -267,7 +387,13 @@ def _make_kernel(
     xt = _xtile(W)
     n_xt = W // xt
 
-    def kernel(params_ref, zs_ref, coef_ref, planes_ref, out_ref, *rest):
+    def kernel(params_ref, zs_ref, coef_ref, planes_ref, *rest):
+        if ess:
+            ess_ref, out_ref = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            out_ref = rest[0]
+            rest = rest[1:]
         if emit_ckpt:
             tck_ref, live_ref, flag_ref, tflag_ref, tmp_ref = rest
         else:
@@ -299,14 +425,22 @@ def _make_kernel(
             params_ref, zs_ref, si, k, pchunk, mgrid, box_min, box_max, W
         )
         live = jnp.logical_and(flag_ref[0] == 0, strip_cov)
+        ebits = ess_ref[si, k] if ess else None
         tile_live = []
         for t in range(n_xt):
             m_a = mx0 + dmx * (t * xt)
             m_b = mx0 + dmx * (t * xt + xt - 1)
             xcov = _corner_overlap(ox, oz, m_a, m_b, z0, z1, xlo, xhi)
-            tile_live.append(
-                jnp.logical_and(live, jnp.logical_and(xcov, tflag_ref[t] == 0))
-            )
+            tl = jnp.logical_and(live, jnp.logical_and(xcov, tflag_ref[t] == 0))
+            if ess:
+                # empty-space skip: no reachable value maps to nonzero alpha
+                tl = jnp.logical_and(
+                    tl,
+                    jnp.bitwise_and(
+                        jax.lax.shift_right_logical(ebits, t), 1
+                    ) != 0,
+                )
+            tile_live.append(tl)
 
         if emit_ckpt:
             # per-(strip, chunk) bitmap of processed tiles: the backward
@@ -459,17 +593,21 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
     return planes, zs
 
 
-def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk):
+def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False):
     """(in_specs, out_spec, scratch, grid) shared by forward and pass 1:
     grid = (strips, chunks), strip-major, revisited output block."""
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    n_strips = H // STRIP
+    n_chunks = n_planes // pchunk
     in_specs = [
         smem((1, 8), lambda i, k: (0, 0)),
         smem((1, n_planes), lambda i, k: (0, 0)),
         smem((1, 4 * n_lut), lambda i, k: (0, 0)),
         vmem((pchunk, NY, NX), lambda i, k: (k, 0, 0)),
     ]
+    if ess:
+        in_specs.append(smem((n_strips, n_chunks), lambda i, k: (0, 0)))
     out_spec = vmem((4, STRIP, W), lambda i, k: (0, i, 0))
     scratch = [
         pltpu.SMEM((1,), jnp.int32),                 # strip ET flag
@@ -502,18 +640,17 @@ def _pixel_slopes(width: int, height: int, focal: float):
     jax.jit,
     static_argnames=(
         "mgrid", "width", "height", "march", "n_planes", "length_correction",
-        "precision", "plane_chunk", "tex_offset",
+        "precision", "plane_chunk", "tex_offset", "empty_space_skip",
     ),
 )
 def _sweep_call(
     volume, origin, tf_lut, density, brightness, transfer_offset,
     transfer_scale, *, mgrid, width, height, march, n_planes,
     length_correction, precision, plane_chunk, tex_offset=0.5,
+    empty_space_skip=False,
 ):
     nz, ny, nx = volume.shape
-    pchunk = plane_chunk
-    while n_planes % pchunk:
-        pchunk -= 1
+    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx)
 
     planes_all, zs = _preblend_planes(
         volume, n_planes, march.box_min, march.box_max, mgrid[4], tex_offset
@@ -541,10 +678,20 @@ def _sweep_call(
         height, width, ny, nx, n_planes, n_lut, mgrid,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, mm_dtype, pchunk, tex_offset=tex_offset,
+        ess=empty_space_skip,
     )
     in_specs, out_spec, scratch, grid = _sweep_specs(
-        height, width, ny, nx, n_planes, n_lut, pchunk
+        height, width, ny, nx, n_planes, n_lut, pchunk, ess=empty_space_skip
     )
+    args = [params, zs_in, coef_flat, planes_all]
+    if empty_space_skip:
+        args.append(_ess_bitmap(
+            planes_all, zs, origin, jnp.asarray(tf_lut, jnp.float32),
+            jnp.asarray(transfer_offset, jnp.float32),
+            jnp.asarray(transfer_scale, jnp.float32),
+            mgrid, march.box_min, march.box_max, height, width, pchunk,
+            tex_offset,
+        ))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
@@ -556,7 +703,7 @@ def _sweep_call(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(params, zs_in, coef_flat, planes_all)
+    )(*args)
     return jnp.transpose(out, (1, 2, 0))
 
 
@@ -578,6 +725,7 @@ def pallas_sweep_slope_space(
     precision: str = "f32",
     plane_chunk: int = 8,
     tex_offset: float = 0.5,
+    empty_space_skip: bool = False,
 ) -> jnp.ndarray:
     """Fused plane sweep over a UNIFORM ray-slope grid: (Hm, Wm, 4) RGBA.
 
@@ -601,7 +749,7 @@ def pallas_sweep_slope_space(
         width=int(mx.shape[0]), height=int(my.shape[0]),
         march=march, n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk,
-        tex_offset=float(tex_offset),
+        tex_offset=float(tex_offset), empty_space_skip=empty_space_skip,
     )
     return out[:Hm, :Wm]
 
@@ -624,8 +772,15 @@ def pallas_slice_render(
     precision: str = "f32",
     plane_chunk: int = 8,
     tex_offset: float = 0.5,
+    empty_space_skip: bool = False,
 ) -> jnp.ndarray:
-    """Fused forward render; same semantics as slice_render_image."""
+    """Fused forward render; same semantics as slice_render_image.
+
+    ``empty_space_skip``: exact TF-interval tile culling (see _ess_bitmap).
+    Opt-in: the bitmap costs a block-min/max pass over the plane stack
+    (~6 ms at 512^3), which pays off for sparse volumes under windowed TFs
+    (zero-alpha bands) but is pure overhead on dense ramp TFs.
+    """
     volume = jnp.asarray(volume)
     if n_planes <= 0:
         n_planes = 2 * volume.shape[0]
@@ -635,4 +790,5 @@ def pallas_slice_render(
         transfer_offset, transfer_scale, march=march, dz_sign=-1,
         n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
+        empty_space_skip=empty_space_skip,
     )

@@ -64,6 +64,8 @@ from jax.experimental.pallas import tpu as pltpu
 from vrdd_tpu.utils.config import MarchConfig
 from vrdd_tpu.pallas.slice_kernel import (
     STRIP,
+    _ess_bitmap,
+    _fit_plane_chunk,
     _make_kernel,
     _pad_grid,
     _xtile,
@@ -411,19 +413,25 @@ def _pack_params(origin, density, toff, tscl):
 @functools.lru_cache(maxsize=64)
 def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                      tstep, threshold, length_correction, precision, pchunk,
-                     tex_offset=0.5, wrt=("volume", "lut", "params")):
-    """Build the custom-VJP sweep for one static configuration."""
+                     tex_offset=0.5, wrt=("volume", "lut", "params"),
+                     ess=False):
+    """Build the custom-VJP sweep for one static configuration.
+
+    ``ess`` (opt-in): empty-space skipping — exact for the image and for
+    volume cotangents only (see _ess_bitmap), so it requires
+    wrt=('volume',); the caller enforces that.
+    """
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     fwd_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
-        tex_offset=tex_offset,
+        tex_offset=tex_offset, ess=ess,
     )
     fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk, emit_ckpt=True,
-        tex_offset=tex_offset,
+        tex_offset=tex_offset, ess=ess,
     )
     bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
         H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
@@ -434,7 +442,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     in_specs, out_spec, scratch, grid = _sweep_specs(
-        H, W, NY, NX, n_planes, n_lut, pchunk
+        H, W, NY, NX, n_planes, n_lut, pchunk, ess=ess
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"),
@@ -457,7 +465,16 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             zs = zs[::-1].copy()
         return jnp.asarray(zs)[None, :]
 
-    def _fwd_call(planes_all, params, coef_flat):
+    def _ess_args(planes_all, params, lut):
+        if not ess:
+            return ()
+        return (_ess_bitmap(
+            planes_all, _zs_in()[0], params[0, :3], lut,
+            params[0, 5], params[0, 6], mgrid, box_min, box_max,
+            H, W, pchunk, tex_offset,
+        ),)
+
+    def _fwd_call(planes_all, params, coef_flat, lut):
         out = pl.pallas_call(
             fwd_kernel,
             out_shape=jax.ShapeDtypeStruct((4, H, W), jnp.float32),
@@ -466,10 +483,11 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             out_specs=out_spec,
             scratch_shapes=scratch,
             compiler_params=cparams,
-        )(params, _zs_in(), coef_flat, planes_all)
+        )(params, _zs_in(), coef_flat, planes_all,
+          *_ess_args(planes_all, params, lut))
         return jnp.transpose(out, (1, 2, 0))
 
-    def _fwd_ckpt_call(planes_all, params, coef_flat):
+    def _fwd_ckpt_call(planes_all, params, coef_flat, lut):
         out, tck, live_map = pl.pallas_call(
             fwd_ckpt_kernel,
             out_shape=(
@@ -486,7 +504,8 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             ),
             scratch_shapes=scratch,
             compiler_params=cparams,
-        )(params, _zs_in(), coef_flat, planes_all)
+        )(params, _zs_in(), coef_flat, planes_all,
+          *_ess_args(planes_all, params, lut))
         return jnp.transpose(out[:4], (1, 2, 0)), tck, live_map
 
     def _bwd_call(planes_all, params, coef_flat, tck, live_map, g):
@@ -534,12 +553,12 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
     def sweep(planes_all, origin, lut, density, toff, tscl):
         params = _pack_params(origin, density, toff, tscl)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
-        return _fwd_call(planes_all, params, coef_flat)
+        return _fwd_call(planes_all, params, coef_flat, lut)
 
     def sweep_fwd(planes_all, origin, lut, density, toff, tscl):
         params = _pack_params(origin, density, toff, tscl)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
-        out, tck, live_map = _fwd_ckpt_call(planes_all, params, coef_flat)
+        out, tck, live_map = _fwd_ckpt_call(planes_all, params, coef_flat, lut)
         return out, (planes_all, origin, lut, density, toff, tscl, tck,
                      live_map)
 
@@ -582,6 +601,7 @@ def pallas_sweep_slope_space_diff(
     plane_chunk: int = 4,
     tex_offset: float = 0.5,
     wrt: tuple = ("volume", "lut", "params"),
+    empty_space_skip: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused sweep over a UNIFORM ray-slope grid.
 
@@ -604,7 +624,7 @@ def pallas_sweep_slope_space_diff(
         height=int(my.shape[0]), march=march, n_planes=n_planes,
         length_correction=length_correction, precision=precision,
         plane_chunk=plane_chunk, tex_offset=float(tex_offset),
-        wrt=_norm_wrt(wrt),
+        wrt=_norm_wrt(wrt), empty_space_skip=empty_space_skip,
     )
     return out[:Hm, :Wm]
 
@@ -613,25 +633,30 @@ def pallas_sweep_slope_space_diff(
     jax.jit,
     static_argnames=(
         "mgrid", "width", "height", "march", "n_planes", "length_correction",
-        "precision", "plane_chunk", "tex_offset", "wrt",
+        "precision", "plane_chunk", "tex_offset", "wrt", "empty_space_skip",
     ),
 )
 def _diff_call(
     volume, origin, tf_lut, density, brightness, transfer_offset,
     transfer_scale, *, mgrid, width, height, march, n_planes,
     length_correction, precision, plane_chunk, tex_offset=0.5,
-    wrt=("volume", "lut", "params"),
+    wrt=("volume", "lut", "params"), empty_space_skip=False,
 ):
     nz, ny, nx = volume.shape
     if n_planes <= 0:
         n_planes = 2 * nz
-    pchunk = plane_chunk
-    while n_planes % pchunk:
-        pchunk -= 1
+    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx)
+    if empty_space_skip and tuple(wrt) != ("volume",):
+        raise ValueError(
+            "empty_space_skip is exact only for wrt=('volume',): alpha-LUT / "
+            "density / TF-offset / TF-scale cotangents are nonzero in empty "
+            "space (raising a LUT alpha entry would make it visible)"
+        )
     sweep = _make_diff_sweep(
         height, width, ny, nx, n_planes, int(tf_lut.shape[0]), mgrid,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, precision, pchunk, tex_offset, wrt,
+        ess=empty_space_skip,
     )
     planes_all, _ = _preblend_planes(
         volume, n_planes, march.box_min, march.box_max, mgrid[4], tex_offset
@@ -669,6 +694,7 @@ def pallas_slice_render_diff(
     plane_chunk: int = 4,
     tex_offset: float = 0.5,
     wrt: tuple = ("volume", "lut", "params"),
+    empty_space_skip: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused render: same value as ``pallas_slice_render``.
 
@@ -688,5 +714,5 @@ def pallas_slice_render_diff(
         transfer_offset, transfer_scale, march=march, dz_sign=-1,
         n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
-        wrt=wrt,
+        wrt=wrt, empty_space_skip=empty_space_skip,
     )
