@@ -159,9 +159,11 @@ def test_normalized_stats_grid():
 
     nb = fb.normalized()
     g = np.asarray(nb.stats_grid)
-    for c in range(3):
+    for c in (0, 1):  # mean/variance min-max mapped
         assert g[..., c].min() == 0.0
         assert abs(g[..., c].max() - 1.0) < 1e-6
+    # entropy untouched (already [0,1] at decode; query 8 stays reference)
+    np.testing.assert_array_equal(g[..., 2], np.asarray(fb.stats_grid)[..., 2])
     assert nb.block_size == fb.block_size and nb.volume_dim == fb.volume_dim
 
     # renders non-black through the default TF (query 9 = flex mean)

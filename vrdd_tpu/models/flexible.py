@@ -69,7 +69,7 @@ class FlexibleBlockVolume:
         return np.stack([g.min(axis=0), g.max(axis=0)], axis=-1)
 
     def normalized(self) -> "FlexibleBlockVolume":
-        """Copy with each stat channel min-max mapped to [0, 1].
+        """Copy with the mean/variance channels min-max mapped to [0, 1].
 
         The reference stores flexible-block mean/variance in RAW bin-domain
         units (mean in [0, 255], variance up to ~2e3 for the 64-bin domain),
@@ -78,14 +78,20 @@ class FlexibleBlockVolume:
         mapping at :1102-1104) — so queries 9/0 render black until the user
         manually winds transferScale down. This applies exactly the mapping
         the reference left commented out, using the min/max bindToTex already
-        computes; entropy is normalized to [0, 1] at decode either way.
+        computes. The entropy channel is left UNTOUCHED: it is already
+        normalized to [0, 1] at decode (volumeRender_kernel.cu:1106-1115),
+        and remapping it would change query 8 away from the reference.
         Constant channels (max == min) map to 0.
         """
         g = self.stats_grid
         lo = jnp.min(g.reshape(-1, 3), axis=0)
         hi = jnp.max(g.reshape(-1, 3), axis=0)
         span = jnp.where(hi > lo, hi - lo, 1.0)
-        return dataclasses.replace(self, stats_grid=(g - lo) / span)
+        entropy = jnp.asarray([0.0, 0.0, 1.0], dtype=g.dtype)
+        mapped = (g - lo) / span
+        return dataclasses.replace(
+            self, stats_grid=mapped * (1.0 - entropy) + g * entropy
+        )
 
     # ---------------------------------------------------------------- raw path
     @classmethod

@@ -331,9 +331,10 @@ def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
     ym = (ybi >= yb_lo[..., None]) & (ybi <= yb_hi[..., None])  # (S, C, YB)
     xm = (xbi >= xb_lo[..., None]) & (xbi <= xb_hi[..., None])  # (T, C, XB)
     m4 = ym[:, None, :, :, None] & xm[None, :, :, None, :]  # (S, T, C, YB, XB)
+    # block_range clamps both ends into [0, nb-1], so every (s, t, c) selects
+    # at least one block — the where-fallbacks are never the final extremum
     vmin = jnp.where(m4, bmin[None, None], jnp.inf).min(axis=(3, 4))
     vmax = jnp.where(m4, bmax[None, None], -jnp.inf).max(axis=(3, 4))
-    nonempty = m4.any(axis=(3, 4))  # (S, T, C)
 
     # max |alpha| of the clamped piecewise-linear LUT over [vmin, vmax]
     la = jnp.asarray(tf_lut, jnp.float32)[:, 3]
@@ -352,7 +353,7 @@ def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
         inside = (q_lo <= l) & (l <= q_hi)
         amax = jnp.maximum(amax, jnp.where(inside, jnp.abs(la[l]), 0.0))
 
-    live = nonempty & (amax > 0.0)  # (S, T, C)
+    live = amax > 0.0  # (S, T, C)
     weights = jnp.asarray([1 << t for t in range(n_xt)], dtype=jnp.int32)
     return jnp.tensordot(
         live.astype(jnp.int32), weights, axes=((1,), (0,))

@@ -9,8 +9,9 @@ kernels with the per-pixel state VMEM-resident:
   normal fused sweep, additionally tracking per-ray transmittance with the
   backward's own recursion ``T <- T - [T >= 1-thr] T a`` and streaming ONE
   T-at-chunk-start checkpoint per (strip, plane-chunk) to HBM
-  (4 B/ray/chunk — a few hundred MB at 512^3 -> 1024^2, vs 4 GB for
-  per-plane streaming; brightness is folded outside so it stays
+  (4 B/ray/chunk = 1/plane_chunk the per-plane traffic: 0.5 GB vs 2 GB at
+  512^3 -> 1024^2 x 512 planes with the default plane_chunk=4;
+  brightness is folded outside so it stays
   differentiable). The diff path defaults to plane_chunk=4, measured fastest
   on v5e for the backward (49 vs 66 ms with plane_chunk=8 at
   512^3 -> 1024^2): smaller chunks keep the backward's plane / plane-grad /
@@ -205,8 +206,14 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                         1.0 + mx_row * mx_row + my_col * my_col
                     )
                     ab = spacing * stretch / tstep
+                    # abd uses EXACTLY the forward kernel's float association
+                    # (alpha_base, slice_kernel.py) so the replayed T
+                    # recursion and freeze masks are bit-identical to the
+                    # forward that wrote the chunk-start checkpoints
+                    abd = density * spacing * stretch / tstep
                 else:
                     ab = jnp.ones((STRIP, xt), dtype=jnp.float32)
+                    abd = jnp.full((STRIP, xt), density, dtype=jnp.float32)
 
                 # --- replay pass (front-to-back): rebuild the per-plane
                 # prefix transmittance from the chunk-start checkpoint with
@@ -237,7 +244,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                     _, ca = _tf_relu_forward(
                         res, coef_ref, n_lut, tf_off, tf_scale, channels=(3,)
                     )
-                    a = jnp.minimum(ca[3] * density * ab, 1.0) * covered
+                    a = jnp.minimum(ca[3] * abd, 1.0) * covered
                     tloc_ref[i, :, sl] = T
                     resloc_ref[i, :, sl] = res
                     caloc_ref[i, :, sl] = ca[3]
@@ -284,7 +291,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                     q, cols = _tf_relu_forward(res, coef_ref, n_lut, tf_off,
                                                tf_scale, channels=(0, 1, 2))
                     cols[3] = caloc_ref[i, :, sl]
-                    raw = cols[3] * density * ab
+                    raw = cols[3] * abd  # forward's exact alpha expression
                     a = jnp.minimum(raw, 1.0) * covered
                     T = tloc_ref[i, :, sl]  # prefix transmittance BEFORE this plane
                     m = (T >= 1.0 - threshold).astype(jnp.float32)
@@ -307,7 +314,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
                     # a = min(col_a * density * ab, 1) * covered
                     openm = covered * (raw < 1.0).astype(jnp.float32)
                     d_open = d_a * openm
-                    d_col_a = d_open * density * ab
+                    d_col_a = d_open * abd  # d raw / d col_a
                     if g_par:
                         dens_acc = _add(dens_acc, d_open * cols[3] * ab)
 

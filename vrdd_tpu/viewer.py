@@ -58,7 +58,7 @@ let S = { rx: 0, ry: 0, tx: 0, ty: 0, tz: -4, density: 0.05, brightness: 1.0,
 const W = __W__, H = __H__;
 const cv = document.getElementById('c'), ctx = cv.getContext('2d');
 const hud = document.getElementById('hud');
-let busy = false, dirty = true, lastT = performance.now(), fps = 0;
+let busy = false, dirty = true, fps = 0;
 
 async function frame() {
   if (busy || !dirty) { requestAnimationFrame(frame); return; }
@@ -68,8 +68,10 @@ async function frame() {
     const r = await fetch('/frame?' + q);
     const buf = new Uint8ClampedArray(await r.arrayBuffer());
     ctx.putImageData(new ImageData(buf, W, H), 0, 0);
-    const now = performance.now();
-    fps = 1000 / (now - lastT); lastT = now;
+    // render throughput from the server's own timing, not wall time since
+    // the previous frame (which would count idle gaps between interactions)
+    const rsec = parseFloat(r.headers.get('X-Render-Seconds') || '0');
+    fps = rsec > 0 ? 1 / rsec : 0;
     document.title = `vrdd_tpu viewer: ${fps.toFixed(1)} fps`;
     hud.textContent =
       `query=${S.query} density=${(+S.density).toFixed(3)} ` +
