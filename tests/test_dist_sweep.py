@@ -71,3 +71,49 @@ def test_distributed_sweep_gradients():
     np.testing.assert_allclose(
         np.asarray(gv), np.asarray(gv1), atol=3e-4, rtol=3e-4
     )
+
+
+def test_sweep_preblended_planes_traced_slopes():
+    """The distributed pallas backend's per-device building block: the fused
+    kernel consuming an already-preblended plane stack with TRACED slope
+    grid / plane depths / row window (what shard_map shards are). Parity vs
+    the single-device slice sweep on the same planes.
+
+    The full shard_map x pallas composition is exercised on real TPU (it is
+    pathologically slow under interpret mode on CPU — minutes per trace —
+    so CI pins the building block and the XLA-backend distributed path
+    instead; `backend='auto'` only selects pallas on a real TPU backend).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vrdd_tpu.pallas.slice_kernel import (
+        _preblend_planes,
+        sweep_preblended_planes,
+    )
+    from vrdd_tpu.utils.config import MarchConfig
+
+    vol = jnp.asarray(gaussian_blob_volume((16, 16, 16), seed=5))
+    W = H = 128
+    n_planes = 32
+    march = MarchConfig()
+    planes, zs = _preblend_planes(
+        vol, n_planes, march.box_min, march.box_max, -1, 0.5
+    )
+    # the unrotated pixel grid, handed over as DATA (not compile constants)
+    u = (np.arange(W, dtype=np.float32) / W) * 2.0 - 1.0
+    v = (np.arange(H, dtype=np.float32) / H) * 2.0 - 1.0
+    mx, my = u / -2.0, v / -2.0
+    slopes = jnp.asarray(
+        [mx[0], mx[1] - mx[0], my[0], my[1] - my[0]], jnp.float32
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            jax.jit(
+                lambda p, z, s: sweep_preblended_planes(
+                    p, z, O, s, TF, width=W, height=H, march=march
+                )
+            )(planes, jnp.asarray(zs), slopes)
+        )
+    ref = _ref(vol, W, H, n_planes=n_planes)
+    diff = np.abs(got - ref)
+    assert np.quantile(diff, 0.999) < 1e-4, np.quantile(diff, 0.999)

@@ -208,13 +208,16 @@ def _corner_overlap(o, oz, m_a, m_b, z0, z1, lo, hi):
     return (vmax >= lo) & (vmin <= hi)
 
 
-def _chunk_covered(params_ref, zs_ref, si, k, pchunk, mgrid, box_min,
+def _chunk_covered(params_ref, zs_ref, si, k, pchunk, dz_sign, box_min,
                    box_max, W):
     """Scalar predicate: does ANY plane of chunk k intersect this strip's
     ray bundle? Skipping an uncovered (strip, chunk) saves the entire
     resample+TF+composite body (at 512^3 -> 1024^2 back planes cover <40%
     of the image)."""
-    mx0, dmx, my0, dmy, dz_sign = mgrid
+    mx0 = params_ref[0, 8]
+    dmx = params_ref[0, 9]
+    my0 = params_ref[0, 10]
+    dmy = params_ref[0, 11]
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     ox = params_ref[0, 0]
@@ -255,7 +258,7 @@ def _shrinking_footprint(params_ref, box_min, box_max, dz_sign):
 
 
 def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
-                mgrid, box_min, box_max, H, W, pchunk, tex_offset):
+                slopes, box_min, box_max, H, W, pchunk, tex_offset):
     """Empty-space-skipping bitmaps: (n_strips, n_chunks) int32, bit t set
     iff x-tile t of the strip can contribute during the chunk.
 
@@ -277,7 +280,7 @@ def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
     n_strips = H // STRIP
     xt = _xtile(W)
     n_xt = W // xt
-    mx0, dmx, my0, dmy, dz_sign = mgrid
+    mx0, dmx, my0, dmy = slopes[0], slopes[1], slopes[2], slopes[3]
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     ox, oy, oz = origin[0], origin[1], origin[2]
@@ -362,7 +365,7 @@ def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
 
 def _make_kernel(
     H: int, W: int, NY: int, NX: int, n_planes: int, n_lut: int,
-    mgrid, box_min, box_max, tstep: float, threshold: float,
+    dz_sign, box_min, box_max, tstep: float, threshold: float,
     length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
     tex_offset: float = 0.5, ess: bool = False,
 ):
@@ -374,12 +377,13 @@ def _make_kernel(
     transmittance and suffix sums at 1/pchunk the per-plane checkpoint HBM
     traffic (see slice_vjp.py).
 
-    ``mgrid = (mx0, dmx, my0, dmy, dz_sign)`` defines the uniform ray-slope
-    grid (static floats): ray j of row i has slope
-    ``m = (mx0 + dmx * j, my0 + dmy * i)`` in volume axes (see
-    march/slice.py's slope-space factorization) — the unrotated pixel grid is
-    one instance; shear-warp's bounding m-grid for rotated views is another."""
-    mx0, dmx, my0, dmy, dz_sign = mgrid
+    The uniform ray-slope grid (ray j of row i has slope
+    ``m = (mx0 + dmx * j, my0 + dmy * i)`` in volume axes, see
+    march/slice.py's slope-space factorization) arrives as TRACED params
+    (params_ref[0, 8:12]) — the unrotated pixel grid is one instance,
+    shear-warp's bounding m-grid for rotated views is another, and a
+    per-device row window under shard_map is a third; none of them force a
+    recompile. Only ``dz_sign`` (sweep direction) is a static compile key."""
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
@@ -408,6 +412,10 @@ def _make_kernel(
         brightness = params_ref[0, 4]
         tf_off = params_ref[0, 5]
         tf_scale = params_ref[0, 6]
+        mx0 = params_ref[0, 8]
+        dmx = params_ref[0, 9]
+        my0 = params_ref[0, 10]
+        dmy = params_ref[0, 11]
 
         @pl.when(k == 0)
         def _init():
@@ -423,7 +431,7 @@ def _make_kernel(
         z0 = zs_ref[0, k * pchunk]
         z1 = zs_ref[0, k * pchunk + pchunk - 1]
         strip_cov = _chunk_covered(
-            params_ref, zs_ref, si, k, pchunk, mgrid, box_min, box_max, W
+            params_ref, zs_ref, si, k, pchunk, dz_sign, box_min, box_max, W
         )
         live = jnp.logical_and(flag_ref[0] == 0, strip_cov)
         ebits = ess_ref[si, k] if ess else None
@@ -602,7 +610,7 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False):
     n_strips = H // STRIP
     n_chunks = n_planes // pchunk
     in_specs = [
-        smem((1, 8), lambda i, k: (0, 0)),
+        smem((1, 12), lambda i, k: (0, 0)),
         smem((1, n_planes), lambda i, k: (0, 0)),
         smem((1, 4 * n_lut), lambda i, k: (0, 0)),
         vmem((pchunk, NY, NX), lambda i, k: (k, 0, 0)),
@@ -640,13 +648,14 @@ def _pixel_slopes(width: int, height: int, focal: float):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mgrid", "width", "height", "march", "n_planes", "length_correction",
-        "precision", "plane_chunk", "tex_offset", "empty_space_skip",
+        "dz_sign", "width", "height", "march", "n_planes",
+        "length_correction", "precision", "plane_chunk", "tex_offset",
+        "empty_space_skip",
     ),
 )
 def _sweep_call(
-    volume, origin, tf_lut, density, brightness, transfer_offset,
-    transfer_scale, *, mgrid, width, height, march, n_planes,
+    volume, origin, slopes, tf_lut, density, brightness, transfer_offset,
+    transfer_scale, *, dz_sign, width, height, march, n_planes,
     length_correction, precision, plane_chunk, tex_offset=0.5,
     empty_space_skip=False,
 ):
@@ -654,10 +663,37 @@ def _sweep_call(
     pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx)
 
     planes_all, zs = _preblend_planes(
-        volume, n_planes, march.box_min, march.box_max, mgrid[4], tex_offset
+        volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset
+    )
+    return sweep_preblended_planes(
+        planes_all, jnp.asarray(zs), origin, slopes, tf_lut, density,
+        brightness, transfer_offset, transfer_scale, dz_sign=dz_sign,
+        width=width, height=height, march=march,
+        length_correction=length_correction, precision=precision,
+        plane_chunk=pchunk, tex_offset=tex_offset,
+        empty_space_skip=empty_space_skip,
     )
 
+
+def sweep_preblended_planes(
+    planes_all, zs, origin, slopes, tf_lut, density=0.05, brightness=1.0,
+    transfer_offset=0.0, transfer_scale=1.0, *, dz_sign=-1, width, height,
+    march: MarchConfig = MarchConfig(), length_correction=True,
+    precision="f32", plane_chunk=8, tex_offset=0.5, empty_space_skip=False,
+):
+    """Fused sweep over an ALREADY pre-blended, front-to-back plane stack.
+
+    Everything is traced data: ``planes_all (P, NY, NX)``, ``zs (P,)`` (plane
+    depths, matching the stack order), ``origin (3,)``, ``slopes (4,) =
+    [mx0, dmx, my0, dmy]``. This is the entry point the distributed sort-last
+    sweep uses per device inside shard_map (each device's slab planes, plane
+    depths, and row window are shards — data, not compile keys); the
+    single-device `_sweep_call` is pre-blend + this. Not jitted: call it
+    inside your own jit/shard_map."""
+    n_planes, ny, nx = planes_all.shape
+    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx)
     origin = jnp.asarray(origin, dtype=jnp.float32)
+    slopes = jnp.asarray(slopes, dtype=jnp.float32)
     params = jnp.stack(
         [
             origin[0], origin[1], origin[2],
@@ -666,17 +702,18 @@ def _sweep_call(
             jnp.asarray(transfer_offset, jnp.float32),
             jnp.asarray(transfer_scale, jnp.float32),
             jnp.float32(0.0),
+            slopes[0], slopes[1], slopes[2], slopes[3],
         ]
     )[None, :]
     n_lut = tf_lut.shape[0]
     coef_flat = tf_relu_coefficients(
         jnp.asarray(tf_lut, dtype=jnp.float32)
     ).reshape(1, -1)
-    zs_in = jnp.asarray(zs)[None, :]
+    zs_in = jnp.asarray(zs, jnp.float32)[None, :]
 
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = _make_kernel(
-        height, width, ny, nx, n_planes, n_lut, mgrid,
+        height, width, ny, nx, n_planes, n_lut, dz_sign,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, mm_dtype, pchunk, tex_offset=tex_offset,
         ess=empty_space_skip,
@@ -690,7 +727,7 @@ def _sweep_call(
             planes_all, zs, origin, jnp.asarray(tf_lut, jnp.float32),
             jnp.asarray(transfer_offset, jnp.float32),
             jnp.asarray(transfer_scale, jnp.float32),
-            mgrid, march.box_min, march.box_max, height, width, pchunk,
+            slopes, march.box_min, march.box_max, height, width, pchunk,
             tex_offset,
         ))
     out = pl.pallas_call(
@@ -734,7 +771,9 @@ def pallas_sweep_slope_space(
     ``mx (Wm,)`` / ``my (Hm,)`` are HOST numpy slope grids (static per
     compile). Used directly by the shear-warp renderer for rotated views.
     Grids of any length are accepted: they are padded up to the kernel
-    tiling and the output is cropped back (see _pad_grid)."""
+    tiling and the output is cropped back (see _pad_grid). The grid
+    parameters are TRACED (no recompile across views); only the sweep
+    direction and the grid LENGTHS key the compile."""
     Wm = int(np.asarray(mx).shape[0])
     Hm = int(np.asarray(my).shape[0])
     mx = _pad_grid(mx, 128)
@@ -745,8 +784,9 @@ def pallas_sweep_slope_space(
     if n_planes <= 0:
         n_planes = 2 * volume.shape[0]
     out = _sweep_call(
-        volume, origin, tf_lut, density, brightness, transfer_offset,
-        transfer_scale, mgrid=(mx0, dmx, my0, dmy, float(dz_sign)),
+        volume, origin, jnp.asarray([mx0, dmx, my0, dmy], jnp.float32),
+        tf_lut, density, brightness, transfer_offset,
+        transfer_scale, dz_sign=int(dz_sign),
         width=int(mx.shape[0]), height=int(my.shape[0]),
         march=march, n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk,

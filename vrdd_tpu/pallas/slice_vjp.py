@@ -102,9 +102,10 @@ def _norm_wrt(wrt) -> tuple:
 
 
 
-def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
-                     tstep, threshold, length_correction, mm_dtype, pchunk,
-                     tex_offset=0.5, wrt=("volume", "lut", "params")):
+def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
+                     box_max, tstep, threshold, length_correction, mm_dtype,
+                     pchunk, tex_offset=0.5,
+                     wrt=("volume", "lut", "params")):
     """Reverse-order cotangent sweep; see module docstring.
 
     ``wrt`` statically prunes cotangent paths: "volume" (d_planes — the
@@ -116,7 +117,6 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
     g_lut = "lut" in wrt
     g_par = "params" in wrt
     need_dres = g_vol or g_par  # d_res feeds d_planes and toff/tscl
-    mx0, dmx, my0, dmy, dz_sign = mgrid
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
@@ -137,6 +137,10 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
         density = params_ref[0, 3]
         tf_off = params_ref[0, 5]
         tf_scale = params_ref[0, 6]
+        mx0 = params_ref[0, 8]
+        dmx = params_ref[0, 9]
+        my0 = params_ref[0, 10]
+        dmy = params_ref[0, 11]
         row0 = si * STRIP
 
         first = jnp.logical_and(k == 0, si == 0)
@@ -405,22 +409,24 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
     return kernel, n_chunks, n_strips
 
 
-def _pack_params(origin, density, toff, tscl):
+def _pack_params(origin, density, toff, tscl, slopes):
     origin = jnp.asarray(origin, dtype=jnp.float32)
+    slopes = jnp.asarray(slopes, dtype=jnp.float32)
     return jnp.stack(
         [
             origin[0], origin[1], origin[2],
             jnp.asarray(density, jnp.float32), jnp.float32(1.0),
             jnp.asarray(toff, jnp.float32), jnp.asarray(tscl, jnp.float32),
             jnp.float32(0.0),
+            slopes[0], slopes[1], slopes[2], slopes[3],
         ]
     )[None, :]
 
 
 @functools.lru_cache(maxsize=64)
-def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
-                     tstep, threshold, length_correction, precision, pchunk,
-                     tex_offset=0.5, wrt=("volume", "lut", "params"),
+def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
+                     box_max, tstep, threshold, length_correction, precision,
+                     pchunk, tex_offset=0.5, wrt=("volume", "lut", "params"),
                      ess=False):
     """Build the custom-VJP sweep for one static configuration.
 
@@ -431,17 +437,17 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     fwd_kernel = _make_kernel(
-        H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
+        H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
         tex_offset=tex_offset, ess=ess,
     )
     fwd_ckpt_kernel = _make_kernel(
-        H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
+        H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk, emit_ckpt=True,
         tex_offset=tex_offset, ess=ess,
     )
     bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
-        H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max, tstep,
+        H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
         tex_offset=tex_offset, wrt=wrt,
     )
@@ -468,7 +474,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             box_min[2]
             + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)
         ).astype(np.float32)
-        if mgrid[4] < 0:
+        if dz_sign < 0:
             zs = zs[::-1].copy()
         return jnp.asarray(zs)[None, :]
 
@@ -477,7 +483,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
             return ()
         return (_ess_bitmap(
             planes_all, _zs_in()[0], params[0, :3], lut,
-            params[0, 5], params[0, 6], mgrid, box_min, box_max,
+            params[0, 5], params[0, 6], params[0, 8:12], box_min, box_max,
             H, W, pchunk, tex_offset,
         ),)
 
@@ -518,7 +524,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
     def _bwd_call(planes_all, params, coef_flat, tck, live_map, g):
         g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
         in_specs_bwd = [
-            smem((1, 8), lambda k, s: (0, 0)),
+            smem((1, 12), lambda k, s: (0, 0)),
             smem((1, n_planes), lambda k, s: (0, 0)),
             smem((1, 4 * n_lut), lambda k, s: (0, 0)),
             vmem((pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)),
@@ -557,21 +563,22 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
         return d_planes, g_lut, g_density, g_toff, g_tscl
 
     @jax.custom_vjp
-    def sweep(planes_all, origin, lut, density, toff, tscl):
-        params = _pack_params(origin, density, toff, tscl)
+    def sweep(planes_all, origin, slopes, lut, density, toff, tscl):
+        params = _pack_params(origin, density, toff, tscl, slopes)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
         return _fwd_call(planes_all, params, coef_flat, lut)
 
-    def sweep_fwd(planes_all, origin, lut, density, toff, tscl):
-        params = _pack_params(origin, density, toff, tscl)
+    def sweep_fwd(planes_all, origin, slopes, lut, density, toff, tscl):
+        params = _pack_params(origin, density, toff, tscl, slopes)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
         out, tck, live_map = _fwd_ckpt_call(planes_all, params, coef_flat, lut)
-        return out, (planes_all, origin, lut, density, toff, tscl, tck,
-                     live_map)
+        return out, (planes_all, origin, slopes, lut, density, toff, tscl,
+                     tck, live_map)
 
     def sweep_bwd(res, g):
-        planes_all, origin, lut, density, toff, tscl, tck, live_map = res
-        params = _pack_params(origin, density, toff, tscl)
+        (planes_all, origin, slopes, lut, density, toff, tscl, tck,
+         live_map) = res
+        params = _pack_params(origin, density, toff, tscl, slopes)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
         d_planes, g_lut, g_density, g_toff, g_tscl = _bwd_call(
             planes_all, params, coef_flat, tck, live_map, g
@@ -579,6 +586,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, mgrid, box_min, box_max,
         return (
             d_planes,
             jnp.zeros((3,), dtype=jnp.float32),  # origin: non-diff (as XLA path)
+            jnp.zeros((4,), dtype=jnp.float32),  # slope grid: non-diff
             g_lut.astype(lut.dtype),
             g_density.astype(jnp.float32),
             g_toff.astype(jnp.float32),
@@ -623,10 +631,10 @@ def pallas_sweep_slope_space_diff(
     my = _pad_grid(my, STRIP)
     mx0, dmx = _uniform_grid_params(mx, "mx")
     my0, dmy = _uniform_grid_params(my, "my")
-    mgrid = (mx0, dmx, my0, dmy, float(dz_sign))
     out = _diff_call(
-        jnp.asarray(volume), origin, tf_lut, density, brightness,
-        transfer_offset, transfer_scale, mgrid=mgrid,
+        jnp.asarray(volume), origin,
+        jnp.asarray([mx0, dmx, my0, dmy], jnp.float32), tf_lut, density,
+        brightness, transfer_offset, transfer_scale, dz_sign=int(dz_sign),
         width=int(mx.shape[0]),
         height=int(my.shape[0]), march=march, n_planes=n_planes,
         length_correction=length_correction, precision=precision,
@@ -639,13 +647,14 @@ def pallas_sweep_slope_space_diff(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mgrid", "width", "height", "march", "n_planes", "length_correction",
-        "precision", "plane_chunk", "tex_offset", "wrt", "empty_space_skip",
+        "dz_sign", "width", "height", "march", "n_planes",
+        "length_correction", "precision", "plane_chunk", "tex_offset", "wrt",
+        "empty_space_skip",
     ),
 )
 def _diff_call(
-    volume, origin, tf_lut, density, brightness, transfer_offset,
-    transfer_scale, *, mgrid, width, height, march, n_planes,
+    volume, origin, slopes, tf_lut, density, brightness, transfer_offset,
+    transfer_scale, *, dz_sign, width, height, march, n_planes,
     length_correction, precision, plane_chunk, tex_offset=0.5,
     wrt=("volume", "lut", "params"), empty_space_skip=False,
 ):
@@ -660,13 +669,13 @@ def _diff_call(
             "space (raising a LUT alpha entry would make it visible)"
         )
     sweep = _make_diff_sweep(
-        height, width, ny, nx, n_planes, int(tf_lut.shape[0]), mgrid,
+        height, width, ny, nx, n_planes, int(tf_lut.shape[0]), dz_sign,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, precision, pchunk, tex_offset, wrt,
         ess=empty_space_skip,
     )
     planes_all, _ = _preblend_planes(
-        volume, n_planes, march.box_min, march.box_max, mgrid[4], tex_offset
+        volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset
     )
     if "volume" not in wrt:
         # also kills the pre-blend transpose matmul in the outer XLA graph
@@ -674,6 +683,7 @@ def _diff_call(
     acc = sweep(
         planes_all,
         jnp.asarray(origin, jnp.float32),
+        jnp.asarray(slopes, jnp.float32),
         jnp.asarray(tf_lut, jnp.float32),
         jnp.asarray(density, jnp.float32),
         jnp.asarray(transfer_offset, jnp.float32),

@@ -33,6 +33,7 @@ SURVEY.md §2.3) — this subsystem is created per the TPU-native plan.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -42,6 +43,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vrdd_tpu.march.slice import _axis_weights, _tf_onehot_matmul
+from vrdd_tpu.pallas.slice_kernel import (
+    STRIP,
+    pallas_supported,
+    sweep_preblended_planes,
+)
 from vrdd_tpu.parallel.bricks import _halo_exchange
 from vrdd_tpu.parallel.mesh import BRICK_AXIS, RAY_AXIS
 from vrdd_tpu.utils.config import MarchConfig
@@ -134,7 +140,7 @@ def _over(acc, part):
     jax.jit,
     static_argnames=(
         "width", "height", "march", "mesh", "focal", "n_planes",
-        "length_correction", "plane_chunk",
+        "length_correction", "plane_chunk", "backend",
     ),
 )
 def distributed_sweep_render(
@@ -154,6 +160,7 @@ def distributed_sweep_render(
     n_planes: int = 0,
     length_correction: bool = True,
     plane_chunk: int = 8,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Sweep-render with the volume sharded over bricks and rows over rays.
 
@@ -162,6 +169,18 @@ def distributed_sweep_render(
     ``(H, W, 4)`` float32 RGBA, rows sharded on the rays axis. Matches the
     single-device ``slice_render_image`` to float32 rounding (ET exact at
     plane granularity via the two-pass scheme).
+
+    ``backend``: 'pallas' runs pass 1 (the bulk: every slab, no cutoff) on
+    the fused TPU kernel PER DEVICE inside shard_map — possible because the
+    kernel takes its slope grid, plane depths, and row window as traced
+    data, so ONE compile serves all devices; pass 2 (per-pixel tau re-sweep
+    of the single crossing slab) stays on the XLA sweep. Opt-in for
+    large-per-device workloads: measured on one v5e chip at a SMALL shard
+    (64^3, 256^2, 128 planes) the composition is correct (q999 ~1e-7 vs the
+    single-device sweep) but compiles slowly inside shard_map (~7 min) and
+    only beats the XLA sweep when the per-device shard is big enough for
+    the kernel's VMEM-residency to matter — 'auto' therefore still selects
+    'xla' pending multi-chip measurements.
     """
     nz, ny, nx = volume.shape
     if n_planes <= 0:
@@ -199,6 +218,19 @@ def distributed_sweep_render(
     origin = jnp.asarray(origin, dtype=jnp.float32)
     box = (march.box_min, march.box_max)
 
+    hl = height // nr
+    ppd = n_planes // nb  # planes per device slab
+    if backend == "pallas" and not (
+        width % 128 == 0 and hl % STRIP == 0
+        and pallas_supported((nz, ny, nx), width, hl, ppd)
+    ):
+        raise ValueError(
+            f"backend='pallas' needs width % 128 == 0 and (height/rays) % "
+            f"{STRIP} == 0 and the plane to fit VMEM; got width={width}, "
+            f"height/rays={hl}, plane=({ny},{nx})"
+        )
+    use_pallas = backend == "pallas"
+
     def per_device(
         vol_local, zs_local, my_local, alpha_local,
         origin, tf_lut, density, brightness, toff, tscl,
@@ -229,11 +261,34 @@ def distributed_sweep_render(
             planes, zs_ftb, mx, my_local, origin, tf_lut, density,
             toff, tscl, alpha_local, box, threshold, plane_chunk,
         )
-        hl = height // nr
         no_cut = jnp.full((hl, width), 2.0, dtype=jnp.float32)
 
-        # pass 1: un-truncated slab partials, folded front-to-back
-        partial = sweep(no_cut)  # (Hl, W, 4)
+        # pass 1: un-truncated slab partials, folded front-to-back.
+        # On the pallas backend this is the fused kernel with the opacity
+        # cutoff disabled (threshold 2 > 1 never freezes) — the slope grid /
+        # plane depths / row window are traced, so the one compiled kernel
+        # serves every device's shard.
+        if use_pallas:
+            march_nc = dataclasses.replace(march, opacity_threshold=2.0)
+            dmy_l = (
+                my_local[1] - my_local[0] if hl > 1 else jnp.float32(0.0)
+            )
+            slopes = jnp.stack(
+                [
+                    jnp.float32(mx[0]),
+                    jnp.float32(mx[1] - mx[0]) if width > 1 else jnp.float32(0.0),
+                    my_local[0],
+                    dmy_l,
+                ]
+            )
+            partial = sweep_preblended_planes(
+                planes, zs_ftb, origin, slopes, tf_lut, density, 1.0,
+                toff, tscl, dz_sign=-1, width=width, height=hl,
+                march=march_nc, length_correction=length_correction,
+                plane_chunk=plane_chunk,
+            )
+        else:
+            partial = sweep(no_cut)  # (Hl, W, 4)
         parts = jax.lax.all_gather(partial, BRICK_AXIS, axis=0)  # (nb, Hl, W, 4)
         ordered = jnp.flip(parts, axis=0)  # device nb-1 is nearest (dz < 0)
 
