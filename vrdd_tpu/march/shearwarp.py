@@ -27,9 +27,13 @@ Requirements/limits (fall back to the scan marcher otherwise):
 - the warp resampling adds one bilinear filtering step: accuracy vs the scan
   marcher is ~1e-2 at oversample=2 (pinned in tests), not bit parity.
 
-The view matrix is a HOST numpy array (static): the m-grid bounds, warp
-indices, and plane schedules embed as literals. Differentiable w.r.t. volume
-and render params (the warp is linear; the sweep has an analytic custom VJP).
+The view matrix is a HOST numpy array: geometry (principal axis, m-grid
+bounds, warp indices) is computed host-side. On the 'pallas' backend the
+sweep consumes the slope grid as TRACED params, so rotating the camera does
+NOT recompile — only the principal-axis permutation (6) and dz_sign (2) key
+compiles; the 'xla' backend embeds the grids as literals (view-static).
+Differentiable w.r.t. volume and render params (the warp is linear; the
+sweep has an analytic custom VJP).
 """
 
 from __future__ import annotations
@@ -143,7 +147,8 @@ def shearwarp_render_image(
     """Render ``(H, W, 4)`` RGBA for an ARBITRARY view on the matmul sweep.
 
     ``inv_view`` is the reference's 3x4 camera-to-world matrix as a HOST numpy
-    array (static per compile; pass distinct views as distinct Python objects).
+    array (on the pallas backend only the principal axis / dz_sign of the
+    view key compiles; on the xla backend the view is static per compile).
     ``oversample`` scales the intermediate m-grid resolution relative to the
     output image (2.0 keeps the warp's filtering loss ~1e-2).
 

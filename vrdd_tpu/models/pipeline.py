@@ -224,15 +224,28 @@ class RenderPipeline:
             jnp.float32(config.tf.scale),
         )
         if renderer == "shearwarp":
-            # view geometry is host-static for the shear-warp factorization:
-            # the view matrix is part of the compile key, not a traced input
             iv = np.ascontiguousarray(np.asarray(inv_view, dtype=np.float32))
+            vol = self._stats_channel(config.query_method)
+            n_planes = max(64, 2 * vol.shape[0])
+            if self._shearwarp_uses_pallas(vol.shape, config):
+                # eager orchestration: the fused sweep takes its slope grid
+                # as TRACED params, so the only per-view compile keys left
+                # are the principal-axis permutation (6) and dz_sign (2) —
+                # dragging the camera re-renders through cached executables
+                return shearwarp_render_image(
+                    vol, iv, config.camera.width, config.camera.height,
+                    *params, march=config.march, n_planes=n_planes,
+                    tex_offset=self._tex_offset(config.query_method),
+                    backend="auto",
+                )
+            # XLA backend: slope grids embed as literals, so the view stays
+            # a compile key (cached per view matrix)
             fn = self._compiled(
                 config.query_method, config.camera.width,
                 config.camera.height, config.march, renderer,
-                iv.tobytes(),
+                iv_bytes=iv.tobytes(),
             )
-            return fn(self._stats_channel(config.query_method), *params)
+            return fn(vol, *params)
         fn = self._compiled(
             config.query_method,
             config.camera.width,
@@ -247,13 +260,23 @@ class RenderPipeline:
             src, _ = self.sample_source(config.query_method)
         return fn(src, jnp.asarray(inv_view, dtype=jnp.float32), *params)
 
+    @staticmethod
+    def _shearwarp_uses_pallas(vol_shape, config) -> bool:
+        """Mirror shearwarp_render_image's backend='auto' choice, using the
+        worst-case principal-axis permutation for the plane-VMEM test."""
+        from vrdd_tpu.pallas.slice_kernel import pallas_supported
+
+        d = sorted(int(v) for v in vol_shape)
+        return jax.default_backend() == "tpu" and pallas_supported(
+            (d[0], d[2], d[1]), config.camera.width, config.camera.height, 1
+        )
+
     @functools.lru_cache(maxsize=32)
     def _compiled(self, method, width, height, march, renderer="scan",
                   iv_bytes=None, linear=True):
         # the sample source is a jit ARGUMENT (see sample_source docstring)
         if renderer == "shearwarp":
             inv_view = np.frombuffer(iv_bytes, dtype=np.float32).reshape(3, 4)
-
             toff = self._tex_offset(method)
 
             @jax.jit
@@ -265,7 +288,7 @@ class RenderPipeline:
                     volume, inv_view, width, height, tf_lut, density,
                     brightness, offset, scale, march=march,
                     n_planes=max(64, 2 * volume.shape[0]),
-                    tex_offset=toff,
+                    tex_offset=toff, backend="xla",
                 )
 
             return run_sw
