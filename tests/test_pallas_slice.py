@@ -102,3 +102,23 @@ def test_empty_space_skip_exact():
         diff = np.abs(got - ref)
         assert np.quantile(diff, 0.999) < 1e-4
     assert ess.max() > 0  # the blob still renders
+
+
+def test_pallas_banded_tall_image(monkeypatch):
+    """Images taller than the resident-accumulator budget split into row
+    bands (one executable, my0 traced); forcing 1-strip bands must reproduce
+    the unbanded render exactly (rays are independent)."""
+    import vrdd_tpu.pallas.slice_kernel as sk
+
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.random((8, 16, 16), dtype=np.float32))
+    tf = jnp.asarray(default_transfer_function())
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    with pltpu.force_tpu_interpret_mode():
+        full = np.asarray(pallas_slice_render(
+            vol, o, tf, width=128, height=256, n_planes=16, density=0.4))
+        monkeypatch.setattr(sk, "_max_band_rows", lambda w: sk.STRIP)
+        banded = np.asarray(pallas_slice_render(
+            vol, o, tf, width=128, height=256, n_planes=16, density=0.4))
+    assert banded.shape == (256, 128, 4)
+    np.testing.assert_array_equal(banded, full)

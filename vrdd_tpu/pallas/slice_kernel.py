@@ -1,27 +1,40 @@
-"""Fused slice-sweep render kernel (Pallas TPU) — v4, strip-resident accumulator.
+"""Fused slice-sweep render kernel (Pallas TPU) — v5, plane-major sweep with
+hoisted x-weights.
 
 The XLA slice sweep (vrdd_tpu/march/slice.py) is HBM-bandwidth-bound: every
 plane round-trips the image accumulator and temporaries through HBM
-(~40 MB/plane at 1024^2 — ~20 GB over a 512-plane sweep). This kernel keeps
-the accumulator resident in VMEM for the entire sweep and fuses the whole
-per-plane pipeline, so per-plane HBM traffic collapses to the plane's voxels.
+(~40 MB/plane at 1024^2 — ~20 GB over a 512-plane sweep). This kernel fuses
+the whole per-plane pipeline so per-plane HBM traffic collapses to the
+plane's voxels plus one accumulator strip in/out per grid step.
 
-Structure (v4 = v2 + VPU-lean transfer function + strip-level early
-termination; a v3 plane-major rewrite with a fully resident image and hoisted
-x-weights measured SLOWER — dynamic-slice strip access to the big block costs
-more than the hoist saves — and was reverted):
+Structure (v5 = v4 with the grid flipped to plane-major. The x tent-weight
+build is strip-INVARIANT, and at 512^3 -> 1024^2 it measured ~26% of the v4
+forward — rebuilt per strip, 8x more often than needed. Iterating
+chunk-outer/strip-inner builds it once per chunk into a VMEM cache shared by
+every strip, and the plane block also stays resident across the inner strip
+loop: 23.3 ms -> 17.0 ms at the headline config. An earlier v3 plane-major
+attempt kept a (4, H, W) image resident and addressed strips with
+sublane-dynamic slices, which was SLOWER than v4; the v5 accumulator is one
+(n_strips, n_rows, STRIP, W) output block with a CONSTANT index map —
+VMEM-resident for the whole sweep, strips addressed by a cheap leading-dim
+index, flushed once. Carrying it through HBM via input/output aliasing also
+works on hardware but goes stale at n_strips == 1: Mosaic does not refetch
+an input block whose index repeats between consecutive steps, so the
+aliased write-back is missed — caught by the interpret-mode tests):
 
-- grid = (H / STRIP, n_planes / chunk); the output block is a full-width row
-  strip (4, STRIP, W) whose index map depends only on the strip id, so Mosaic
-  keeps it in VMEM across the entire inner plane sweep (classic
-  revisited-block accumulation; zeroed at k == 0, brightness applied at the
-  last chunk).
+- grid = (n_planes / chunk, H / STRIP), chunk-major; brightness applied at
+  the last chunk; images taller than the VMEM accumulator budget are banded
+  at the call level (independent ray rows, one shared executable).
 - the plane block (chunk, NY, NX) streams from HBM with automatic
-  double-buffered DMA — no VMEM limit on volume size.
-- per (strip, plane): separable CUDA-model bilinear weights built on the VPU
+  double-buffered DMA — no VMEM limit on volume size — and is revisited
+  across the inner strip loop (fetched once per chunk).
+- per (chunk, plane): separable CUDA-model bilinear weights built on the VPU
   from iota (tent identity ``w = max(0, 1 - |clip(xf) - l|)``, exactly equal
   to the two-tap gather form incl. edge clamping — TPUs have no texture
-  units), then two full-width MXU matmuls resample the plane onto the strip.
+  units); the full-width x weights are built ONCE per chunk (first strip)
+  into VMEM scratch; two full-width MXU matmuls resample the plane onto each
+  strip. (The backward kernel keeps recomputing its x weights inline: feeding
+  matmuls from big-scratch slices measured 13 ms SLOWER there.)
 - transfer function in the RELU BASIS: the clamped linear-interp LUT is
   piecewise linear in ``q = clip((s-off)*scale*n - 0.5, 0, n-1)`` with
   integer knots, so ``col(q) = lut[0] + sum_l c_l relu(q - l)`` with
@@ -76,14 +89,31 @@ XTILE = 128
 # auto-shrinks plane_chunk to fit, see _fit_plane_chunk)
 _VMEM_PLANE_LIMIT = 4 * 1024 * 1024
 # keep the double-buffered plane block comfortably inside VMEM next to the
-# output strip and scratch
+# resident accumulator and scratch
 _VMEM_PLANE_BLOCK_BUDGET = 32 * 1024 * 1024
+# the resident accumulator block is (n_strips, n_rows, STRIP, W) =
+# n_rows * H * W * 4 bytes (n_rows = 5 on the checkpointing forward). The
+# plain forward BANDS taller images into separate sweeps (one executable —
+# the band's my0 is a traced param); the diff path falls back to the XLA VJP
+# beyond this (pallas_diff_supported).
+_VMEM_ACC_BUDGET = 40 * 1024 * 1024
 
 
-def _fit_plane_chunk(pchunk: int, n_planes: int, ny: int, nx: int) -> int:
+def _max_band_rows(width: int) -> int:
+    """Largest STRIP-multiple row count whose 5-row accumulator block fits."""
+    rows = _VMEM_ACC_BUDGET // (5 * 4 * max(width, 1))
+    return max(STRIP, (rows // STRIP) * STRIP)
+
+
+def _fit_plane_chunk(pchunk: int, n_planes: int, ny: int, nx: int,
+                     width: int = 0) -> int:
     """Largest chunk <= pchunk that divides n_planes and whose double-buffered
-    plane block fits the VMEM budget."""
-    while pchunk > 1 and 2 * pchunk * 4 * ny * nx > _VMEM_PLANE_BLOCK_BUDGET:
+    plane block PLUS the per-chunk x-weight cache (pchunk, width, nx) fits
+    the VMEM budget."""
+    while pchunk > 1 and (
+        2 * pchunk * 4 * ny * nx + pchunk * 4 * width * nx
+        > _VMEM_PLANE_BLOCK_BUDGET
+    ):
         pchunk -= 1
     while n_planes % pchunk:
         pchunk -= 1
@@ -377,6 +407,17 @@ def _make_kernel(
     transmittance and suffix sums at 1/pchunk the per-plane checkpoint HBM
     traffic (see slice_vjp.py).
 
+    Grid is (n_chunks, n_strips) CHUNK-MAJOR: the accumulator is ONE
+    (n_strips, n_rows, STRIP, W) output block with a CONSTANT index map, so
+    Mosaic keeps the whole image VMEM-resident across the entire sweep and
+    flushes it once (strips are addressed by a cheap leading-dim dynamic
+    index; NOT aliasing — an aliased input block whose index repeats between
+    consecutive steps is not refetched, which goes stale at n_strips == 1,
+    and sublane-dynamic slices of a (n_rows, H, W) block were the v3
+    mistake). The strip-invariant x weights are built once per chunk at the
+    first strip into VMEM scratch and reused by all strips (~26% of the v4
+    forward).
+
     The uniform ray-slope grid (ray j of row i has slope
     ``m = (mx0 + dmx * j, my0 + dmy * i)`` in volume axes, see
     march/slice.py's slope-space factorization) arrives as TRACED params
@@ -388,23 +429,25 @@ def _make_kernel(
     xhi, yhi, zhi = box_max
     spacing = (zhi - zlo) / n_planes
     n_chunks = n_planes // pchunk
-    n_rows = 5 if emit_ckpt else 4
+    n_strips = H // STRIP
     xt = _xtile(W)
     n_xt = W // xt
 
+    n_rows = 5 if emit_ckpt else 4
+
     def kernel(params_ref, zs_ref, coef_ref, planes_ref, *rest):
         if ess:
-            ess_ref, out_ref = rest[0], rest[1]
-            rest = rest[2:]
-        else:
-            out_ref = rest[0]
+            ess_ref = rest[0]
             rest = rest[1:]
+        out_ref = rest[0]  # (n_strips, n_rows, STRIP, W), VMEM-resident
+        rest = rest[1:]
         if emit_ckpt:
-            tck_ref, live_ref, flag_ref, tflag_ref, tmp_ref = rest
+            tck_ref, live_ref, flag_ref, tflag_ref, tmp_ref, wx_ref, ibx_ref \
+                = rest
         else:
-            flag_ref, tflag_ref, tmp_ref = rest
-        si = pl.program_id(0)
-        k = pl.program_id(1)
+            flag_ref, tflag_ref, tmp_ref, wx_ref, ibx_ref = rest
+        k = pl.program_id(0)   # chunk (outer)
+        si = pl.program_id(1)  # strip (inner)
         ox = params_ref[0, 0]
         oy = params_ref[0, 1]
         oz = params_ref[0, 2]
@@ -416,15 +459,20 @@ def _make_kernel(
         dmx = params_ref[0, 9]
         my0 = params_ref[0, 10]
         dmy = params_ref[0, 11]
+        row0 = si * STRIP
+
+        @pl.when(jnp.logical_and(k == 0, si == 0))
+        def _init_flags():
+            for s in range(n_strips):
+                flag_ref[s] = 0
+            for j in range(n_strips * n_xt):
+                tflag_ref[j] = 0
 
         @pl.when(k == 0)
-        def _init():
-            out_ref[...] = jnp.zeros((n_rows, STRIP, W), dtype=jnp.float32)
+        def _init_acc():
+            out_ref[si] = jnp.zeros((n_rows, STRIP, W), dtype=jnp.float32)
             if emit_ckpt:
-                out_ref[4] = jnp.ones((STRIP, W), dtype=jnp.float32)
-            flag_ref[0] = 0
-            for t in range(n_xt):
-                tflag_ref[t] = 0
+                out_ref[si, 4] = jnp.ones((STRIP, W), dtype=jnp.float32)
 
         # --- all-scalar (SMEM) liveness: strip-chunk coverage, per-tile
         # x-footprint overlap, per-tile persistent early-termination flags ---
@@ -433,14 +481,16 @@ def _make_kernel(
         strip_cov = _chunk_covered(
             params_ref, zs_ref, si, k, pchunk, dz_sign, box_min, box_max, W
         )
-        live = jnp.logical_and(flag_ref[0] == 0, strip_cov)
+        live = jnp.logical_and(flag_ref[si] == 0, strip_cov)
         ebits = ess_ref[si, k] if ess else None
         tile_live = []
         for t in range(n_xt):
             m_a = mx0 + dmx * (t * xt)
             m_b = mx0 + dmx * (t * xt + xt - 1)
             xcov = _corner_overlap(ox, oz, m_a, m_b, z0, z1, xlo, xhi)
-            tl = jnp.logical_and(live, jnp.logical_and(xcov, tflag_ref[t] == 0))
+            tl = jnp.logical_and(
+                live, jnp.logical_and(xcov, tflag_ref[si * n_xt + t] == 0)
+            )
             if ess:
                 # empty-space skip: no reachable value maps to nonzero alpha
                 tl = jnp.logical_and(
@@ -461,16 +511,31 @@ def _make_kernel(
             # ONE chunk-start transmittance checkpoint (the backward replays
             # the within-chunk T recursion from it — 1/pchunk the HBM traffic
             # of per-plane streaming); must precede any tile update of T
-            tck_ref[0] = out_ref[4]
+            tck_ref[0] = out_ref[si, 4]
 
         shrink = _shrinking_footprint(
             params_ref, box_min, box_max, dz_sign
         ).astype(jnp.float32)
 
+        @pl.when(si == 0)
+        def _stage_x():
+            # strip-invariant per-plane x weights: built once per chunk,
+            # reused by every strip (the single biggest VPU block of v4)
+            px = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0).astype(
+                jnp.float32
+            )
+            mx_all = mx0 + dmx * px[:, 0]  # (W,)
+            for i in range(pchunk):
+                z = zs_ref[0, k * pchunk + i]
+                x_at = ox + (z - oz) * mx_all
+                wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi, tex_offset)
+                wx_ref[i] = wx.astype(mm_dtype)
+                ibx_ref[i] = inbox_x[None, :]
+
         @pl.when(live)
         def _stage_y():
             # per-plane y-resample, shared by every x-tile of the strip
-            py = (si * STRIP + jax.lax.broadcasted_iota(
+            py = (row0 + jax.lax.broadcasted_iota(
                 jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
             my_col = my0 + dmy * py  # (STRIP, 1)
             for i in range(pchunk):
@@ -487,7 +552,7 @@ def _make_kernel(
 
             @pl.when(tile_live[t])
             def _tile(t=t, sl=sl):
-                py = (si * STRIP + jax.lax.broadcasted_iota(
+                py = (row0 + jax.lax.broadcasted_iota(
                     jnp.int32, (STRIP, 1), 0)).astype(jnp.float32)
                 px = (t * xt + jax.lax.broadcasted_iota(
                     jnp.int32, (1, xt), 1)).astype(jnp.float32)
@@ -504,25 +569,24 @@ def _make_kernel(
                         (STRIP, xt), density, dtype=jnp.float32
                     )
 
-                acc_r = out_ref[0, :, sl]
-                acc_g = out_ref[1, :, sl]
-                acc_b = out_ref[2, :, sl]
-                acc_a = out_ref[3, :, sl]
-                T = out_ref[4, :, sl] if emit_ckpt else None
+                acc_r = out_ref[si, 0, :, sl]
+                acc_g = out_ref[si, 1, :, sl]
+                acc_b = out_ref[si, 2, :, sl]
+                acc_a = out_ref[si, 3, :, sl]
+                T = out_ref[si, 4, :, sl] if emit_ckpt else None
                 covered = None
                 # unrolled over the plane block: amortizes per-grid-step
                 # overhead over pchunk planes
                 for i in range(pchunk):
                     z = zs_ref[0, k * pchunk + i]
-                    x_at = ox + (z - oz) * mx_row[0, :]  # (XTILE,)
                     y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
-                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi, tex_offset)
+                    inbox_x = ibx_ref[i, 0, sl]  # (XTILE,)
                     y01 = (y_at - ylo) / (yhi - ylo)
                     inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
                         jnp.float32
                     )
                     res = jax.lax.dot_general(
-                        tmp_ref[i].astype(mm_dtype), wx.astype(mm_dtype),
+                        tmp_ref[i].astype(mm_dtype), wx_ref[i, sl, :],
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (STRIP, XTILE)
@@ -548,29 +612,31 @@ def _make_kernel(
                     if emit_ckpt:
                         mT = jnp.where(T >= 1.0 - threshold, T, 0.0)
                         T = T - mT * a  # the backward's own T recursion
-                out_ref[0, :, sl] = acc_r
-                out_ref[1, :, sl] = acc_g
-                out_ref[2, :, sl] = acc_b
-                out_ref[3, :, sl] = acc_a
+                out_ref[si, 0, :, sl] = acc_r
+                out_ref[si, 1, :, sl] = acc_g
+                out_ref[si, 2, :, sl] = acc_b
+                out_ref[si, 3, :, sl] = acc_a
                 if emit_ckpt:
-                    out_ref[4, :, sl] = T
+                    out_ref[si, 4, :, sl] = T
                 # tile-level early termination: every ray past the threshold
                 # or permanently outside the (shrinking) footprint
                 done = jnp.maximum(
                     (acc_a > threshold).astype(jnp.float32),
                     shrink * (1.0 - covered),
                 )
-                tflag_ref[t] = (jnp.min(done) > 0.5).astype(jnp.int32)
+                tflag_ref[si * n_xt + t] = (jnp.min(done) > 0.5).astype(
+                    jnp.int32
+                )
 
         # strip flag: cheap full-skip of later chunks once every tile froze
-        allset = tflag_ref[0]
+        allset = tflag_ref[si * n_xt + 0]
         for t in range(1, n_xt):
-            allset = allset * tflag_ref[t]
-        flag_ref[0] = allset
+            allset = allset * tflag_ref[si * n_xt + t]
+        flag_ref[si] = allset
 
         @pl.when(k == n_chunks - 1)
         def _finish():
-            out_ref[0:4] = out_ref[0:4] * brightness
+            out_ref[si, 0:4] = out_ref[si, 0:4] * brightness
 
     return kernel
 
@@ -602,28 +668,38 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
     return planes, zs
 
 
-def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False):
+def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
+                 emit_ckpt=False, mm_dtype=jnp.float32):
     """(in_specs, out_spec, scratch, grid) shared by forward and pass 1:
-    grid = (strips, chunks), strip-major, revisited output block."""
+    grid = (chunks, strips), CHUNK-major; the accumulator is ONE
+    (n_strips, n_rows, STRIP, W) output block with a constant index map —
+    VMEM-resident for the whole sweep, flushed once (the caller reshapes it
+    back to (n_rows, H, W))."""
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     n_strips = H // STRIP
     n_chunks = n_planes // pchunk
+    n_rows = 5 if emit_ckpt else 4
+    n_xt = W // _xtile(W)
     in_specs = [
-        smem((1, 12), lambda i, k: (0, 0)),
-        smem((1, n_planes), lambda i, k: (0, 0)),
-        smem((1, 4 * n_lut), lambda i, k: (0, 0)),
-        vmem((pchunk, NY, NX), lambda i, k: (k, 0, 0)),
+        smem((1, 12), lambda k, s: (0, 0)),
+        smem((1, n_planes), lambda k, s: (0, 0)),
+        smem((1, 4 * n_lut), lambda k, s: (0, 0)),
+        vmem((pchunk, NY, NX), lambda k, s: (k, 0, 0)),
     ]
     if ess:
-        in_specs.append(smem((n_strips, n_chunks), lambda i, k: (0, 0)))
-    out_spec = vmem((4, STRIP, W), lambda i, k: (0, i, 0))
+        in_specs.append(smem((n_strips, n_chunks), lambda k, s: (0, 0)))
+    out_spec = vmem(
+        (n_strips, n_rows, STRIP, W), lambda k, s: (0, 0, 0, 0)
+    )
     scratch = [
-        pltpu.SMEM((1,), jnp.int32),                 # strip ET flag
-        pltpu.SMEM((W // _xtile(W),), jnp.int32),    # per-tile ET flags
+        pltpu.SMEM((n_strips,), jnp.int32),           # strip ET flags
+        pltpu.SMEM((n_strips * n_xt,), jnp.int32),    # per-tile ET flags
         pltpu.VMEM((pchunk, STRIP, NX), jnp.float32),  # y-resampled planes
+        pltpu.VMEM((pchunk, W, NX), mm_dtype),         # hoisted x weights
+        pltpu.VMEM((pchunk, 1, W), jnp.float32),       # x in-box masks
     ]
-    grid = (H // STRIP, n_planes // pchunk)
+    grid = (n_chunks, n_strips)
     return in_specs, out_spec, scratch, grid
 
 
@@ -660,7 +736,7 @@ def _sweep_call(
     empty_space_skip=False,
 ):
     nz, ny, nx = volume.shape
-    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx)
+    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx, width)
 
     planes_all, zs = _preblend_planes(
         volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset
@@ -691,7 +767,7 @@ def sweep_preblended_planes(
     single-device `_sweep_call` is pre-blend + this. Not jitted: call it
     inside your own jit/shard_map."""
     n_planes, ny, nx = planes_all.shape
-    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx)
+    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx, width)
     origin = jnp.asarray(origin, dtype=jnp.float32)
     slopes = jnp.asarray(slopes, dtype=jnp.float32)
     params = jnp.stack(
@@ -719,7 +795,8 @@ def sweep_preblended_planes(
         ess=empty_space_skip,
     )
     in_specs, out_spec, scratch, grid = _sweep_specs(
-        height, width, ny, nx, n_planes, n_lut, pchunk, ess=empty_space_skip
+        height, width, ny, nx, n_planes, n_lut, pchunk, ess=empty_space_skip,
+        mm_dtype=mm_dtype,
     )
     args = [params, zs_in, coef_flat, planes_all]
     if empty_space_skip:
@@ -730,19 +807,23 @@ def sweep_preblended_planes(
             slopes, march.box_min, march.box_max, height, width, pchunk,
             tex_offset,
         ))
+    n_strips = height // STRIP
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((4, height, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_strips, 4, STRIP, width), jnp.float32
+        ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*args)
-    return jnp.transpose(out, (1, 2, 0))
+    # (S, 4, STRIP, W) -> (H, W, 4)
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(height, width, 4)
 
 
 def pallas_sweep_slope_space(
@@ -783,15 +864,27 @@ def pallas_sweep_slope_space(
     volume = jnp.asarray(volume)
     if n_planes <= 0:
         n_planes = 2 * volume.shape[0]
-    out = _sweep_call(
-        volume, origin, jnp.asarray([mx0, dmx, my0, dmy], jnp.float32),
-        tf_lut, density, brightness, transfer_offset,
-        transfer_scale, dz_sign=int(dz_sign),
-        width=int(mx.shape[0]), height=int(my.shape[0]),
-        march=march, n_planes=n_planes, length_correction=length_correction,
-        precision=precision, plane_chunk=plane_chunk,
-        tex_offset=float(tex_offset), empty_space_skip=empty_space_skip,
-    )
+    W = int(mx.shape[0])
+    band = _max_band_rows(W)
+    # taller images than the resident accumulator admits run as independent
+    # row bands (rays are independent); every band shares ONE executable —
+    # only its my0 (a traced param) differs
+    my = _pad_grid(my, band) if my.shape[0] > band else my
+    bands = []
+    for row0 in range(0, my.shape[0], band):
+        h = min(band, my.shape[0] - row0)
+        bands.append(_sweep_call(
+            volume, origin,
+            jnp.asarray([mx0, dmx, my0 + dmy * row0, dmy], jnp.float32),
+            tf_lut, density, brightness, transfer_offset,
+            transfer_scale, dz_sign=int(dz_sign),
+            width=W, height=h,
+            march=march, n_planes=n_planes,
+            length_correction=length_correction,
+            precision=precision, plane_chunk=plane_chunk,
+            tex_offset=float(tex_offset), empty_space_skip=empty_space_skip,
+        ))
+    out = bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=0)
     return out[:Hm, :Wm]
 
 

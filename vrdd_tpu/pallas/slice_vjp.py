@@ -36,8 +36,10 @@ kernels with the per-pixel state VMEM-resident:
   REVERSED) so the ``(pchunk, NY, NX)`` plane-gradient output block is
   revisited consecutively across strips and stays VMEM-resident; the local
   transposes are two extra MXU matmuls (``d_tmp = d_res @ Wx``,
-  ``d_plane += Wy^T @ d_tmp``); x-weights are hoisted to scratch
-  (strip-invariant); LUT gradients accumulate in the TENT basis (the
+  ``d_plane += Wy^T @ d_tmp``); x-weights are recomputed inline per plane
+  (hoisting them to a shared VMEM cache like the forward does measured 13 ms
+  SLOWER here — matmuls fed from big-scratch slices); LUT gradients
+  accumulate in the TENT basis (the
   relu-coefficient transpose is ill-conditioned — its second-difference map
   cancels large ``sum q * d_col`` terms) into VMEM scratch, cross-lane
   reduced exactly once at the final grid step into an SMEM output; a chunk
@@ -88,7 +90,18 @@ __all__ = [
 
 
 def pallas_diff_supported(volume_shape, width, height, n_planes) -> bool:
-    return pallas_supported(volume_shape, width, height, n_planes)
+    """The diff path additionally needs the (checkpointing) forward's
+    resident 5-row accumulator to fit VMEM — the plain forward bands taller
+    images instead, but banding the VJP would split the checkpoint/live-map
+    plumbing, so beyond this the caller should use the XLA analytic VJP."""
+    from vrdd_tpu.pallas.slice_kernel import _VMEM_ACC_BUDGET
+
+    Hp = height + (-height) % STRIP
+    Wp = width + (-width) % 128
+    return (
+        pallas_supported(volume_shape, width, height, n_planes)
+        and 5 * 4 * Hp * Wp <= _VMEM_ACC_BUDGET
+    )
 
 
 def _norm_wrt(wrt) -> tuple:
@@ -228,10 +241,10 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 T = tck_ref[0, :, sl]
                 for i in range(pchunk):
                     z = zs_ref[0, kk * pchunk + i]
-                    x_at = ox + (z - oz) * mx_row[0, :]
                     y_at = oy + (z - oz) * my_col[:, 0]
-                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi,
-                                                tex_offset)
+                    x_at = ox + (z - oz) * mx_row[0, :]
+                    wx_i, inbox_x = _tent_weights(x_at, NX, xlo, xhi,
+                                                  tex_offset)
                     y01 = (y_at - ylo) / (yhi - ylo)
                     inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
                         jnp.float32
@@ -241,7 +254,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                     ).astype(jnp.float32)
                     covered = inbox_x[None, :] * inbox_y[:, None] * in_front
                     res = jax.lax.dot_general(
-                        tmp_ref[i].astype(mm_dtype), wx.astype(mm_dtype),
+                        tmp_ref[i].astype(mm_dtype), wx_i.astype(mm_dtype),
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (STRIP, XTILE)
@@ -279,10 +292,10 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
 
                 for i in reversed(range(pchunk)):
                     z = zs_ref[0, kk * pchunk + i]
-                    x_at = ox + (z - oz) * mx_row[0, :]  # (XTILE,)
                     y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
-                    wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi,
-                                                tex_offset)
+                    x_at = ox + (z - oz) * mx_row[0, :]
+                    wx_i, inbox_x = _tent_weights(x_at, NX, xlo, xhi,
+                                                  tex_offset)
                     y01 = (y_at - ylo) / (yhi - ylo)
                     inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
                         jnp.float32
@@ -359,7 +372,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                         # transpose through the x-resample; the y-transpose
                         # is deferred to one full-width matmul per plane
                         dtmp_ref[i] += jnp.dot(
-                            d_res.astype(mm_dtype), wx.astype(mm_dtype),
+                            d_res.astype(mm_dtype), wx_i.astype(mm_dtype),
                             preferred_element_type=jnp.float32,
                         )  # (STRIP, NX)
 
@@ -455,10 +468,14 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     in_specs, out_spec, scratch, grid = _sweep_specs(
-        H, W, NY, NX, n_planes, n_lut, pchunk, ess=ess
+        H, W, NY, NX, n_planes, n_lut, pchunk, ess=ess, mm_dtype=mm_dtype
+    )
+    in_specs_ck, out_spec_ck, scratch_ck, _ = _sweep_specs(
+        H, W, NY, NX, n_planes, n_lut, pchunk, ess=ess, emit_ckpt=True,
+        mm_dtype=mm_dtype,
     )
     cparams = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "arbitrary"),
+        dimension_semantics=("arbitrary", "arbitrary"),
         vmem_limit_bytes=100 * 1024 * 1024,
     )
     # the backward carries the suffix-sum image + grad scratch on top of the
@@ -490,7 +507,9 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     def _fwd_call(planes_all, params, coef_flat, lut):
         out = pl.pallas_call(
             fwd_kernel,
-            out_shape=jax.ShapeDtypeStruct((4, H, W), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_strips, 4, STRIP, W), jnp.float32
+            ),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_spec,
@@ -498,28 +517,29 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             compiler_params=cparams,
         )(params, _zs_in(), coef_flat, planes_all,
           *_ess_args(planes_all, params, lut))
-        return jnp.transpose(out, (1, 2, 0))
+        return jnp.transpose(out, (0, 2, 3, 1)).reshape(H, W, 4)
 
     def _fwd_ckpt_call(planes_all, params, coef_flat, lut):
         out, tck, live_map = pl.pallas_call(
             fwd_ckpt_kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((5, H, W), jnp.float32),
+                jax.ShapeDtypeStruct((n_strips, 5, STRIP, W), jnp.float32),
                 jax.ShapeDtypeStruct((n_chunks, H, W), jnp.float32),
                 jax.ShapeDtypeStruct((n_strips, n_chunks), jnp.int32),
             ),
             grid=grid,
-            in_specs=in_specs,
+            in_specs=in_specs_ck,
             out_specs=(
-                vmem((5, STRIP, W), lambda i, k: (0, i, 0)),
-                vmem((1, STRIP, W), lambda i, k: (k, i, 0)),
-                smem((n_strips, n_chunks), lambda i, k: (0, 0)),
+                out_spec_ck,
+                vmem((1, STRIP, W), lambda k, s: (k, s, 0)),
+                smem((n_strips, n_chunks), lambda k, s: (0, 0)),
             ),
-            scratch_shapes=scratch,
+            scratch_shapes=scratch_ck,
             compiler_params=cparams,
         )(params, _zs_in(), coef_flat, planes_all,
           *_ess_args(planes_all, params, lut))
-        return jnp.transpose(out[:4], (1, 2, 0)), tck, live_map
+        img = jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(H, W, 4)
+        return img, tck, live_map
 
     def _bwd_call(planes_all, params, coef_flat, tck, live_map, g):
         g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
@@ -661,7 +681,7 @@ def _diff_call(
     nz, ny, nx = volume.shape
     if n_planes <= 0:
         n_planes = 2 * nz
-    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx)
+    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx, width)
     if empty_space_skip and tuple(wrt) != ("volume",):
         raise ValueError(
             "empty_space_skip is exact only for wrt=('volume',): alpha-LUT / "
