@@ -16,6 +16,7 @@ import pathlib
 import numpy as np
 import jax.numpy as jnp
 import pytest
+from jax.experimental.pallas import tpu as pltpu
 
 from vrdd_tpu.core.image import rgba_to_uint8
 from vrdd_tpu.io import formats
@@ -34,13 +35,29 @@ def _pipeline() -> RenderPipeline:
 
 
 def _render(pipeline, query, renderer) -> np.ndarray:
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+
     config = RenderConfig(
         camera=CameraConfig(width=W, height=H),
         density=0.5,
         query_method=QueryMethod(query),
     )
-    img = pipeline.render(None, config, renderer)  # benchmark view
-    return np.asarray(rgba_to_uint8(img))
+    # shear-warp is the rotated-view path: pin a rotated camera; the others
+    # use the reference's fixed benchmark view (inv_view=None)
+    inv_view = (
+        inv_view_from_rotation_translation(15.0, 10.0, (0.0, 0.0, -4.0))
+        if renderer == "shearwarp" else None
+    )
+    if renderer == "pallas":
+        # the fused TPU kernels, run under the Mosaic interpreter on CPU —
+        # pins the fast path's semantics against the same kind of fixture
+        # the reference's runSingleTest uses
+        with pltpu.force_tpu_interpret_mode():
+            img = pipeline.render(inv_view, config, renderer)
+            img = np.asarray(img)
+    else:
+        img = pipeline.render(inv_view, config, renderer)
+    return np.asarray(rgba_to_uint8(jnp.asarray(img)))
 
 
 CASES = [
@@ -48,6 +65,8 @@ CASES = [
     ("scan_q3", 3, "scan"),
     ("scan_q7", 7, "scan"),
     ("slice_q1", 1, "slice"),
+    ("pallas_q1", 1, "pallas"),
+    ("shearwarp_q1", 1, "shearwarp"),
 ]
 
 
