@@ -117,3 +117,58 @@ def test_sweep_preblended_planes_traced_slopes():
     ref = _ref(vol, W, H, n_planes=n_planes)
     diff = np.abs(got - ref)
     assert np.quantile(diff, 0.999) < 1e-4, np.quantile(diff, 0.999)
+
+
+def test_sweep_seeded_resume_matches_full():
+    """acc_init resumes the front-to-back recursion mid-flight: sweeping the
+    back half of the plane stack seeded with the front half's accumulator
+    must equal the full sweep (this is the distributed pass-2 building
+    block); pixels seeded past the opacity threshold stay frozen."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vrdd_tpu.pallas.slice_kernel import (
+        _preblend_planes,
+        sweep_preblended_planes,
+    )
+    from vrdd_tpu.utils.config import MarchConfig
+
+    vol = jnp.asarray(gaussian_blob_volume((16, 16, 16), seed=5))
+    W = H = 128
+    n_planes = 32
+    march = MarchConfig()
+    planes, zs = _preblend_planes(
+        vol, n_planes, march.box_min, march.box_max, -1, 0.5
+    )
+    zs = jnp.asarray(zs)
+    u = (np.arange(W, dtype=np.float32) / W) * 2.0 - 1.0
+    v = (np.arange(H, dtype=np.float32) / H) * 2.0 - 1.0
+    mx, my = u / -2.0, v / -2.0
+    slopes = jnp.asarray(
+        [mx[0], mx[1] - mx[0], my[0], my[1] - my[0]], jnp.float32
+    )
+    half = n_planes // 2
+    # partial stacks keep the FULL stack's plane spacing
+    kw = dict(width=W, height=H, march=march, density=0.8,
+              plane_spacing=(march.box_max[2] - march.box_min[2]) / n_planes)
+    with pltpu.force_tpu_interpret_mode():
+        full = np.asarray(jax.jit(
+            lambda p, z, s: sweep_preblended_planes(p, z, O, s, TF, **kw)
+        )(planes, zs, slopes))
+        front = jax.jit(
+            lambda p, z, s: sweep_preblended_planes(p, z, O, s, TF, **kw)
+        )(planes[:half], zs[:half], slopes)
+        resumed = np.asarray(jax.jit(
+            lambda p, z, s, a: sweep_preblended_planes(
+                p, z, O, s, TF, acc_init=a, **kw)
+        )(planes[half:], zs[half:], slopes, front))
+        # frozen seed: alpha past the threshold contributes nothing
+        frozen = jnp.concatenate(
+            [jnp.zeros((H, W, 3), jnp.float32),
+             jnp.full((H, W, 1), 2.0, jnp.float32)], axis=-1)
+        untouched = np.asarray(jax.jit(
+            lambda p, z, s, a: sweep_preblended_planes(
+                p, z, O, s, TF, acc_init=a, **kw)
+        )(planes[half:], zs[half:], slopes, frozen))
+    diff = np.abs(resumed - full)
+    assert np.quantile(diff, 0.999) < 1e-5, np.quantile(diff, 0.999)
+    np.testing.assert_array_equal(untouched, np.asarray(frozen))

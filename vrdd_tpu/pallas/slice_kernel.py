@@ -397,9 +397,17 @@ def _make_kernel(
     H: int, W: int, NY: int, NX: int, n_planes: int, n_lut: int,
     dz_sign, box_min, box_max, tstep: float, threshold: float,
     length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
-    tex_offset: float = 0.5, ess: bool = False,
+    tex_offset: float = 0.5, ess: bool = False, seed: bool = False,
 ):
-    """``emit_ckpt``: additionally track per-ray transmittance in a 5th
+    """``seed``: the accumulator initializes from a traced RGBA input image
+    instead of zeros — "resume a sweep mid-flight". The distributed
+    sort-last sweep's exact-early-termination pass 2 seeds each device's
+    slab sweep with the true upstream prefix (crossing pixels) or alpha = 2
+    (everything else, which freezes instantly and lets whole tiles skip), so
+    the re-sweep costs only the crossing tiles. Mutually exclusive with
+    ``emit_ckpt``.
+
+    ``emit_ckpt``: additionally track per-ray transmittance in a 5th
     accumulator row (the backward pass's own T recursion, bit-identical to
     what the backward replays) and stream ONE T-at-chunk-start checkpoint per
     (strip, chunk) to a second output — the backward replays the within-chunk
@@ -427,7 +435,6 @@ def _make_kernel(
     recompile. Only ``dz_sign`` (sweep direction) is a static compile key."""
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
-    spacing = (zhi - zlo) / n_planes
     n_chunks = n_planes // pchunk
     n_strips = H // STRIP
     xt = _xtile(W)
@@ -435,9 +442,14 @@ def _make_kernel(
 
     n_rows = 5 if emit_ckpt else 4
 
+    assert not (seed and emit_ckpt)
+
     def kernel(params_ref, zs_ref, coef_ref, planes_ref, *rest):
         if ess:
             ess_ref = rest[0]
+            rest = rest[1:]
+        if seed:
+            seed_ref = rest[0]  # (4, STRIP, W) initial accumulator block
             rest = rest[1:]
         out_ref = rest[0]  # (n_strips, n_rows, STRIP, W), VMEM-resident
         rest = rest[1:]
@@ -459,6 +471,10 @@ def _make_kernel(
         dmx = params_ref[0, 9]
         my0 = params_ref[0, 10]
         dmy = params_ref[0, 11]
+        # plane spacing is TRACED (params slot 7): a partial plane stack
+        # (a distributed z-slab, a resumed sweep) has the FULL stack's
+        # spacing, not (zhi - zlo) / local_n_planes
+        spacing = params_ref[0, 7]
         row0 = si * STRIP
 
         @pl.when(jnp.logical_and(k == 0, si == 0))
@@ -470,7 +486,12 @@ def _make_kernel(
 
         @pl.when(k == 0)
         def _init_acc():
-            out_ref[si] = jnp.zeros((n_rows, STRIP, W), dtype=jnp.float32)
+            if seed:
+                out_ref[si] = seed_ref[...]
+            else:
+                out_ref[si] = jnp.zeros(
+                    (n_rows, STRIP, W), dtype=jnp.float32
+                )
             if emit_ckpt:
                 out_ref[si, 4] = jnp.ones((STRIP, W), dtype=jnp.float32)
 
@@ -517,7 +538,19 @@ def _make_kernel(
             params_ref, box_min, box_max, dz_sign
         ).astype(jnp.float32)
 
-        @pl.when(si == 0)
+        if seed:
+            # seeded sweeps (the distributed pass 2) are mostly all-frozen:
+            # once every strip froze, skip even the shared x-weight build.
+            # (NOT on the plain forward: the extra SMEM reads serialize the
+            # step and cost 0.7 ms at the headline config.)
+            any_live = flag_ref[0] == 0
+            for s in range(1, n_strips):
+                any_live = jnp.logical_or(any_live, flag_ref[s] == 0)
+            stage_x_when = jnp.logical_and(si == 0, any_live)
+        else:
+            stage_x_when = si == 0
+
+        @pl.when(stage_x_when)
         def _stage_x():
             # strip-invariant per-plane x weights: built once per chunk,
             # reused by every strip (the single biggest VPU block of v4)
@@ -669,7 +702,7 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
 
 
 def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
-                 emit_ckpt=False, mm_dtype=jnp.float32):
+                 emit_ckpt=False, mm_dtype=jnp.float32, seed=False):
     """(in_specs, out_spec, scratch, grid) shared by forward and pass 1:
     grid = (chunks, strips), CHUNK-major; the accumulator is ONE
     (n_strips, n_rows, STRIP, W) output block with a constant index map —
@@ -689,6 +722,8 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
     ]
     if ess:
         in_specs.append(smem((n_strips, n_chunks), lambda k, s: (0, 0)))
+    if seed:
+        in_specs.append(vmem((4, STRIP, W), lambda k, s: (0, s, 0)))
     out_spec = vmem(
         (n_strips, n_rows, STRIP, W), lambda k, s: (0, 0, 0, 0)
     )
@@ -756,6 +791,7 @@ def sweep_preblended_planes(
     transfer_offset=0.0, transfer_scale=1.0, *, dz_sign=-1, width, height,
     march: MarchConfig = MarchConfig(), length_correction=True,
     precision="f32", plane_chunk=8, tex_offset=0.5, empty_space_skip=False,
+    acc_init=None, plane_spacing=None,
 ):
     """Fused sweep over an ALREADY pre-blended, front-to-back plane stack.
 
@@ -765,11 +801,23 @@ def sweep_preblended_planes(
     sweep uses per device inside shard_map (each device's slab planes, plane
     depths, and row window are shards — data, not compile keys); the
     single-device `_sweep_call` is pre-blend + this. Not jitted: call it
-    inside your own jit/shard_map."""
+    inside your own jit/shard_map.
+
+    ``acc_init``: optional (H, W, 4) initial accumulator (traced) — resumes
+    the front-to-back recursion mid-flight; pixels seeded past the opacity
+    threshold freeze instantly and their tiles skip (see _make_kernel).
+
+    ``plane_spacing``: the inter-plane distance for the opacity length
+    correction. REQUIRED knowledge when ``planes_all`` is a partial stack
+    (a distributed z-slab, a resumed half-sweep): defaults to
+    ``(box z-extent) / len(planes_all)``, which is only right for a full
+    stack."""
     n_planes, ny, nx = planes_all.shape
     pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx, width)
     origin = jnp.asarray(origin, dtype=jnp.float32)
     slopes = jnp.asarray(slopes, dtype=jnp.float32)
+    if plane_spacing is None:
+        plane_spacing = (march.box_max[2] - march.box_min[2]) / n_planes
     params = jnp.stack(
         [
             origin[0], origin[1], origin[2],
@@ -777,7 +825,7 @@ def sweep_preblended_planes(
             jnp.asarray(brightness, jnp.float32),
             jnp.asarray(transfer_offset, jnp.float32),
             jnp.asarray(transfer_scale, jnp.float32),
-            jnp.float32(0.0),
+            jnp.asarray(plane_spacing, jnp.float32),
             slopes[0], slopes[1], slopes[2], slopes[3],
         ]
     )[None, :]
@@ -788,15 +836,16 @@ def sweep_preblended_planes(
     zs_in = jnp.asarray(zs, jnp.float32)[None, :]
 
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    seed = acc_init is not None
     kernel = _make_kernel(
         height, width, ny, nx, n_planes, n_lut, dz_sign,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, mm_dtype, pchunk, tex_offset=tex_offset,
-        ess=empty_space_skip,
+        ess=empty_space_skip, seed=seed,
     )
     in_specs, out_spec, scratch, grid = _sweep_specs(
         height, width, ny, nx, n_planes, n_lut, pchunk, ess=empty_space_skip,
-        mm_dtype=mm_dtype,
+        mm_dtype=mm_dtype, seed=seed,
     )
     args = [params, zs_in, coef_flat, planes_all]
     if empty_space_skip:
@@ -807,6 +856,10 @@ def sweep_preblended_planes(
             slopes, march.box_min, march.box_max, height, width, pchunk,
             tex_offset,
         ))
+    if seed:
+        args.append(
+            jnp.transpose(jnp.asarray(acc_init, jnp.float32), (2, 0, 1))
+        )
     n_strips = height // STRIP
     out = pl.pallas_call(
         kernel,

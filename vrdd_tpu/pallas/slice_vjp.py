@@ -132,7 +132,6 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     need_dres = g_vol or g_par  # d_res feeds d_planes and toff/tscl
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
-    spacing = (zhi - zlo) / n_planes
     n_chunks = n_planes // pchunk
     n_strips = H // STRIP
     xt = _xtile(W)
@@ -154,6 +153,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         dmx = params_ref[0, 9]
         my0 = params_ref[0, 10]
         dmy = params_ref[0, 11]
+        spacing = params_ref[0, 7]  # traced plane spacing (see slice_kernel)
         row0 = si * STRIP
 
         first = jnp.logical_and(k == 0, si == 0)
@@ -422,7 +422,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     return kernel, n_chunks, n_strips
 
 
-def _pack_params(origin, density, toff, tscl, slopes):
+def _pack_params(origin, density, toff, tscl, slopes, spacing):
     origin = jnp.asarray(origin, dtype=jnp.float32)
     slopes = jnp.asarray(slopes, dtype=jnp.float32)
     return jnp.stack(
@@ -430,7 +430,7 @@ def _pack_params(origin, density, toff, tscl, slopes):
             origin[0], origin[1], origin[2],
             jnp.asarray(density, jnp.float32), jnp.float32(1.0),
             jnp.asarray(toff, jnp.float32), jnp.asarray(tscl, jnp.float32),
-            jnp.float32(0.0),
+            jnp.float32(spacing),
             slopes[0], slopes[1], slopes[2], slopes[3],
         ]
     )[None, :]
@@ -448,6 +448,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     wrt=('volume',); the caller enforces that.
     """
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    spacing = (box_max[2] - box_min[2]) / n_planes  # diff path: full stack
 
     fwd_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
@@ -584,12 +585,12 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
 
     @jax.custom_vjp
     def sweep(planes_all, origin, slopes, lut, density, toff, tscl):
-        params = _pack_params(origin, density, toff, tscl, slopes)
+        params = _pack_params(origin, density, toff, tscl, slopes, spacing)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
         return _fwd_call(planes_all, params, coef_flat, lut)
 
     def sweep_fwd(planes_all, origin, slopes, lut, density, toff, tscl):
-        params = _pack_params(origin, density, toff, tscl, slopes)
+        params = _pack_params(origin, density, toff, tscl, slopes, spacing)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
         out, tck, live_map = _fwd_ckpt_call(planes_all, params, coef_flat, lut)
         return out, (planes_all, origin, slopes, lut, density, toff, tscl,
@@ -598,7 +599,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     def sweep_bwd(res, g):
         (planes_all, origin, slopes, lut, density, toff, tscl, tck,
          live_map) = res
-        params = _pack_params(origin, density, toff, tscl, slopes)
+        params = _pack_params(origin, density, toff, tscl, slopes, spacing)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
         d_planes, g_lut, g_density, g_toff, g_tscl = _bwd_call(
             planes_all, params, coef_flat, tck, live_map, g

@@ -13,13 +13,16 @@ path; this module scales it over the ("bricks", "rays") mesh
 - per-slab partial images combine front-to-back with the associative "over"
   operator — sort-last compositing, the compositing-tree analogue of
   context/sequence parallelism (SURVEY.md §5),
-- early ray termination is EXACT at plane granularity via the same two-pass
-  scheme as vrdd_tpu/parallel/bricks.py: pass 1 sweeps every slab without a
-  cutoff and locates, per pixel, the slab where accumulated alpha crosses the
-  threshold plus the upstream alpha entering it; pass 2 re-sweeps only that
-  slab with the equivalent local threshold ``tau = (thr - a_up) / (1 - a_up)``
-  (the global test is a monotone transform of the local alpha, so the freeze
-  lands on the same plane as the sequential sweep).
+- early ray termination is EXACT at plane granularity via a two-pass
+  scheme (cf. vrdd_tpu/parallel/bricks.py): pass 1 sweeps the slabs and
+  locates, per pixel, the slab where accumulated alpha crosses the
+  threshold plus the upstream prefix entering it; pass 2 re-sweeps only
+  that slab, RESUMING the sequential recursion from the true prefix (the
+  fused kernel's acc_init seed — everything else seeds past the threshold,
+  freezes instantly, and its tiles skip). On the pallas backend pass 1
+  keeps the kernel's own cutoff: slabs before the crossing provably never
+  truncate, truncation at/after the crossing still registers the first
+  crossing, and non-saturating pixels never truncate anywhere.
 
 Unlike the host-static single-device path, per-device quantities (plane
 z-values, row coordinates) arrive as SHARDED ARRAYS — shard_map traces one
@@ -33,7 +36,6 @@ SURVEY.md §2.3) — this subsystem is created per the TPU-native plan.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Tuple
 
@@ -170,17 +172,16 @@ def distributed_sweep_render(
     single-device ``slice_render_image`` to float32 rounding (ET exact at
     plane granularity via the two-pass scheme).
 
-    ``backend``: 'pallas' runs pass 1 (the bulk: every slab, no cutoff) on
-    the fused TPU kernel PER DEVICE inside shard_map — possible because the
-    kernel takes its slope grid, plane depths, and row window as traced
-    data, so ONE compile serves all devices; pass 2 (per-pixel tau re-sweep
-    of the single crossing slab) stays on the XLA sweep. Opt-in for
-    large-per-device workloads: measured on one v5e chip at a SMALL shard
-    (64^3, 256^2, 128 planes) the composition is correct (q999 ~1e-7 vs the
-    single-device sweep) but compiles slowly inside shard_map (~7 min) and
-    only beats the XLA sweep when the per-device shard is big enough for
-    the kernel's VMEM-residency to matter — 'auto' therefore still selects
-    'xla' pending multi-chip measurements.
+    ``backend``: 'pallas' runs BOTH passes on the fused TPU kernel PER
+    DEVICE inside shard_map — possible because the kernel takes its slope
+    grid, plane depths, row window, plane spacing, and accumulator seed as
+    traced data, so ONE compile serves all devices. Measured on one v5e
+    chip at the headline config (512^3 -> 1024^2): 39 ms vs 17 ms for the
+    unsharded kernel (the gap is the traced plane pre-blend, the seeded
+    pass-2 re-sweep, and compositing) and q999 ~1e-7 vs the single-device
+    sweep; the earlier XLA-pass-2 design took 167 ms. 'auto' selects
+    'pallas' on a real TPU backend when the shapes allow, else 'xla' (the
+    kernel cannot run on CPU outside the Mosaic interpreter).
     """
     nz, ny, nx = volume.shape
     if n_planes <= 0:
@@ -220,16 +221,19 @@ def distributed_sweep_render(
 
     hl = height // nr
     ppd = n_planes // nb  # planes per device slab
-    if backend == "pallas" and not (
+    pallas_ok = (
         width % 128 == 0 and hl % STRIP == 0
         and pallas_supported((nz, ny, nx), width, hl, ppd)
-    ):
+    )
+    if backend == "pallas" and not pallas_ok:
         raise ValueError(
             f"backend='pallas' needs width % 128 == 0 and (height/rays) % "
             f"{STRIP} == 0 and the plane to fit VMEM; got width={width}, "
             f"height/rays={hl}, plane=({ny},{nx})"
         )
-    use_pallas = backend == "pallas"
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and pallas_ok and jax.default_backend() == "tpu"
+    )
 
     def per_device(
         vol_local, zs_local, my_local, alpha_local,
@@ -239,7 +243,10 @@ def distributed_sweep_render(
         z0 = (d * zl).astype(jnp.float32)
         padded = _halo_exchange(vol_local, nb)  # (zl + 2, Y, X)
 
-        # pre-blend local planes: traced z tent weights over the haloed slab
+        # pre-blend local planes: traced z tent weights over the haloed
+        # slab. The dense (P, zl + 2) matmul costs ~9 ms at 512^3 on one
+        # chip (f32 MXU) but a two-tap gather lerp measured 15.6 ms — TPU
+        # gathers lose to the MXU even at 0.4% density.
         zf = (zs_local - zlo) / (zhi - zlo) * nz - 0.5
         zf = jnp.clip(zf, 0.0, nz - 1.0)  # global clamp-to-edge
         lf = zf - z0 + 1.0  # position in the padded frame
@@ -263,13 +270,19 @@ def distributed_sweep_render(
         )
         no_cut = jnp.full((hl, width), 2.0, dtype=jnp.float32)
 
-        # pass 1: un-truncated slab partials, folded front-to-back.
-        # On the pallas backend this is the fused kernel with the opacity
-        # cutoff disabled (threshold 2 > 1 never freezes) — the slope grid /
+        # pass 1: slab partials, folded front-to-back. On the pallas backend
+        # the fused kernel keeps its own opacity cutoff: a slab BEFORE the
+        # crossing slab never truncates (its local alpha <= the composited
+        # prefix <= thr there), so prefixes up to the crossing are
+        # bit-identical to the untruncated sweep; a truncated partial at or
+        # after the crossing still registers after_alpha > thr (truncation
+        # freezes only once local alpha exceeded thr), so the first-crossing
+        # detection is exact, later partials are discarded, and
+        # non-saturating pixels never truncated anywhere. The slope grid /
         # plane depths / row window are traced, so the one compiled kernel
-        # serves every device's shard.
+        # serves every device's shard. The XLA sweep's masked scan does the
+        # same work either way — it keeps the simpler no-cutoff partials.
         if use_pallas:
-            march_nc = dataclasses.replace(march, opacity_threshold=2.0)
             dmy_l = (
                 my_local[1] - my_local[0] if hl > 1 else jnp.float32(0.0)
             )
@@ -284,8 +297,8 @@ def distributed_sweep_render(
             partial = sweep_preblended_planes(
                 planes, zs_ftb, origin, slopes, tf_lut, density, 1.0,
                 toff, tscl, dz_sign=-1, width=width, height=hl,
-                march=march_nc, length_correction=length_correction,
-                plane_chunk=plane_chunk,
+                march=march, length_correction=length_correction,
+                plane_chunk=plane_chunk, plane_spacing=spacing,
             )
         else:
             partial = sweep(no_cut)  # (Hl, W, 4)
@@ -309,15 +322,38 @@ def distributed_sweep_render(
         )[0]
         a_up = prefix_at[..., 3]
 
-        # pass 2: re-sweep only the crossing slab with the local threshold
+        # pass 2: re-sweep only the crossing slab
         my_pos = nb - 1 - d  # ordered index of this device
         flag = saturating & (j_star == my_pos)
-        tau = (thr - a_up) / jnp.maximum(1.0 - a_up, 1e-6)
-        partial2 = sweep(jnp.where(flag, tau, 2.0))
-        contrib2 = jax.lax.psum(
-            jnp.where(flag[..., None], partial2, 0.0), BRICK_AXIS
-        )
-        exact = prefix_at + contrib2 * (1.0 - a_up[..., None])
+        if use_pallas:
+            # resume the sequential recursion mid-flight on the fused kernel:
+            # crossing pixels seed with their true upstream prefix (the
+            # global freeze test is then the kernel's own acc_a <= thr);
+            # everything else seeds past the threshold, freezes instantly,
+            # and whole tiles skip — the re-sweep costs only crossing tiles
+            frozen = jnp.concatenate(
+                [jnp.zeros((hl, width, 3), jnp.float32),
+                 jnp.full((hl, width, 1), 2.0, jnp.float32)], axis=-1,
+            )
+            seed_img = jnp.where(flag[..., None], prefix_at, frozen)
+            out2 = sweep_preblended_planes(
+                planes, zs_ftb, origin, slopes, tf_lut, density, 1.0,
+                toff, tscl, dz_sign=-1, width=width, height=hl,
+                march=march, length_correction=length_correction,
+                plane_chunk=plane_chunk, acc_init=seed_img,
+                plane_spacing=spacing,
+            )
+            exact = jax.lax.psum(
+                jnp.where(flag[..., None], out2, 0.0), BRICK_AXIS
+            )
+        else:
+            # XLA fallback: local-threshold form of the same resume
+            tau = (thr - a_up) / jnp.maximum(1.0 - a_up, 1e-6)
+            partial2 = sweep(jnp.where(flag, tau, 2.0))
+            contrib2 = jax.lax.psum(
+                jnp.where(flag[..., None], partial2, 0.0), BRICK_AXIS
+            )
+            exact = prefix_at + contrib2 * (1.0 - a_up[..., None])
         rgba = jnp.where(saturating[..., None], exact, final_nc)
         return rgba * brightness
 
