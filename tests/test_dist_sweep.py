@@ -119,6 +119,71 @@ def test_sweep_preblended_planes_traced_slopes():
     assert np.quantile(diff, 0.999) < 1e-4, np.quantile(diff, 0.999)
 
 
+def test_diff_sweep_seeded_grad_matches_full():
+    """Gradients THROUGH the seed: a front half plus a seeded back half must
+    reproduce one full differentiable sweep's gradients — the distributed
+    pass-2 building block (seed cotangent d seed_a = g_a - S/T_0 in
+    pallas/slice_vjp.py), with plane depths and spacing as traced data."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vrdd_tpu.pallas.slice_kernel import _preblend_planes
+    from vrdd_tpu.pallas.slice_vjp import sweep_preblended_planes_diff
+    from vrdd_tpu.utils.config import MarchConfig
+
+    vol = jnp.asarray(gaussian_blob_volume((16, 16, 16), seed=5))
+    W = H = 128
+    n_planes = 32
+    march = MarchConfig()
+    planes, zs = _preblend_planes(
+        vol, n_planes, march.box_min, march.box_max, -1, 0.5
+    )
+    zs = jnp.asarray(zs)
+    u = (np.arange(W, dtype=np.float32) / W) * 2.0 - 1.0
+    v = (np.arange(H, dtype=np.float32) / H) * 2.0 - 1.0
+    mx, my = u / -2.0, v / -2.0
+    slopes = jnp.asarray(
+        [mx[0], mx[1] - mx[0], my[0], my[1] - my[0]], jnp.float32
+    )
+    half = n_planes // 2
+    spacing = (march.box_max[2] - march.box_min[2]) / n_planes
+    kw = dict(width=W, height=H, march=march, plane_spacing=spacing)
+    rng = np.random.default_rng(3)
+    tgt = jnp.asarray(rng.random((H, W, 4), dtype=np.float32))
+    # density high enough that some rays saturate within the FRONT half, so
+    # the back half sees frozen seeds (m = 0 past the cutoff)
+    density = jnp.float32(2.0)
+
+    def loss_full(p, lut, d):
+        img = sweep_preblended_planes_diff(p, zs, O, slopes, lut, d, **kw)
+        return jnp.sum(img * tgt)
+
+    def loss_split(p, lut, d):
+        front = sweep_preblended_planes_diff(
+            p[:half], zs[:half], O, slopes, lut, d, **kw
+        )
+        img = sweep_preblended_planes_diff(
+            p[half:], zs[half:], O, slopes, lut, d, acc_init=front, **kw
+        )
+        return jnp.sum(img * tgt)
+
+    with pltpu.force_tpu_interpret_mode():
+        lf, gf = jax.value_and_grad(loss_full, argnums=(0, 1, 2))(
+            planes, TF, density
+        )
+        ls, gs = jax.value_and_grad(loss_split, argnums=(0, 1, 2))(
+            planes, TF, density
+        )
+        front_a = np.asarray(sweep_preblended_planes_diff(
+            planes[:half], zs[:half], O, slopes, TF, density, **kw
+        ))[..., 3]
+    assert (front_a > march.opacity_threshold).any()  # freeze exercised
+    assert np.allclose(float(lf), float(ls), rtol=1e-5)
+    for name, a, b in zip(("planes", "lut", "density"), gf, gs):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b) / (np.abs(a).max() + 1e-6)
+        assert np.quantile(err, 0.999) < 5e-3, f"{name}: {np.quantile(err, 0.999)}"
+
+
 def test_sweep_seeded_resume_matches_full():
     """acc_init resumes the front-to-back recursion mid-flight: sweeping the
     back half of the plane stack seeded with the front half's accumulator

@@ -30,7 +30,11 @@ def test_codebook_roundtrip(tmp_path, rng):
         ],
         -1,
     ).astype(np.int32)
-    ebins = rng.integers(0, nb, (n, E)).astype(np.int32)
+    # unique bin ids per histogram: duplicates are rejected by the reader
+    # (the single-clamp decode requires them unique; see read_codebook)
+    ebins = np.stack(
+        [rng.permutation(nb)[:E] for _ in range(n)]
+    ).astype(np.int32)
     evals = rng.uniform(-1, 1, (n, E)).astype(np.float32)
     span_ids = np.arange(n, dtype=np.int32)
     # zero out padding so comparisons are exact
@@ -128,7 +132,9 @@ class TestNativeParity:
             ],
             -1,
         ).astype(np.int32)
-        ebins = rng.integers(0, nb, (n, E)).astype(np.int32)
+        ebins = np.stack(
+            [rng.permutation(nb)[:E] for _ in range(n)]
+        ).astype(np.int32)
         evals = rng.uniform(-1, 1, (n, E)).astype(np.float32)
         sids = rng.integers(0, 1000, n).astype(np.int32)
         for i in range(n):
@@ -186,3 +192,41 @@ class TestNativeParity:
         formats.write_templates(p, t)
         with pytest.raises(formats.FormatError):
             native.read_templates(p, 2)
+
+
+def _dup_codebook(path, dup: bool, oob: bool = False):
+    nb = 32
+    cb = np.asarray([[3, 5, 0, 2]], dtype=np.int32)
+    bins = np.asarray([[7, 7 if dup else 9]], dtype=np.int32)
+    if oob:
+        bins = np.asarray([[7, nb]], dtype=np.int32)
+    vals = np.asarray([[0.1, -0.1]], dtype=np.float32)
+    formats.write_codebook(path, cb, bins, vals, np.asarray([0], np.int32))
+    return nb
+
+
+def test_codebook_duplicate_bins_rejected(tmp_path):
+    """Duplicate sparse-error bin ids are rejected: the single-clamp decode
+    (ops/fractal.py) is only equivalent to the reference's
+    clamp-after-each-add (volumeRender_kernel.cu:817-825) for unique bins."""
+    p = str(tmp_path / "dup.bin")
+    nb = _dup_codebook(p, dup=True)
+    with pytest.raises(formats.FormatError, match="duplicate"):
+        formats.read_codebook(p, nb, 2)
+    p2 = str(tmp_path / "oob.bin")
+    nb = _dup_codebook(p2, dup=False, oob=True)
+    with pytest.raises(formats.FormatError, match="out of"):
+        formats.read_codebook(p2, nb, 2)
+    # unique ids still load
+    p3 = str(tmp_path / "ok.bin")
+    nb = _dup_codebook(p3, dup=False)
+    cb, eb, ev, sid = formats.read_codebook(p3, nb, 2)
+    assert eb.tolist() == [[7, 9]]
+
+
+@pytest.mark.skipif(not native.available(), reason="native toolchain missing")
+def test_native_codebook_duplicate_bins_rejected(tmp_path):
+    p = str(tmp_path / "dup.bin")
+    nb = _dup_codebook(p, dup=True)
+    with pytest.raises(formats.FormatError):
+        native.read_codebook(p, nb, 2)

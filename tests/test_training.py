@@ -118,3 +118,35 @@ def test_render_determinism_bitwise():
     )
     c = np.asarray(g(vol + 0.0))
     np.testing.assert_array_equal(a, c)
+
+
+def test_sweep_fit_step_distributed():
+    """Fast-path distributed training: TF fitting through the distributed
+    object-order sweep (the north-star training step; the scan-bricks path
+    stays as the rotated/flex fallback). XLA backend on the CPU mesh — the
+    same step runs the fused Pallas VJP per device on TPU."""
+    from vrdd_tpu.parallel.mesh import make_mesh
+    from vrdd_tpu.parallel.sweep import (
+        distributed_sweep_render,
+        shard_scalar_volume,
+    )
+    from vrdd_tpu.parallel.train import make_sweep_fit_step, shard_target_image
+
+    mesh = make_mesh(2, 4)
+    vol = shard_scalar_volume(
+        jnp.asarray(gaussian_blob_volume((16, 16, 16), seed=1)), mesh
+    )
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    target = distributed_sweep_render(
+        vol, o, TF, width=32, height=32, mesh=mesh, n_planes=32
+    )
+    target = shard_target_image(target, mesh)
+
+    init_fn, step_fn = make_sweep_fit_step(mesh, 32, 32, n_planes=32)
+    params, st = init_fn(grayscale_ramp(9))
+    losses = []
+    for _ in range(12):
+        params, st, loss = step_fn(params, st, vol, o, target)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses

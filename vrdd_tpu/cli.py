@@ -533,10 +533,12 @@ def main(argv=None) -> int:
     pw.add_argument("--width", type=int, default=512)
     pw.add_argument("--height", type=int, default=512)
     pw.add_argument("--query", type=int, default=1)
-    pw.add_argument("--renderer", default="scan",
+    pw.add_argument("--renderer", default="auto",
                     choices=("scan", "slice", "pallas", "auto"),
-                    help="scan keeps the view a traced argument (no "
-                    "recompile while dragging)")
+                    help="auto picks the fastest applicable path per view "
+                    "(fused Pallas/slice sweep for stats queries, scan "
+                    "otherwise); scan keeps the view a traced argument "
+                    "(never recompiles while dragging)")
     pw.add_argument("--host", default="127.0.0.1")
     pw.add_argument("--port", type=int, default=8412)
     pw.add_argument("--tf-checkpoint", help="load fitted TF LUT")

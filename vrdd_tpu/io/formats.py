@@ -101,6 +101,22 @@ def read_codebook(
             if ne:
                 ebins[i, :ne] = np.frombuffer(fp.read(4 * ne), dtype="<i4")
                 evals[i, :ne] = np.frombuffer(fp.read(8 * ne), dtype="<f8")
+                # the decode (ops/fractal.py) scatter-adds all sparse errors
+                # then clamps ONCE — equivalent to the reference's
+                # clamp-after-each-add (volumeRender_kernel.cu:817-825) only
+                # for unique bin ids; reject duplicates (and out-of-range
+                # ids, volumeRender.cpp:701-707) rather than decode
+                # differently on such data.
+                ids = ebins[i, :ne]
+                if (ids < 0).any() or (ids >= n_bins).any():
+                    raise FormatError(
+                        f"entry {i}: error bin id out of [0, {n_bins})"
+                    )
+                if np.unique(ids).size != ne:
+                    raise FormatError(
+                        f"entry {i}: duplicate error bin ids (the fractal "
+                        "decode's single-clamp form requires unique bins)"
+                    )
     return codebook, ebins, evals, span_ids
 
 

@@ -180,9 +180,12 @@ def sweep_slope_space(
     dtype = compute_dtype
     thr = march.opacity_threshold
 
-    # Pre-blend all sampling planes with ONE matmul (Wz has two CUDA-model
-    # bilinear weights per row). Outside the sweep, so the volume cotangent is
-    # a single transposed matmul.
+    # Pre-blend all sampling planes with static two-tap gather lerps (two
+    # CUDA-model bilinear weights per plane; index clamp, az from the
+    # unclipped floor). Outside the sweep, so the volume cotangent is a pair
+    # of static scatter-adds. Exact f32: the earlier (n_planes, nz) matmul
+    # form ran at the TPU's default bf16 matmul precision and rounded the
+    # volume to ~2e-3.
     zf_all = (zs - zlo) / (zhi - zlo) * nz - tex_offset
     iz0_all = np.floor(zf_all)
     az_all = (zf_all - iz0_all).astype(np.float32)
@@ -191,15 +194,11 @@ def sweep_slope_space(
     if np.all(az_all < 1e-6):
         planes_all = volume[jnp.asarray(iz0_all)]  # pure (reversed) selection
     else:
-        wz = np.zeros((n_planes, nz), dtype=np.float32)
-        wz[np.arange(n_planes), iz0_all] += 1.0 - az_all
-        wz[np.arange(n_planes), iz1_all] += az_all
-        planes_all = jax.lax.dot_general(
-            jnp.asarray(wz),
-            volume.reshape(nz, ny * nx),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(n_planes, ny, nx)
+        azj = jnp.asarray(az_all)[:, None, None]
+        planes_all = (
+            volume[jnp.asarray(iz0_all)] * (1.0 - azj)
+            + volume[jnp.asarray(iz1_all)] * azj
+        )
 
     chunk = plane_chunk
     while n_planes % chunk:

@@ -20,6 +20,7 @@ namespace {
 constexpr int kErrOpen = -1;
 constexpr int kErrTruncated = -2;
 constexpr int kErrRange = -3;
+constexpr int kErrDuplicate = -4;
 
 struct File {
   FILE* fp = nullptr;
@@ -87,6 +88,16 @@ int vrdd_read_codebook(const char* path, int n_bins, int max_errors,
     if (ne) {
       if (!f.read(ids.data(), ne) || !f.read(vals.data(), ne))
         return kErrTruncated;
+    }
+    // the decode scatter-adds all sparse errors then clamps ONCE, which is
+    // equivalent to the reference's clamp-after-each-add
+    // (volumeRender_kernel.cu:817-825) only when bin ids are unique per
+    // histogram; reject duplicates (and out-of-range ids,
+    // volumeRender.cpp:701-707) up front instead of decoding differently.
+    for (int e = 0; e < ne; ++e) {
+      if (ids[e] < 0 || ids[e] >= n_bins) return kErrRange;
+      for (int e2 = 0; e2 < e; ++e2)
+        if (ids[e2] == ids[e]) return kErrDuplicate;
     }
     for (int e = 0; e < ne && e < max_errors; ++e) {
       ebins[i * max_errors + e] = ids[e];

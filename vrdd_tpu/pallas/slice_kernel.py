@@ -442,8 +442,6 @@ def _make_kernel(
 
     n_rows = 5 if emit_ckpt else 4
 
-    assert not (seed and emit_ckpt)
-
     def kernel(params_ref, zs_ref, coef_ref, planes_ref, *rest):
         if ess:
             ess_ref = rest[0]
@@ -487,13 +485,18 @@ def _make_kernel(
         @pl.when(k == 0)
         def _init_acc():
             if seed:
-                out_ref[si] = seed_ref[...]
+                out_ref[si, 0:4] = seed_ref[...]
+                if emit_ckpt:
+                    # the backward's transmittance recursion starts from the
+                    # seed: T_0 = 1 - seed alpha (frozen seeds give T_0 <= 0,
+                    # below the cutoff, so every plane's freeze mask is 0)
+                    out_ref[si, 4] = 1.0 - seed_ref[3]
             else:
                 out_ref[si] = jnp.zeros(
                     (n_rows, STRIP, W), dtype=jnp.float32
                 )
-            if emit_ckpt:
-                out_ref[si, 4] = jnp.ones((STRIP, W), dtype=jnp.float32)
+                if emit_ckpt:
+                    out_ref[si, 4] = jnp.ones((STRIP, W), dtype=jnp.float32)
 
         # --- all-scalar (SMEM) liveness: strip-chunk coverage, per-tile
         # x-footprint overlap, per-tile persistent early-termination flags ---
@@ -676,7 +679,13 @@ def _make_kernel(
 
 def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
                      tex_offset=0.5):
-    """Front-to-back plane stack via one CUDA-model z-resample matmul."""
+    """Front-to-back plane stack: CUDA-model z-resample via static two-tap
+    gather lerp (march/slice.py:186-190 semantics — index clamp, az from the
+    unclipped floor). Static indices lower to slices, so this is exact f32
+    at memory-bound cost; the earlier (n_planes, nz) MXU formulation ran at
+    the TPU's default bf16 matmul precision and silently rounded the volume
+    to ~2e-3 (caught by the distributed sweep's exact static-tap pre-blend,
+    parallel/sweep.py)."""
     nz, ny, nx = volume.shape
     zlo, zhi = box_min[2], box_max[2]
     spacing = (zhi - zlo) / n_planes
@@ -691,13 +700,11 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
     if np.all(az < 1e-6):
         return volume[jnp.asarray(iz0)], zs  # pure (reversed) selection
     iz1 = np.clip(iz0 + 1, 0, nz - 1)
-    wz = np.zeros((n_planes, nz), dtype=np.float32)
-    wz[np.arange(n_planes), iz0] += 1.0 - az
-    wz[np.arange(n_planes), iz1] += az
-    planes = jax.lax.dot_general(
-        jnp.asarray(wz), volume.reshape(nz, ny * nx),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).reshape(n_planes, ny, nx)
+    azj = jnp.asarray(az)[:, None, None]
+    planes = (
+        volume[jnp.asarray(iz0)] * (1.0 - azj)
+        + volume[jnp.asarray(iz1)] * azj
+    )
     return planes, zs
 
 

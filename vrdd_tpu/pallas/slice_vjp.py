@@ -85,6 +85,7 @@ from vrdd_tpu.pallas.slice_kernel import (
 __all__ = [
     "pallas_slice_render_diff",
     "pallas_sweep_slope_space_diff",
+    "sweep_preblended_planes_diff",
     "pallas_diff_supported",
 ]
 
@@ -430,7 +431,7 @@ def _pack_params(origin, density, toff, tscl, slopes, spacing):
             origin[0], origin[1], origin[2],
             jnp.asarray(density, jnp.float32), jnp.float32(1.0),
             jnp.asarray(toff, jnp.float32), jnp.asarray(tscl, jnp.float32),
-            jnp.float32(spacing),
+            jnp.asarray(spacing, jnp.float32),
             slopes[0], slopes[1], slopes[2], slopes[3],
         ]
     )[None, :]
@@ -440,25 +441,39 @@ def _pack_params(origin, density, toff, tscl, slopes, spacing):
 def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      box_max, tstep, threshold, length_correction, precision,
                      pchunk, tex_offset=0.5, wrt=("volume", "lut", "params"),
-                     ess=False):
+                     ess=False, seed=False):
     """Build the custom-VJP sweep for one static configuration.
+
+    The returned ``sweep(planes, zs, acc0, origin, slopes, lut, density,
+    toff, tscl, spacing)`` takes the plane depths ``zs``, the accumulator
+    seed ``acc0`` and the plane ``spacing`` as TRACED data — the distributed
+    sort-last sweep feeds per-device slab shards through ONE compile (see
+    parallel/sweep.py).
+
+    ``seed``: resume the front-to-back recursion from ``acc0`` (H, W, 4).
+    The seed's own cotangent is analytic: out_rgb = seed_rgb + Σ_k m_k
+    T_{k-1} c_k so d seed_rgb = g_rgb; and T_{j} is proportional to
+    T_0 = 1 - seed_a through the (mask-frozen) recursion, so d seed_a =
+    g_a - S / T_0 with S = Σ_k m_k (g·c_k) T_{k-1} — exactly the suffix
+    sum the backward kernel already accumulates, exported as an extra
+    (H, W) output. When ``seed`` is False acc0 is ignored (zero cotangent).
 
     ``ess`` (opt-in): empty-space skipping — exact for the image and for
     volume cotangents only (see _ess_bitmap), so it requires
     wrt=('volume',); the caller enforces that.
     """
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    spacing = (box_max[2] - box_min[2]) / n_planes  # diff path: full stack
+    assert not (ess and seed), "ESS bitmap + seeded resume not wired together"
 
     fwd_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
-        tex_offset=tex_offset, ess=ess,
+        tex_offset=tex_offset, ess=ess, seed=seed,
     )
     fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk, emit_ckpt=True,
-        tex_offset=tex_offset, ess=ess,
+        tex_offset=tex_offset, ess=ess, seed=seed,
     )
     bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
@@ -469,11 +484,12 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     in_specs, out_spec, scratch, grid = _sweep_specs(
-        H, W, NY, NX, n_planes, n_lut, pchunk, ess=ess, mm_dtype=mm_dtype
+        H, W, NY, NX, n_planes, n_lut, pchunk, ess=ess, mm_dtype=mm_dtype,
+        seed=seed,
     )
     in_specs_ck, out_spec_ck, scratch_ck, _ = _sweep_specs(
         H, W, NY, NX, n_planes, n_lut, pchunk, ess=ess, emit_ckpt=True,
-        mm_dtype=mm_dtype,
+        mm_dtype=mm_dtype, seed=seed,
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
@@ -486,26 +502,21 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         vmem_limit_bytes=118 * 1024 * 1024,
     )
 
-    def _zs_in():
-        spacing = (box_max[2] - box_min[2]) / n_planes
-        zs = (
-            box_min[2]
-            + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)
-        ).astype(np.float32)
-        if dz_sign < 0:
-            zs = zs[::-1].copy()
-        return jnp.asarray(zs)[None, :]
-
-    def _ess_args(planes_all, params, lut):
+    def _ess_args(planes_all, zs_in, params, lut):
         if not ess:
             return ()
         return (_ess_bitmap(
-            planes_all, _zs_in()[0], params[0, :3], lut,
+            planes_all, zs_in[0], params[0, :3], lut,
             params[0, 5], params[0, 6], params[0, 8:12], box_min, box_max,
             H, W, pchunk, tex_offset,
         ),)
 
-    def _fwd_call(planes_all, params, coef_flat, lut):
+    def _seed_args(acc0):
+        if not seed:
+            return ()
+        return (jnp.transpose(acc0, (2, 0, 1)),)
+
+    def _fwd_call(planes_all, zs_in, acc0, params, coef_flat, lut):
         out = pl.pallas_call(
             fwd_kernel,
             out_shape=jax.ShapeDtypeStruct(
@@ -516,11 +527,11 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             out_specs=out_spec,
             scratch_shapes=scratch,
             compiler_params=cparams,
-        )(params, _zs_in(), coef_flat, planes_all,
-          *_ess_args(planes_all, params, lut))
+        )(params, zs_in, coef_flat, planes_all,
+          *_ess_args(planes_all, zs_in, params, lut), *_seed_args(acc0))
         return jnp.transpose(out, (0, 2, 3, 1)).reshape(H, W, 4)
 
-    def _fwd_ckpt_call(planes_all, params, coef_flat, lut):
+    def _fwd_ckpt_call(planes_all, zs_in, acc0, params, coef_flat, lut):
         out, tck, live_map = pl.pallas_call(
             fwd_ckpt_kernel,
             out_shape=(
@@ -537,12 +548,12 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             ),
             scratch_shapes=scratch_ck,
             compiler_params=cparams,
-        )(params, _zs_in(), coef_flat, planes_all,
-          *_ess_args(planes_all, params, lut))
+        )(params, zs_in, coef_flat, planes_all,
+          *_ess_args(planes_all, zs_in, params, lut), *_seed_args(acc0))
         img = jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(H, W, 4)
         return img, tck, live_map
 
-    def _bwd_call(planes_all, params, coef_flat, tck, live_map, g):
+    def _bwd_call(planes_all, zs_in, params, coef_flat, tck, live_map, g):
         g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
         in_specs_bwd = [
             smem((1, 12), lambda k, s: (0, 0)),
@@ -553,20 +564,21 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             vmem((1, STRIP, W), lambda k, s: (n_chunks - 1 - k, s, 0)),
             smem((n_strips, n_chunks), lambda k, s: (0, 0)),
         ]
-        d_planes, small = pl.pallas_call(
+        d_planes, small, S_img = pl.pallas_call(
             bwd_kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((n_planes, NY, NX), jnp.float32),
                 jax.ShapeDtypeStruct((1, 4 * n_lut + 3), jnp.float32),
+                jax.ShapeDtypeStruct((H, W), jnp.float32),
             ),
             grid=(n_chunks, n_strips),
             in_specs=in_specs_bwd,
             out_specs=(
                 vmem((pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)),
                 smem((1, 4 * n_lut + 3), lambda k, s: (0, 0)),
+                vmem((H, W), lambda k, s: (0, 0)),
             ),
             scratch_shapes=[
-                pltpu.VMEM((H, W), jnp.float32),
                 pltpu.VMEM((4 * n_lut, STRIP, W), jnp.float32),
                 pltpu.VMEM((3, STRIP, W), jnp.float32),
                 pltpu.VMEM((pchunk, STRIP, NX), jnp.float32),
@@ -576,42 +588,63 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # col_a cache
             ],
             compiler_params=cparams_bwd,
-        )(params, _zs_in(), coef_flat, planes_all, g4, tck, live_map)
+        )(params, zs_in, coef_flat, planes_all, g4, tck, live_map)
         g_lut = small[0, : 4 * n_lut].reshape(n_lut, 4)
         g_density = small[0, 4 * n_lut + 0]
         g_toff = small[0, 4 * n_lut + 1]
         g_tscl = small[0, 4 * n_lut + 2]
-        return d_planes, g_lut, g_density, g_toff, g_tscl
+        return d_planes, g_lut, g_density, g_toff, g_tscl, S_img
 
     @jax.custom_vjp
-    def sweep(planes_all, origin, slopes, lut, density, toff, tscl):
+    def sweep(planes_all, zs, acc0, origin, slopes, lut, density, toff,
+              tscl, spacing):
         params = _pack_params(origin, density, toff, tscl, slopes, spacing)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
-        return _fwd_call(planes_all, params, coef_flat, lut)
+        return _fwd_call(planes_all, zs[None, :], acc0, params, coef_flat,
+                         lut)
 
-    def sweep_fwd(planes_all, origin, slopes, lut, density, toff, tscl):
+    def sweep_fwd(planes_all, zs, acc0, origin, slopes, lut, density, toff,
+                  tscl, spacing):
         params = _pack_params(origin, density, toff, tscl, slopes, spacing)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
-        out, tck, live_map = _fwd_ckpt_call(planes_all, params, coef_flat, lut)
-        return out, (planes_all, origin, slopes, lut, density, toff, tscl,
-                     tck, live_map)
+        out, tck, live_map = _fwd_ckpt_call(
+            planes_all, zs[None, :], acc0, params, coef_flat, lut
+        )
+        return out, (planes_all, zs, acc0, origin, slopes, lut, density,
+                     toff, tscl, spacing, tck, live_map)
 
     def sweep_bwd(res, g):
-        (planes_all, origin, slopes, lut, density, toff, tscl, tck,
-         live_map) = res
+        (planes_all, zs, acc0, origin, slopes, lut, density, toff, tscl,
+         spacing, tck, live_map) = res
         params = _pack_params(origin, density, toff, tscl, slopes, spacing)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
-        d_planes, g_lut, g_density, g_toff, g_tscl = _bwd_call(
-            planes_all, params, coef_flat, tck, live_map, g
+        d_planes, g_lut, g_density, g_toff, g_tscl, S_img = _bwd_call(
+            planes_all, zs[None, :], params, coef_flat, tck, live_map, g
         )
+        if seed:
+            # d seed_rgb = g_rgb (passthrough); d seed_a = g_a - S / T_0
+            # (frozen seeds — T_0 <= 0 < 1-thr — have S = 0, so the where
+            # never hides a real contribution)
+            T0 = 1.0 - acc0[..., 3]
+            d_seed_a = g[..., 3] - jnp.where(
+                jnp.abs(T0) > 1e-6, S_img / T0, 0.0
+            )
+            d_acc0 = jnp.concatenate(
+                [g[..., :3], d_seed_a[..., None]], axis=-1
+            )
+        else:
+            d_acc0 = jnp.zeros_like(acc0)
         return (
             d_planes,
+            jnp.zeros_like(zs),                  # plane depths: non-diff
+            d_acc0,
             jnp.zeros((3,), dtype=jnp.float32),  # origin: non-diff (as XLA path)
             jnp.zeros((4,), dtype=jnp.float32),  # slope grid: non-diff
             g_lut.astype(lut.dtype),
             g_density.astype(jnp.float32),
             g_toff.astype(jnp.float32),
             g_tscl.astype(jnp.float32),
+            jnp.zeros((), dtype=jnp.float32),    # spacing: non-diff
         )
 
     sweep.defvjp(sweep_fwd, sweep_bwd)
@@ -695,22 +728,95 @@ def _diff_call(
         length_correction, precision, pchunk, tex_offset, wrt,
         ess=empty_space_skip,
     )
-    planes_all, _ = _preblend_planes(
+    planes_all, zs = _preblend_planes(
         volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset
     )
     if "volume" not in wrt:
         # also kills the pre-blend transpose matmul in the outer XLA graph
         planes_all = jax.lax.stop_gradient(planes_all)
+    spacing = (march.box_max[2] - march.box_min[2]) / n_planes
     acc = sweep(
         planes_all,
+        jnp.asarray(zs, jnp.float32),
+        jnp.zeros((height, width, 4), jnp.float32),  # no seed: ignored + DCE'd
         jnp.asarray(origin, jnp.float32),
         jnp.asarray(slopes, jnp.float32),
         jnp.asarray(tf_lut, jnp.float32),
         jnp.asarray(density, jnp.float32),
         jnp.asarray(transfer_offset, jnp.float32),
         jnp.asarray(transfer_scale, jnp.float32),
+        jnp.float32(spacing),
     )
     return acc * jnp.asarray(brightness, dtype=jnp.float32)
+
+
+def sweep_preblended_planes_diff(
+    planes_all,
+    zs,
+    origin,
+    slopes,
+    tf_lut,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    dz_sign=-1,
+    width,
+    height,
+    march: MarchConfig = MarchConfig(),
+    length_correction=True,
+    precision="f32",
+    plane_chunk=4,
+    tex_offset=0.5,
+    wrt: tuple = ("volume", "lut", "params"),
+    acc_init=None,
+    plane_spacing=None,
+):
+    """Differentiable twin of ``sweep_preblended_planes`` (slice_kernel.py).
+
+    Same value, same traced-data contract — plane stack, plane depths, slope
+    grid, seed and spacing are all data, so ONE compile serves every device's
+    shard inside shard_map. Under ``jax.grad`` the forward emits transmittance
+    checkpoints and the fused reverse sweep produces cotangents for the plane
+    stack, TF LUT, density, brightness, TF offset/scale AND the ``acc_init``
+    seed (see _make_diff_sweep: d seed_a = g_a - S / T_0) — the seed
+    cotangent is what lets the distributed two-pass exact-ET scheme backprop
+    into upstream bricks' prefixes. When not differentiated, the primal is
+    the plain fused kernel (no checkpoint traffic).
+
+    Not jitted: call inside your own jit/shard_map. This distributes the
+    capability of the reference's d_render hot loop
+    (volumeRender_kernel.cu:272-717) per the BASELINE sharding contract.
+    """
+    n_planes, ny, nx = planes_all.shape
+    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx, width)
+    if plane_spacing is None:
+        plane_spacing = (march.box_max[2] - march.box_min[2]) / n_planes
+    seed = acc_init is not None
+    sweep = _make_diff_sweep(
+        height, width, ny, nx, n_planes, int(tf_lut.shape[0]), int(dz_sign),
+        march.box_min, march.box_max, march.tstep, march.opacity_threshold,
+        length_correction, precision, pchunk, float(tex_offset),
+        _norm_wrt(wrt), ess=False, seed=seed,
+    )
+    acc0 = (
+        jnp.asarray(acc_init, jnp.float32) if seed
+        else jnp.zeros((height, width, 4), jnp.float32)
+    )
+    out = sweep(
+        jnp.asarray(planes_all, jnp.float32),
+        jnp.asarray(zs, jnp.float32),
+        acc0,
+        jnp.asarray(origin, jnp.float32),
+        jnp.asarray(slopes, jnp.float32),
+        jnp.asarray(tf_lut, jnp.float32),
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+        jnp.asarray(plane_spacing, jnp.float32),
+    )
+    return out * jnp.asarray(brightness, dtype=jnp.float32)
 
 
 def pallas_slice_render_diff(

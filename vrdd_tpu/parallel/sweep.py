@@ -48,8 +48,8 @@ from vrdd_tpu.march.slice import _axis_weights, _tf_onehot_matmul
 from vrdd_tpu.pallas.slice_kernel import (
     STRIP,
     pallas_supported,
-    sweep_preblended_planes,
 )
+from vrdd_tpu.pallas.slice_vjp import sweep_preblended_planes_diff
 from vrdd_tpu.parallel.bricks import _halo_exchange
 from vrdd_tpu.parallel.mesh import BRICK_AXIS, RAY_AXIS
 from vrdd_tpu.utils.config import MarchConfig
@@ -142,7 +142,7 @@ def _over(acc, part):
     jax.jit,
     static_argnames=(
         "width", "height", "march", "mesh", "focal", "n_planes",
-        "length_correction", "plane_chunk", "backend",
+        "length_correction", "plane_chunk", "backend", "wrt",
     ),
 )
 def distributed_sweep_render(
@@ -163,6 +163,7 @@ def distributed_sweep_render(
     length_correction: bool = True,
     plane_chunk: int = 8,
     backend: str = "auto",
+    wrt: tuple = ("volume", "lut", "params"),
 ) -> jnp.ndarray:
     """Sweep-render with the volume sharded over bricks and rows over rays.
 
@@ -175,13 +176,18 @@ def distributed_sweep_render(
     ``backend``: 'pallas' runs BOTH passes on the fused TPU kernel PER
     DEVICE inside shard_map — possible because the kernel takes its slope
     grid, plane depths, row window, plane spacing, and accumulator seed as
-    traced data, so ONE compile serves all devices. Measured on one v5e
-    chip at the headline config (512^3 -> 1024^2): 39 ms vs 17 ms for the
-    unsharded kernel (the gap is the traced plane pre-blend, the seeded
-    pass-2 re-sweep, and compositing) and q999 ~1e-7 vs the single-device
-    sweep; the earlier XLA-pass-2 design took 167 ms. 'auto' selects
+    traced data, so ONE compile serves all devices. 'auto' selects
     'pallas' on a real TPU backend when the shapes allow, else 'xla' (the
     kernel cannot run on CPU outside the Mosaic interpreter).
+
+    DIFFERENTIABLE on both backends: the pallas passes go through the fused
+    custom VJP (pallas/slice_vjp.py) whose seed cotangent
+    (d seed_a = g_a - S/T_0) backprops pass 2 into the upstream bricks'
+    prefixes; everything else (static-tap pre-blend, halo ppermute,
+    all_gather compositing, psum) transposes under XLA autodiff. ``wrt``
+    statically prunes pallas cotangent paths ("volume"/"lut"/"params") —
+    list only what you train. Gradients match the single-device
+    ``slice_render_image`` VJP (tests/test_dist_sweep.py).
     """
     nz, ny, nx = volume.shape
     if n_planes <= 0:
@@ -219,6 +225,30 @@ def distributed_sweep_render(
     origin = jnp.asarray(origin, dtype=jnp.float32)
     box = (march.box_min, march.box_max)
 
+    # host-static pre-blend taps: plane k of slab d sits at padded-frame
+    # position lf = zf - d*zl + 1 with zf = (d*ppd + k + 0.5)*nz/n_planes
+    # - 0.5; the d-terms cancel exactly (ppd*nz == n_planes*zl), so
+    # lf = (k + 0.5)*nz/n_planes + 0.5 — the SAME static two-tap weights on
+    # every device. The global clamp-to-edge (zf clipped to [0, nz-1]) only
+    # bites at the outermost planes of the boundary devices, where
+    # _halo_exchange replicates the edge layer — making the unclamped
+    # two-tap lerp equal the clamped one identically. (A traced dense
+    # (P, zl+2) MXU pre-blend measured ~9 ms at 512^3 on one chip; these
+    # static-index gathers are the memory-bound minimum, flip folded in.)
+    lf = (
+        (np.arange(n_planes // nb, dtype=np.float64) + 0.5)
+        * nz / n_planes + 0.5
+    )[::-1]  # front-to-back for dz < 0: descending z
+    iz0_host = np.floor(lf).astype(np.int32)
+    az_host = (lf - np.floor(lf)).astype(np.float32)[:, None, None]
+    # low-z boundary quirk: the single-device z pre-blend (march/slice.py:
+    # 186-190, pallas _preblend_planes) INDEX-clamps — floor(zf) = -1 clips
+    # to texel 0 but keeps iz1 = 1, so the below-range tap leaks onto
+    # texel 1 instead of clamping the coordinate. Only planes with
+    # lf < 1 on device 0 see this (typically one); they are corrected
+    # per-device below for bit parity with the unsharded sweep.
+    lowz_idx = [int(i) for i in np.nonzero(lf < 1.0)[0]]
+
     hl = height // nr
     ppd = n_planes // nb  # planes per device slab
     pallas_ok = (
@@ -240,29 +270,22 @@ def distributed_sweep_render(
         origin, tf_lut, density, brightness, toff, tscl,
     ):
         d = jax.lax.axis_index(BRICK_AXIS)
-        z0 = (d * zl).astype(jnp.float32)
         padded = _halo_exchange(vol_local, nb)  # (zl + 2, Y, X)
 
-        # pre-blend local planes: traced z tent weights over the haloed
-        # slab. The dense (P, zl + 2) matmul costs ~9 ms at 512^3 on one
-        # chip (f32 MXU) but a two-tap gather lerp measured 15.6 ms — TPU
-        # gathers lose to the MXU even at 0.4% density.
-        zf = (zs_local - zlo) / (zhi - zlo) * nz - 0.5
-        zf = jnp.clip(zf, 0.0, nz - 1.0)  # global clamp-to-edge
-        lf = zf - z0 + 1.0  # position in the padded frame
-        layers = jax.lax.broadcasted_iota(
-            jnp.float32, (zs_local.shape[0], zl + 2), 1
+        # pre-blend local planes with the host-static two-tap weights (see
+        # the derivation above distributed_sweep_render's per_device call);
+        # differentiable through XLA's gather transpose (scatter-add into
+        # the haloed slab, then the ppermute adjoint returns ghost-layer
+        # cotangents to their owners).
+        planes = (
+            padded[jnp.asarray(iz0_host)] * (1.0 - az_host)
+            + padded[jnp.asarray(iz0_host + 1)] * az_host
         )
-        wz = jnp.maximum(0.0, 1.0 - jnp.abs(lf[:, None] - layers))
-        planes = jax.lax.dot_general(
-            wz, padded.reshape(zl + 2, ny * nx),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(-1, ny, nx)
-
-        # front-to-back for dz < 0: descending z
-        planes = jnp.flip(planes, axis=0)
-        zs_ftb = jnp.flip(zs_local, axis=0)
+        for i in lowz_idx:  # device 0's index-clamp quirk (see host setup)
+            a = float(az_host[i, 0, 0])
+            corr = (1.0 - a) * padded[1] + a * padded[2]
+            planes = planes.at[i].set(jnp.where(d == 0, corr, planes[i]))
+        zs_ftb = jnp.flip(zs_local, axis=0)  # front-to-back for dz < 0
 
         sweep = lambda threshold: _local_sweep(
             planes, zs_ftb, mx, my_local, origin, tf_lut, density,
@@ -294,14 +317,25 @@ def distributed_sweep_render(
                     dmy_l,
                 ]
             )
-            partial = sweep_preblended_planes(
+            partial = sweep_preblended_planes_diff(
                 planes, zs_ftb, origin, slopes, tf_lut, density, 1.0,
                 toff, tscl, dz_sign=-1, width=width, height=hl,
                 march=march, length_correction=length_correction,
-                plane_chunk=plane_chunk, plane_spacing=spacing,
+                plane_chunk=plane_chunk, plane_spacing=spacing, wrt=wrt,
             )
         else:
             partial = sweep(no_cut)  # (Hl, W, 4)
+
+        if nb == 1:
+            # one brick: the kernel's own cutoff IS the global early
+            # termination, so pass 1 is already exact (pass 2 would seed
+            # with the zero prefix and recompute it bitwise — value AND
+            # gradient). The XLA partial was computed cutoff-free; one
+            # thresholded sweep is its exact single-pass form.
+            if not use_pallas:
+                partial = sweep(jnp.full((hl, width), thr, dtype=jnp.float32))
+            return partial * brightness
+
         parts = jax.lax.all_gather(partial, BRICK_AXIS, axis=0)  # (nb, Hl, W, 4)
         ordered = jnp.flip(parts, axis=0)  # device nb-1 is nearest (dz < 0)
 
@@ -336,12 +370,12 @@ def distributed_sweep_render(
                  jnp.full((hl, width, 1), 2.0, jnp.float32)], axis=-1,
             )
             seed_img = jnp.where(flag[..., None], prefix_at, frozen)
-            out2 = sweep_preblended_planes(
+            out2 = sweep_preblended_planes_diff(
                 planes, zs_ftb, origin, slopes, tf_lut, density, 1.0,
                 toff, tscl, dz_sign=-1, width=width, height=hl,
                 march=march, length_correction=length_correction,
                 plane_chunk=plane_chunk, acc_init=seed_img,
-                plane_spacing=spacing,
+                plane_spacing=spacing, wrt=wrt,
             )
             exact = jax.lax.psum(
                 jnp.where(flag[..., None], out2, 0.0), BRICK_AXIS

@@ -78,7 +78,7 @@ async function frame() {
       `brightness=${(+S.brightness).toFixed(2)} tf_off=${(+S.toff).toFixed(3)} ` +
       `tf_scale=${(+S.tscale).toFixed(3)} filter=${S.filter ? 'linear' : 'point'}\\n` +
       `rot=(${S.rx.toFixed(1)}, ${S.ry.toFixed(1)}) z=${S.tz.toFixed(2)} ` +
-      `${fps.toFixed(1)} fps\\n` +
+      `${fps.toFixed(1)} fps (reference target: 60 fps)\\n` +
       `keys: f filter  +/- density  ]/[ brightness  ;/' tf-offset  ./ , ` +
       `tf-scale  0-9 query | drag: left rotate, middle pan, right zoom`;
   } catch (e) { hud.textContent = 'render error: ' + e; }
@@ -136,7 +136,7 @@ class ViewerServer:
         pipeline: RenderPipeline,
         width: int = 512,
         height: int = 512,
-        renderer: str = "scan",
+        renderer: str = "auto",
         query: int = 1,
         host: str = "127.0.0.1",
         port: int = 8412,
