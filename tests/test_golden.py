@@ -20,7 +20,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vrdd_tpu.core.image import rgba_to_uint8
 from vrdd_tpu.io import formats
-from vrdd_tpu.io.synthetic import random_histogram_volume
+from vrdd_tpu.io.synthetic import (
+    random_histogram_volume,
+    synthetic_flexible_dataset,
+)
+from vrdd_tpu.models.flexible import FlexibleBlockVolume
 from vrdd_tpu.models.pipeline import RenderPipeline
 from vrdd_tpu.models.volumes import RawHistogramVolume
 from vrdd_tpu.utils.config import CameraConfig, QueryMethod, RenderConfig
@@ -31,16 +35,27 @@ W = H = 128
 
 def _pipeline() -> RenderPipeline:
     hist = random_histogram_volume((10, 50, 50), n_bins=32, seed=0)
-    return RenderPipeline(raw=RawHistogramVolume(jnp.asarray(hist)))
+    ds = synthetic_flexible_dataset(dims=(8, 8, 8), seed=9)
+    return RenderPipeline(
+        raw=RawHistogramVolume(jnp.asarray(hist)),
+        flexible=FlexibleBlockVolume.from_raw(
+            ds["raw"], block_size=3, vmax=256.0
+        ),
+    )
 
 
 def _render(pipeline, query, renderer) -> np.ndarray:
     from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    from vrdd_tpu.utils.config import TransferFunctionConfig
 
+    # flex mean lives in the unnormalized [0, 255] domain
+    # (volumeRender_kernel.cu:1091); scale the TF like the ./, keys would
+    tf_scale = 1.0 / 255.0 if QueryMethod(query) == QueryMethod.FLEX_MEAN else 1.0
     config = RenderConfig(
         camera=CameraConfig(width=W, height=H),
         density=0.5,
         query_method=QueryMethod(query),
+        tf=TransferFunctionConfig(scale=tf_scale),
     )
     # shear-warp is the rotated-view path: pin a rotated camera; the others
     # use the reference's fixed benchmark view (inv_view=None)
@@ -67,6 +82,8 @@ CASES = [
     ("slice_q1", 1, "slice"),
     ("pallas_q1", 1, "pallas"),
     ("shearwarp_q1", 1, "shearwarp"),
+    ("scan_q9", 9, "scan"),
+    ("pallas_q9", 9, "pallas"),
 ]
 
 

@@ -122,3 +122,31 @@ def test_pallas_banded_tall_image(monkeypatch):
             vol, o, tf, width=128, height=256, n_planes=16, density=0.4))
     assert banded.shape == (256, 128, 4)
     np.testing.assert_array_equal(banded, full)
+
+
+def test_pallas_flex_axis_scale_matches_slice():
+    """Flexible-block queries (8/9/0) on the fused kernel: the scaled filter
+    grid (axis_scale = n_blocks/(n_blocks+1) on the zero-padded grid — the
+    CUDA unnormalized flexBlockTex fetch, volumeRender_kernel.cu:654-680)
+    matches the XLA slice sweep with the same axis_scale."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    nzb, nyb, nxb = 6, 7, 5
+    padded = jnp.asarray(np.pad(
+        rng.random((nzb, nyb, nxb), dtype=np.float32),
+        ((0, 1), (0, 1), (0, 1)),
+    ))
+    scale = (nxb / (nxb + 1), nyb / (nyb + 1), nzb / (nzb + 1))
+    tf = jnp.asarray(default_transfer_function())
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    ref = np.asarray(slice_render_image(
+        padded, o, 64, 64, tf, 0.5, n_planes=64, axis_scale=scale,
+    ))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pallas_slice_render(
+            padded, o, tf, 0.5, width=64, height=64, n_planes=64,
+            axis_scale=scale,
+        ))
+    diff = np.abs(got - ref)
+    assert np.quantile(diff, 0.999) < 1e-4, np.quantile(diff, 0.999)

@@ -133,9 +133,14 @@ def test_renderer_selection_and_slice_path(pipeline):
     assert pipeline.resolve_renderer(
         "auto", iv, _cfg(QueryMethod.INTERP_MEAN)
     ) in ("slice", "pallas")
-    # flex queries stay on the scan marcher
+    # flex queries ride the object-order paths too (padded-grid fetch)
+    assert pipeline.resolve_renderer(
+        "auto", iv, _cfg(QueryMethod.FLEX_MEAN)
+    ) in ("slice", "pallas")
+    # ... but not shear-warp (axis permutation would permute the filter
+    # scales — unwired), and never when no flex volume is loaded
     assert (
-        pipeline.resolve_renderer("auto", iv, _cfg(QueryMethod.FLEX_MEAN))
+        pipeline.resolve_renderer("auto", rot, _cfg(QueryMethod.FLEX_MEAN))
         == "scan"
     )
     img_slice = np.asarray(pipeline.render(iv, cfg, renderer="slice"))
@@ -147,10 +152,19 @@ def test_renderer_selection_and_slice_path(pipeline):
     assert np.quantile(np.abs(img_slice - img_scan), 0.9) < 0.15
 
 
-def test_renderer_slice_rejects_flex_queries(pipeline):
+def test_flex_queries_object_order_parity(pipeline):
+    """Queries 9/0/8 on the slice sweep: the unnormalized padded-grid fetch
+    (axis_scale = n_blocks/(n_blocks+1), volumeRender_kernel.cu:654-680)
+    matches the scan marcher's flex_sample_fn to sweep tolerance."""
     iv = default_benchmark_inv_view()
-    with pytest.raises(ValueError, match="1-7"):
-        pipeline.render(iv, _cfg(QueryMethod.FLEX_MEAN), renderer="slice")
+    for q in (QueryMethod.FLEX_MEAN, QueryMethod.FLEX_VARIANCE,
+              QueryMethod.FLEX_ENTROPY):
+        cfg = _cfg(q)
+        img_slice = np.asarray(pipeline.render(iv, cfg, renderer="slice"))
+        img_scan = np.asarray(pipeline.render(iv, cfg, renderer="scan"))
+        assert np.isfinite(img_slice).all()
+        assert img_scan[..., 3].max() > 0.01, q  # non-trivial comparison
+        assert np.quantile(np.abs(img_slice - img_scan), 0.9) < 0.15, q
 
 
 def test_query7_object_order_parity(pipeline):

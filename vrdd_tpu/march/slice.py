@@ -66,7 +66,7 @@ from vrdd_tpu.utils.config import MarchConfig
 
 def _axis_weights(
     coords: jnp.ndarray, n: int, lo: float, hi: float,
-    tex_offset: float = 0.5,
+    tex_offset: float = 0.5, scale: float = 1.0,
 ) -> jnp.ndarray:
     """Dense CUDA-model bilinear weight matrix (P, n) for world coords (P,).
 
@@ -77,9 +77,16 @@ def _axis_weights(
     model (texel centers at (i + 0.5) / n); 0.0 is the block-boundary grid of
     the reference's query 7 (volumeRender_kernel.cu:395-478), whose cell is
     ``[floor(p01 * n), ceil(p01 * n)]`` with index clamping.
+
+    ``scale`` decouples the filter grid from the coverage box: the filter
+    coordinate is ``p01 * scale * n - tex_offset`` while coverage stays
+    ``p01 in [0, 1]``. The flexible-block fetch (queries 8/9/0) is the CUDA
+    *unnormalized* fetch ``p01 * n_blocks - 0.5`` against an (n_blocks + 1)
+    zero-padded grid (volumeRender_kernel.cu:654-680, 1637-1691) — i.e.
+    ``scale = n_blocks / (n_blocks + 1)`` here.
     """
     p01 = (coords - lo) / (hi - lo)
-    xf = p01 * n - tex_offset
+    xf = p01 * (n * scale) - tex_offset
     i0 = jnp.floor(xf)
     a = xf - i0
     i0i = i0.astype(jnp.int32)
@@ -133,6 +140,7 @@ def sweep_slope_space(
     plane_chunk: int = 8,
     use_custom_vjp: bool = True,
     tex_offset: float = 0.5,
+    axis_scale=(1.0, 1.0, 1.0),
 ) -> jnp.ndarray:
     """Plane sweep over a ray-slope grid: returns ``(Hi, Wi, 4)`` RGBA.
 
@@ -186,7 +194,8 @@ def sweep_slope_space(
     # of static scatter-adds. Exact f32: the earlier (n_planes, nz) matmul
     # form ran at the TPU's default bf16 matmul precision and rounded the
     # volume to ~2e-3.
-    zf_all = (zs - zlo) / (zhi - zlo) * nz - tex_offset
+    sx, sy, sz = axis_scale  # filter-grid scales; see _axis_weights
+    zf_all = (zs - zlo) / (zhi - zlo) * (nz * sz) - tex_offset
     iz0_all = np.floor(zf_all)
     az_all = (zf_all - iz0_all).astype(np.float32)
     iz0_all = np.clip(iz0_all.astype(np.int64), 0, nz - 1)
@@ -215,12 +224,12 @@ def sweep_slope_space(
         """
         x_at = ox + (z[:, None] - oz) * mx[None, :]  # (C, W)
         y_at = oy + (z[:, None] - oz) * my[None, :]  # (C, H)
-        wx = _axis_weights(x_at.reshape(-1), nx, xlo, xhi, tex_offset).reshape(
-            chunk, width, nx
-        ).astype(dtype)
-        wy = _axis_weights(y_at.reshape(-1), ny, ylo, yhi, tex_offset).reshape(
-            chunk, height, ny
-        ).astype(dtype)
+        wx = _axis_weights(
+            x_at.reshape(-1), nx, xlo, xhi, tex_offset, sx
+        ).reshape(chunk, width, nx).astype(dtype)
+        wy = _axis_weights(
+            y_at.reshape(-1), ny, ylo, yhi, tex_offset, sy
+        ).reshape(chunk, height, ny).astype(dtype)
         tmp = jax.lax.dot_general(
             wy, planes.astype(dtype), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -367,6 +376,7 @@ def slice_render_image(
     plane_chunk: int = 8,
     use_custom_vjp: bool = True,
     tex_offset: float = 0.5,
+    axis_scale=(1.0, 1.0, 1.0),
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA by plane sweep (unrotated camera at ``origin``).
 
@@ -386,4 +396,5 @@ def slice_render_image(
         dz_sign=-1, n_planes=n_planes, length_correction=length_correction,
         compute_dtype=compute_dtype, plane_chunk=plane_chunk,
         use_custom_vjp=use_custom_vjp, tex_offset=tex_offset,
+        axis_scale=axis_scale,
     )

@@ -77,6 +77,7 @@ class RenderPipeline:
             dtype=jnp.float32,
         )
         self._interp_mean_vol = None  # query-7 field, built on first use
+        self._flex_padded = None  # padded flex stats for object-order paths
 
     def sample_source(self, method: QueryMethod, linear: bool = True):
         """(source array, array -> SampleFn builder) for a query method.
@@ -150,10 +151,32 @@ class RenderPipeline:
                     self.raw.histograms
                 )
             return self._interp_mean_vol
-        raise ValueError(
-            "renderers 'slice'/'pallas'/'shearwarp' support precomputed-stats "
-            "query methods 1-7; use renderer='scan' for query 8/9/0"
-        )
+        # flexible-block queries 8/9/0 on the object-order paths: the CUDA
+        # unnormalized fetch (p01 * n_blocks - 0.5 against the zero-padded
+        # scatter array, volumeRender_kernel.cu:654-680, 1637-1691) is the
+        # same two-tap filter on an (n_blocks + 1) zero-padded grid with the
+        # filter grid scaled off the coverage box — see _flex_axis_scale.
+        if self.flexible is None:
+            raise ValueError("no flexible-block volume loaded")
+        if self._flex_padded is None:
+            self._flex_padded = jnp.pad(
+                jnp.asarray(self.flexible.stats_grid),
+                ((0, 1), (0, 1), (0, 1), (0, 0)),
+            )
+        return self._flex_padded[..., query_channel(method)]
+
+    def _flex_axis_scale(self, method) -> tuple:
+        """(sx, sy, sz) filter-grid scales for the object-order sweeps:
+        n_blocks / (n_blocks + 1) per axis for flex queries (the padded-grid
+        form of the unnormalized fetch), identity otherwise."""
+        if QueryMethod(method) not in (
+            QueryMethod.FLEX_ENTROPY,
+            QueryMethod.FLEX_MEAN,
+            QueryMethod.FLEX_VARIANCE,
+        ):
+            return (1.0, 1.0, 1.0)
+        nzb, nyb, nxb = self.flexible.stats_grid.shape[:3]
+        return (nxb / (nxb + 1), nyb / (nyb + 1), nzb / (nzb + 1))
 
     @staticmethod
     def _tex_offset(method) -> float:
@@ -184,11 +207,24 @@ class RenderPipeline:
             QueryMethod.FRACTAL_VARIANCE, QueryMethod.FRACTAL_ENTROPY,
             QueryMethod.INTERP_MEAN,
         )
-        if not stats_ok:
+        flex_ok = (
+            method in (QueryMethod.FLEX_ENTROPY, QueryMethod.FLEX_MEAN,
+                       QueryMethod.FLEX_VARIANCE)
+            and self.flexible is not None
+        )
+        if not (stats_ok or flex_ok):
+            return "scan"
+        if not config.filter_linear:
+            # the reference's 'f' key: point sampling exists only on the
+            # scan marcher (the sweeps always filter linearly)
             return "scan"
         if not unrotated:
+            # flex + rotation: the shear-warp axis permutation would also
+            # permute the filter-grid scales — not wired; scan serves it
             return (
-                "shearwarp" if shearwarp_applicable(inv_view) else "scan"
+                "shearwarp"
+                if stats_ok and shearwarp_applicable(inv_view)
+                else "scan"
             )
         vol = self._stats_channel(method)
         if jax.default_backend() == "tpu" and pallas_supported(
@@ -294,6 +330,7 @@ class RenderPipeline:
             return run_sw
         if renderer in ("slice", "pallas"):
             toff = self._tex_offset(method)
+            ascale = self._flex_axis_scale(method)
 
             @jax.jit
             def run_obj(volume, inv_view, tf_lut, density, brightness,
@@ -304,12 +341,12 @@ class RenderPipeline:
                     return pallas_slice_render(
                         volume, origin, tf_lut, density, brightness,
                         offset, scale, width=width, height=height, march=march,
-                        n_planes=n_planes, tex_offset=toff,
+                        n_planes=n_planes, tex_offset=toff, axis_scale=ascale,
                     )
                 return slice_render_image(
                     volume, origin, width, height, tf_lut, density,
                     brightness, offset, scale, march=march, n_planes=n_planes,
-                    tex_offset=toff,
+                    tex_offset=toff, axis_scale=ascale,
                 )
 
             return run_obj

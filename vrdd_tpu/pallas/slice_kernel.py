@@ -170,21 +170,25 @@ def _tf_coef_matrix(n: int) -> np.ndarray:
 
 
 def _tent_weights(coords, n: int, lo: float, hi: float,
-                  tex_offset: float = 0.5):
+                  tex_offset: float = 0.5, scale: float = 1.0):
     """(P,) world coords -> (P, n) bilinear weights + (P,) in-box f32 mask.
 
-    Tent identity: with ``q = clip(u * n - tex_offset, 0, n - 1)``,
+    Tent identity: with ``q = clip(u * n * scale - tex_offset, 0, n - 1)``,
     ``w_l = max(0, 1 - |q - l|)`` reproduces clamp-to-edge two-tap filtering.
     ``tex_offset=0.5`` is the CUDA texture model (texel centers at
     (i + 0.5)/n); ``0.0`` is the block-boundary grid of the reference's
-    query 7 (volumeRender_kernel.cu:395-478).
+    query 7 (volumeRender_kernel.cu:395-478). ``scale`` decouples the filter
+    grid from the coverage box (flexible-block queries 8/9/0: the CUDA
+    unnormalized fetch ``p01 * n_blocks - 0.5`` on an (n_blocks + 1)
+    zero-padded grid => scale = n_blocks / (n_blocks + 1); see
+    march/slice.py _axis_weights).
     In-box rows always sum to exactly 1, so the returned mask doubles as the
     per-axis coverage predicate — NEVER reduce the weight matrix to test
     coverage (a cross-lane ``sum(w, axis=1)`` per grid step costs ~10x the
     whole kernel on Mosaic).
     """
     p01 = (coords - lo) / (hi - lo)
-    q = jnp.clip(p01 * n - tex_offset, 0.0, n - 1.0)
+    q = jnp.clip(p01 * (n * scale) - tex_offset, 0.0, n - 1.0)
     l = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], n), 1).astype(
         jnp.float32
     )
@@ -398,6 +402,7 @@ def _make_kernel(
     dz_sign, box_min, box_max, tstep: float, threshold: float,
     length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
     tex_offset: float = 0.5, ess: bool = False, seed: bool = False,
+    axis_scale=(1.0, 1.0),
 ):
     """``seed``: the accumulator initializes from a traced RGBA input image
     instead of zeros — "resume a sweep mid-flight". The distributed
@@ -435,6 +440,7 @@ def _make_kernel(
     recompile. Only ``dz_sign`` (sweep direction) is a static compile key."""
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
+    sxs, sys = axis_scale  # x/y filter-grid scales (z folds into pre-blend)
     n_chunks = n_planes // pchunk
     n_strips = H // STRIP
     xt = _xtile(W)
@@ -564,7 +570,8 @@ def _make_kernel(
             for i in range(pchunk):
                 z = zs_ref[0, k * pchunk + i]
                 x_at = ox + (z - oz) * mx_all
-                wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi, tex_offset)
+                wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi, tex_offset,
+                                            sxs)
                 wx_ref[i] = wx.astype(mm_dtype)
                 ibx_ref[i] = inbox_x[None, :]
 
@@ -577,7 +584,7 @@ def _make_kernel(
             for i in range(pchunk):
                 z = zs_ref[0, k * pchunk + i]
                 y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
-                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset)
+                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset, sys)
                 tmp_ref[i] = jnp.dot(
                     wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
@@ -678,7 +685,7 @@ def _make_kernel(
 
 
 def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
-                     tex_offset=0.5):
+                     tex_offset=0.5, z_scale=1.0):
     """Front-to-back plane stack: CUDA-model z-resample via static two-tap
     gather lerp (march/slice.py:186-190 semantics — index clamp, az from the
     unclipped floor). Static indices lower to slices, so this is exact f32
@@ -694,7 +701,7 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
     )
     if dz_sign < 0:
         zs = zs[::-1]
-    zf_all = (zs - zlo) / (zhi - zlo) * nz - tex_offset
+    zf_all = (zs - zlo) / (zhi - zlo) * (nz * z_scale) - tex_offset
     iz0 = np.clip(np.floor(zf_all).astype(np.int64), 0, nz - 1)
     az = (zf_all - np.floor(zf_all)).astype(np.float32)
     if np.all(az < 1e-6):
@@ -768,20 +775,21 @@ def _pixel_slopes(width: int, height: int, focal: float):
     static_argnames=(
         "dz_sign", "width", "height", "march", "n_planes",
         "length_correction", "precision", "plane_chunk", "tex_offset",
-        "empty_space_skip",
+        "empty_space_skip", "axis_scale",
     ),
 )
 def _sweep_call(
     volume, origin, slopes, tf_lut, density, brightness, transfer_offset,
     transfer_scale, *, dz_sign, width, height, march, n_planes,
     length_correction, precision, plane_chunk, tex_offset=0.5,
-    empty_space_skip=False,
+    empty_space_skip=False, axis_scale=(1.0, 1.0, 1.0),
 ):
     nz, ny, nx = volume.shape
     pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx, width)
 
     planes_all, zs = _preblend_planes(
-        volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset
+        volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset,
+        z_scale=axis_scale[2],
     )
     return sweep_preblended_planes(
         planes_all, jnp.asarray(zs), origin, slopes, tf_lut, density,
@@ -789,7 +797,7 @@ def _sweep_call(
         width=width, height=height, march=march,
         length_correction=length_correction, precision=precision,
         plane_chunk=pchunk, tex_offset=tex_offset,
-        empty_space_skip=empty_space_skip,
+        empty_space_skip=empty_space_skip, axis_scale=axis_scale[:2],
     )
 
 
@@ -798,7 +806,7 @@ def sweep_preblended_planes(
     transfer_offset=0.0, transfer_scale=1.0, *, dz_sign=-1, width, height,
     march: MarchConfig = MarchConfig(), length_correction=True,
     precision="f32", plane_chunk=8, tex_offset=0.5, empty_space_skip=False,
-    acc_init=None, plane_spacing=None,
+    acc_init=None, plane_spacing=None, axis_scale=(1.0, 1.0),
 ):
     """Fused sweep over an ALREADY pre-blended, front-to-back plane stack.
 
@@ -844,11 +852,12 @@ def sweep_preblended_planes(
 
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     seed = acc_init is not None
+    assert not (empty_space_skip and axis_scale != (1.0, 1.0))
     kernel = _make_kernel(
         height, width, ny, nx, n_planes, n_lut, dz_sign,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, mm_dtype, pchunk, tex_offset=tex_offset,
-        ess=empty_space_skip, seed=seed,
+        ess=empty_space_skip, seed=seed, axis_scale=tuple(axis_scale),
     )
     in_specs, out_spec, scratch, grid = _sweep_specs(
         height, width, ny, nx, n_planes, n_lut, pchunk, ess=empty_space_skip,
@@ -905,6 +914,7 @@ def pallas_sweep_slope_space(
     plane_chunk: int = 8,
     tex_offset: float = 0.5,
     empty_space_skip: bool = False,
+    axis_scale=(1.0, 1.0, 1.0),
 ) -> jnp.ndarray:
     """Fused plane sweep over a UNIFORM ray-slope grid: (Hm, Wm, 4) RGBA.
 
@@ -943,6 +953,7 @@ def pallas_sweep_slope_space(
             length_correction=length_correction,
             precision=precision, plane_chunk=plane_chunk,
             tex_offset=float(tex_offset), empty_space_skip=empty_space_skip,
+            axis_scale=tuple(axis_scale),
         ))
     out = bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=0)
     return out[:Hm, :Wm]
@@ -967,6 +978,7 @@ def pallas_slice_render(
     plane_chunk: int = 8,
     tex_offset: float = 0.5,
     empty_space_skip: bool = False,
+    axis_scale=(1.0, 1.0, 1.0),
 ) -> jnp.ndarray:
     """Fused forward render; same semantics as slice_render_image.
 
@@ -984,5 +996,5 @@ def pallas_slice_render(
         transfer_offset, transfer_scale, march=march, dz_sign=-1,
         n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
-        empty_space_skip=empty_space_skip,
+        empty_space_skip=empty_space_skip, axis_scale=axis_scale,
     )

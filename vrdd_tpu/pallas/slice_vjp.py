@@ -119,7 +119,8 @@ def _norm_wrt(wrt) -> tuple:
 def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      box_max, tstep, threshold, length_correction, mm_dtype,
                      pchunk, tex_offset=0.5,
-                     wrt=("volume", "lut", "params")):
+                     wrt=("volume", "lut", "params"),
+                     axis_scale=(1.0, 1.0)):
     """Reverse-order cotangent sweep; see module docstring.
 
     ``wrt`` statically prunes cotangent paths: "volume" (d_planes — the
@@ -133,6 +134,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     need_dres = g_vol or g_par  # d_res feeds d_planes and toff/tscl
     xlo, ylo, zlo = box_min
     xhi, yhi, zhi = box_max
+    sxs, sys = axis_scale
     n_chunks = n_planes // pchunk
     n_strips = H // STRIP
     xt = _xtile(W)
@@ -191,7 +193,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             for i in range(pchunk):
                 z = zs_ref[0, kk * pchunk + i]
                 y_at = oy + (z - oz) * my_col[:, 0]
-                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset)
+                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset, sys)
                 tmp_ref[i] = jnp.dot(
                     wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
@@ -245,7 +247,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                     y_at = oy + (z - oz) * my_col[:, 0]
                     x_at = ox + (z - oz) * mx_row[0, :]
                     wx_i, inbox_x = _tent_weights(x_at, NX, xlo, xhi,
-                                                  tex_offset)
+                                                  tex_offset, sxs)
                     y01 = (y_at - ylo) / (yhi - ylo)
                     inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
                         jnp.float32
@@ -296,7 +298,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                     y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
                     x_at = ox + (z - oz) * mx_row[0, :]
                     wx_i, inbox_x = _tent_weights(x_at, NX, xlo, xhi,
-                                                  tex_offset)
+                                                  tex_offset, sxs)
                     y01 = (y_at - ylo) / (yhi - ylo)
                     inbox_y = ((y01 >= 0.0) & (y01 <= 1.0)).astype(
                         jnp.float32
@@ -403,7 +405,8 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 for i in range(pchunk):
                     z = zs_ref[0, kk * pchunk + i]
                     y_at = oy + (z - oz) * my_col[:, 0]
-                    wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset)
+                    wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset,
+                                          sys)
                     dplanes_ref[i] += jax.lax.dot_general(
                         wy.astype(mm_dtype), dtmp_ref[i].astype(mm_dtype),
                         (((0,), (0,)), ((), ())),
@@ -441,7 +444,7 @@ def _pack_params(origin, density, toff, tscl, slopes, spacing):
 def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      box_max, tstep, threshold, length_correction, precision,
                      pchunk, tex_offset=0.5, wrt=("volume", "lut", "params"),
-                     ess=False, seed=False):
+                     ess=False, seed=False, axis_scale=(1.0, 1.0)):
     """Build the custom-VJP sweep for one static configuration.
 
     The returned ``sweep(planes, zs, acc0, origin, slopes, lut, density,
@@ -464,21 +467,22 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     """
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     assert not (ess and seed), "ESS bitmap + seeded resume not wired together"
+    assert not (ess and axis_scale != (1.0, 1.0))
 
     fwd_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
-        tex_offset=tex_offset, ess=ess, seed=seed,
+        tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
     )
     fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk, emit_ckpt=True,
-        tex_offset=tex_offset, ess=ess, seed=seed,
+        tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
     )
     bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
-        tex_offset=tex_offset, wrt=wrt,
+        tex_offset=tex_offset, wrt=wrt, axis_scale=axis_scale,
     )
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
@@ -671,6 +675,7 @@ def pallas_sweep_slope_space_diff(
     tex_offset: float = 0.5,
     wrt: tuple = ("volume", "lut", "params"),
     empty_space_skip: bool = False,
+    axis_scale=(1.0, 1.0, 1.0),
 ) -> jnp.ndarray:
     """Differentiable fused sweep over a UNIFORM ray-slope grid.
 
@@ -694,6 +699,7 @@ def pallas_sweep_slope_space_diff(
         length_correction=length_correction, precision=precision,
         plane_chunk=plane_chunk, tex_offset=float(tex_offset),
         wrt=_norm_wrt(wrt), empty_space_skip=empty_space_skip,
+        axis_scale=tuple(axis_scale),
     )
     return out[:Hm, :Wm]
 
@@ -703,7 +709,7 @@ def pallas_sweep_slope_space_diff(
     static_argnames=(
         "dz_sign", "width", "height", "march", "n_planes",
         "length_correction", "precision", "plane_chunk", "tex_offset", "wrt",
-        "empty_space_skip",
+        "empty_space_skip", "axis_scale",
     ),
 )
 def _diff_call(
@@ -711,6 +717,7 @@ def _diff_call(
     transfer_scale, *, dz_sign, width, height, march, n_planes,
     length_correction, precision, plane_chunk, tex_offset=0.5,
     wrt=("volume", "lut", "params"), empty_space_skip=False,
+    axis_scale=(1.0, 1.0, 1.0),
 ):
     nz, ny, nx = volume.shape
     if n_planes <= 0:
@@ -726,10 +733,11 @@ def _diff_call(
         height, width, ny, nx, n_planes, int(tf_lut.shape[0]), dz_sign,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, precision, pchunk, tex_offset, wrt,
-        ess=empty_space_skip,
+        ess=empty_space_skip, axis_scale=tuple(axis_scale[:2]),
     )
     planes_all, zs = _preblend_planes(
-        volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset
+        volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset,
+        z_scale=axis_scale[2],
     )
     if "volume" not in wrt:
         # also kills the pre-blend transpose matmul in the outer XLA graph
@@ -772,6 +780,7 @@ def sweep_preblended_planes_diff(
     wrt: tuple = ("volume", "lut", "params"),
     acc_init=None,
     plane_spacing=None,
+    axis_scale=(1.0, 1.0),
 ):
     """Differentiable twin of ``sweep_preblended_planes`` (slice_kernel.py).
 
@@ -798,7 +807,7 @@ def sweep_preblended_planes_diff(
         height, width, ny, nx, n_planes, int(tf_lut.shape[0]), int(dz_sign),
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, precision, pchunk, float(tex_offset),
-        _norm_wrt(wrt), ess=False, seed=seed,
+        _norm_wrt(wrt), ess=False, seed=seed, axis_scale=tuple(axis_scale),
     )
     acc0 = (
         jnp.asarray(acc_init, jnp.float32) if seed
@@ -839,6 +848,7 @@ def pallas_slice_render_diff(
     tex_offset: float = 0.5,
     wrt: tuple = ("volume", "lut", "params"),
     empty_space_skip: bool = False,
+    axis_scale=(1.0, 1.0, 1.0),
 ) -> jnp.ndarray:
     """Differentiable fused render: same value as ``pallas_slice_render``.
 
@@ -858,5 +868,5 @@ def pallas_slice_render_diff(
         transfer_offset, transfer_scale, march=march, dz_sign=-1,
         n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
-        wrt=wrt, empty_space_skip=empty_space_skip,
+        wrt=wrt, empty_space_skip=empty_space_skip, axis_scale=axis_scale,
     )

@@ -70,7 +70,7 @@ def _local_sweep(
     origin: jnp.ndarray,
     tf_lut, density, toff, tscl,
     alpha_scale: jnp.ndarray,  # (Hl, W)
-    box, threshold, plane_chunk: int,
+    box, threshold, plane_chunk: int, dz_sign: int = -1,
 ):
     """Front-to-back composite of pre-blended planes on a row strip.
 
@@ -108,7 +108,7 @@ def _local_sweep(
             preferred_element_type=jnp.float32,
         )
         col = _tf_onehot_matmul(resampled, tf_lut, toff, tscl)
-        in_front = (jnp.sign(z - oz) * -1.0) > 0  # dz < 0 (looking down -z)
+        in_front = (jnp.sign(z - oz) * dz_sign) > 0
         covered = (
             (jnp.sum(jnp.abs(wy), axis=2) > 0.0)[:, :, None]
             & (jnp.sum(jnp.abs(wx), axis=2) > 0.0)[:, None, :]
@@ -141,54 +141,42 @@ def _over(acc, part):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "march", "mesh", "focal", "n_planes",
+        "mx_bytes", "my_bytes", "march", "mesh", "dz_sign", "n_planes",
         "length_correction", "plane_chunk", "backend", "wrt",
     ),
 )
-def distributed_sweep_render(
+def _sweep_slope_space_call(
     volume: jnp.ndarray,
     origin: jnp.ndarray,
     tf_lut: jnp.ndarray,
-    density=0.05,
-    brightness=1.0,
-    transfer_offset=0.0,
-    transfer_scale=1.0,
+    density,
+    brightness,
+    transfer_offset,
+    transfer_scale,
     *,
-    width: int,
-    height: int,
-    march: MarchConfig = MarchConfig(),
+    mx_bytes: bytes,
+    my_bytes: bytes,
+    march: MarchConfig,
     mesh: Mesh,
-    focal: float = 2.0,
-    n_planes: int = 0,
-    length_correction: bool = True,
-    plane_chunk: int = 8,
-    backend: str = "auto",
-    wrt: tuple = ("volume", "lut", "params"),
+    dz_sign: int,
+    n_planes: int,
+    length_correction: bool,
+    plane_chunk: int,
+    backend: str,
+    wrt: tuple,
 ) -> jnp.ndarray:
-    """Sweep-render with the volume sharded over bricks and rows over rays.
+    """Distributed sweep over an arbitrary uniform slope grid (core).
 
-    ``volume`` is ``(Z, Y, X)`` (use :func:`shard_scalar_volume` to place it);
-    unrotated benchmark camera at ``origin`` looking down -z. Returns
-    ``(H, W, 4)`` float32 RGBA, rows sharded on the rays axis. Matches the
-    single-device ``slice_render_image`` to float32 rounding (ET exact at
-    plane granularity via the two-pass scheme).
-
-    ``backend``: 'pallas' runs BOTH passes on the fused TPU kernel PER
-    DEVICE inside shard_map — possible because the kernel takes its slope
-    grid, plane depths, row window, plane spacing, and accumulator seed as
-    traced data, so ONE compile serves all devices. 'auto' selects
-    'pallas' on a real TPU backend when the shapes allow, else 'xla' (the
-    kernel cannot run on CPU outside the Mosaic interpreter).
-
-    DIFFERENTIABLE on both backends: the pallas passes go through the fused
-    custom VJP (pallas/slice_vjp.py) whose seed cotangent
-    (d seed_a = g_a - S/T_0) backprops pass 2 into the upstream bricks'
-    prefixes; everything else (static-tap pre-blend, halo ppermute,
-    all_gather compositing, psum) transposes under XLA autodiff. ``wrt``
-    statically prunes pallas cotangent paths ("volume"/"lut"/"params") —
-    list only what you train. Gradients match the single-device
-    ``slice_render_image`` VJP (tests/test_dist_sweep.py).
+    The slope grids arrive as raw float32 bytes so they key the jit cache
+    (host numpy, like the single-device sweeps). ``dz_sign`` is the common
+    sign of d_z over the grid — it flips the front-to-back plane order and
+    the sort-last compositing order. See :func:`distributed_sweep_render`
+    for semantics/backends and :func:`distributed_shearwarp_render` for the
+    rotated-camera entry point.
     """
+    mx = np.frombuffer(mx_bytes, dtype=np.float32)
+    my_host = np.frombuffer(my_bytes, dtype=np.float32)
+    width, height = mx.shape[0], my_host.shape[0]
     nz, ny, nx = volume.shape
     if n_planes <= 0:
         n_planes = 2 * nz
@@ -201,12 +189,6 @@ def distributed_sweep_render(
     (xlo, ylo, zlo) = march.box_min
     (xhi, yhi, zhi) = march.box_max
     thr = march.opacity_threshold
-
-    # host grids (slope space; see march/slice.py)
-    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0)
-    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0)
-    mx = (u / (-focal)).astype(np.float32)
-    my_host = (v / (-focal)).astype(np.float32)
 
     # ascending global plane schedule, sharded so device d's planes lie in
     # slab d (plane k of slab d is plane d*Pl + k globally)
@@ -238,7 +220,9 @@ def distributed_sweep_render(
     lf = (
         (np.arange(n_planes // nb, dtype=np.float64) + 0.5)
         * nz / n_planes + 0.5
-    )[::-1]  # front-to-back for dz < 0: descending z
+    )
+    if dz_sign < 0:
+        lf = lf[::-1]  # front-to-back for dz < 0: descending z
     iz0_host = np.floor(lf).astype(np.int32)
     az_host = (lf - np.floor(lf)).astype(np.float32)[:, None, None]
     # low-z boundary quirk: the single-device z pre-blend (march/slice.py:
@@ -248,6 +232,9 @@ def distributed_sweep_render(
     # lf < 1 on device 0 see this (typically one); they are corrected
     # per-device below for bit parity with the unsharded sweep.
     lowz_idx = [int(i) for i in np.nonzero(lf < 1.0)[0]]
+    # n_planes == nz lands planes exactly on layers: pure (reversed) layer
+    # selection, no lerp, no halo taps (mirrors _preblend_planes)
+    pure_select = bool(np.all(az_host < 1e-6)) and not lowz_idx
 
     hl = height // nr
     ppd = n_planes // nb  # planes per device slab
@@ -270,26 +257,33 @@ def distributed_sweep_render(
         origin, tf_lut, density, brightness, toff, tscl,
     ):
         d = jax.lax.axis_index(BRICK_AXIS)
-        padded = _halo_exchange(vol_local, nb)  # (zl + 2, Y, X)
 
         # pre-blend local planes with the host-static two-tap weights (see
         # the derivation above distributed_sweep_render's per_device call);
         # differentiable through XLA's gather transpose (scatter-add into
         # the haloed slab, then the ppermute adjoint returns ghost-layer
         # cotangents to their owners).
-        planes = (
-            padded[jnp.asarray(iz0_host)] * (1.0 - az_host)
-            + padded[jnp.asarray(iz0_host + 1)] * az_host
-        )
-        for i in lowz_idx:  # device 0's index-clamp quirk (see host setup)
-            a = float(az_host[i, 0, 0])
-            corr = (1.0 - a) * padded[1] + a * padded[2]
-            planes = planes.at[i].set(jnp.where(d == 0, corr, planes[i]))
-        zs_ftb = jnp.flip(zs_local, axis=0)  # front-to-back for dz < 0
+        if pure_select:
+            planes = vol_local[jnp.asarray(iz0_host - 1)]  # local frame
+        else:
+            padded = _halo_exchange(vol_local, nb)  # (zl + 2, Y, X)
+            planes = (
+                padded[jnp.asarray(iz0_host)] * (1.0 - az_host)
+                + padded[jnp.asarray(iz0_host + 1)] * az_host
+            )
+            for i in lowz_idx:  # device 0's index-clamp quirk (host setup)
+                a = float(az_host[i, 0, 0])
+                corr = (1.0 - a) * padded[1] + a * padded[2]
+                planes = planes.at[i].set(
+                    jnp.where(d == 0, corr, planes[i])
+                )
+        zs_ftb = (
+            jnp.flip(zs_local, axis=0) if dz_sign < 0 else zs_local
+        )  # front-to-back order
 
         sweep = lambda threshold: _local_sweep(
             planes, zs_ftb, mx, my_local, origin, tf_lut, density,
-            toff, tscl, alpha_local, box, threshold, plane_chunk,
+            toff, tscl, alpha_local, box, threshold, plane_chunk, dz_sign,
         )
         no_cut = jnp.full((hl, width), 2.0, dtype=jnp.float32)
 
@@ -319,7 +313,7 @@ def distributed_sweep_render(
             )
             partial = sweep_preblended_planes_diff(
                 planes, zs_ftb, origin, slopes, tf_lut, density, 1.0,
-                toff, tscl, dz_sign=-1, width=width, height=hl,
+                toff, tscl, dz_sign=dz_sign, width=width, height=hl,
                 march=march, length_correction=length_correction,
                 plane_chunk=plane_chunk, plane_spacing=spacing, wrt=wrt,
             )
@@ -337,7 +331,8 @@ def distributed_sweep_render(
             return partial * brightness
 
         parts = jax.lax.all_gather(partial, BRICK_AXIS, axis=0)  # (nb, Hl, W, 4)
-        ordered = jnp.flip(parts, axis=0)  # device nb-1 is nearest (dz < 0)
+        # dz < 0: device nb-1 (largest z) is nearest the camera
+        ordered = jnp.flip(parts, axis=0) if dz_sign < 0 else parts
 
         acc0 = jnp.zeros_like(partial)
 
@@ -357,7 +352,7 @@ def distributed_sweep_render(
         a_up = prefix_at[..., 3]
 
         # pass 2: re-sweep only the crossing slab
-        my_pos = nb - 1 - d  # ordered index of this device
+        my_pos = (nb - 1 - d) if dz_sign < 0 else d  # ordered device index
         flag = saturating & (j_star == my_pos)
         if use_pallas:
             # resume the sequential recursion mid-flight on the fused kernel:
@@ -372,7 +367,7 @@ def distributed_sweep_render(
             seed_img = jnp.where(flag[..., None], prefix_at, frozen)
             out2 = sweep_preblended_planes_diff(
                 planes, zs_ftb, origin, slopes, tf_lut, density, 1.0,
-                toff, tscl, dz_sign=-1, width=width, height=hl,
+                toff, tscl, dz_sign=dz_sign, width=width, height=hl,
                 march=march, length_correction=length_correction,
                 plane_chunk=plane_chunk, acc_init=seed_img,
                 plane_spacing=spacing, wrt=wrt,
@@ -416,3 +411,226 @@ def distributed_sweep_render(
         jnp.asarray(transfer_scale, jnp.float32),
     )
     return out
+
+
+def distributed_sweep_slope_space(
+    volume: jnp.ndarray,
+    origin,
+    mx: np.ndarray,
+    my: np.ndarray,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    march: MarchConfig = MarchConfig(),
+    mesh: Mesh,
+    dz_sign: int = -1,
+    n_planes: int = 0,
+    length_correction: bool = True,
+    plane_chunk: int = 8,
+    backend: str = "auto",
+    wrt: tuple = ("volume", "lut", "params"),
+) -> jnp.ndarray:
+    """Distributed sweep over HOST numpy slope grids ``mx (W,)`` / ``my (H,)``.
+
+    The distributed twin of ``march/slice.py sweep_slope_space`` — any
+    uniform m-grid, either sweep direction; image rows (the my grid) are
+    sharded on the rays axis, the volume's leading axis on bricks."""
+    mx = np.ascontiguousarray(np.asarray(mx, dtype=np.float32))
+    my = np.ascontiguousarray(np.asarray(my, dtype=np.float32))
+    return _sweep_slope_space_call(
+        volume,
+        jnp.asarray(origin, jnp.float32),
+        jnp.asarray(tf_lut, jnp.float32),
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(brightness, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+        mx_bytes=mx.tobytes(),
+        my_bytes=my.tobytes(),
+        march=march,
+        mesh=mesh,
+        dz_sign=int(dz_sign),
+        n_planes=int(n_planes),
+        length_correction=length_correction,
+        plane_chunk=plane_chunk,
+        backend=backend,
+        wrt=wrt,
+    )
+
+
+def distributed_sweep_render(
+    volume: jnp.ndarray,
+    origin: jnp.ndarray,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    width: int,
+    height: int,
+    march: MarchConfig = MarchConfig(),
+    mesh: Mesh,
+    focal: float = 2.0,
+    n_planes: int = 0,
+    length_correction: bool = True,
+    plane_chunk: int = 8,
+    backend: str = "auto",
+    wrt: tuple = ("volume", "lut", "params"),
+) -> jnp.ndarray:
+    """Sweep-render with the volume sharded over bricks and rows over rays.
+
+    ``volume`` is ``(Z, Y, X)`` (use :func:`shard_scalar_volume` to place it);
+    unrotated benchmark camera at ``origin`` looking down -z. Returns
+    ``(H, W, 4)`` float32 RGBA, rows sharded on the rays axis. Matches the
+    single-device ``slice_render_image`` to float32 rounding (ET exact at
+    plane granularity via the two-pass scheme; bitwise vs the fused kernel
+    on the one-brick mesh). Rotated cameras: use
+    :func:`distributed_shearwarp_render`.
+
+    ``backend``: 'pallas' runs BOTH passes on the fused TPU kernel PER
+    DEVICE inside shard_map — possible because the kernel takes its slope
+    grid, plane depths, row window, plane spacing, and accumulator seed as
+    traced data, so ONE compile serves all devices. 'auto' selects
+    'pallas' on a real TPU backend when the shapes allow, else 'xla' (the
+    kernel cannot run on CPU outside the Mosaic interpreter).
+
+    DIFFERENTIABLE on both backends: the pallas passes go through the fused
+    custom VJP (pallas/slice_vjp.py) whose seed cotangent
+    (d seed_a = g_a - S/T_0) backprops pass 2 into the upstream bricks'
+    prefixes; everything else (static-tap pre-blend, halo ppermute,
+    all_gather compositing, psum) transposes under XLA autodiff. ``wrt``
+    statically prunes pallas cotangent paths ("volume"/"lut"/"params") —
+    list only what you train. Gradients match the single-device
+    ``slice_render_image`` VJP (tests/test_dist_sweep.py).
+    """
+    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0)
+    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0)
+    return distributed_sweep_slope_space(
+        volume, origin, (u / (-focal)), (v / (-focal)), tf_lut,
+        density, brightness, transfer_offset, transfer_scale,
+        march=march, mesh=mesh, dz_sign=-1, n_planes=n_planes,
+        length_correction=length_correction, plane_chunk=plane_chunk,
+        backend=backend, wrt=wrt,
+    )
+
+
+def distributed_shearwarp_render(
+    volume: jnp.ndarray,
+    inv_view: np.ndarray,
+    width: int,
+    height: int,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    march: MarchConfig = MarchConfig(),
+    mesh: Mesh,
+    focal: float = 2.0,
+    n_planes: int = 0,
+    oversample: float = 2.0,
+    length_correction: bool = True,
+    plane_chunk: int = 8,
+    backend: str = "auto",
+    wrt: tuple = ("volume", "lut", "params"),
+) -> jnp.ndarray:
+    """ARBITRARY rotated views on the distributed sweep (shear-warp).
+
+    Composes the shear-warp factorization (march/shearwarp.py) with the
+    distributed slope-space sweep: pick the principal volume axis for the
+    view, permute so it becomes the sweep axis and RE-SHARD the permuted
+    volume over bricks (one all-to-all, amortized across every view in the
+    same principal-axis octant — rotating within an octant re-renders
+    through cached executables and moves no volume data), sweep the bounding
+    m-grid with rows sharded on rays, then warp m-space to pixels (a 2-D
+    bilinear gather on the row-sharded image; XLA inserts the gather
+    collectives). Matches single-device ``shearwarp_render_image`` (the
+    m-grid rows are only EXTENDED to the shard multiple — same spacing, so
+    in-range warp samples see identical values).
+
+    The reference renders arbitrary cameras by re-marching per pixel
+    (volumeRender.cpp:225-246 -> volumeRender_kernel.cu:288-296); this is
+    that capability under the BASELINE bricks+rays sharding contract.
+    """
+    from vrdd_tpu.march.shearwarp import (
+        _bilinear_warp_2d,
+        shearwarp_geometry,
+    )
+    from vrdd_tpu.pallas.slice_kernel import _pad_grid
+
+    inv_view = np.asarray(inv_view, dtype=np.float32)
+    axis, (px, py, pz), slopes, dz_sign, ok = shearwarp_geometry(
+        inv_view, width, height, focal
+    )
+    if not ok:
+        raise ValueError(
+            "shear-warp inapplicable: d_z changes sign across the image; "
+            "use the scan-marcher bricks path (parallel/bricks.py)"
+        )
+    nb = mesh.shape[BRICK_AXIS]
+    nr = mesh.shape[RAY_AXIS]
+
+    # permute so the principal world axis is the sweep/shard axis, then
+    # re-shard the permuted volume over bricks (all-to-all on ICI)
+    volume = jnp.asarray(volume)
+    vol_perm = jnp.transpose(volume, (2 - pz, 2 - py, 2 - px))
+    if vol_perm.shape[0] % nb:
+        raise ValueError(
+            f"principal axis extent {vol_perm.shape[0]} must divide over "
+            f"{nb} bricks"
+        )
+    vol_perm = jax.device_put(
+        vol_perm, NamedSharding(mesh, P(BRICK_AXIS, None, None))
+    )
+    origin_w = inv_view[:, 3]
+    origin_p = np.array(
+        [origin_w[px], origin_w[py], origin_w[pz]], dtype=np.float32
+    )
+    bmin = np.asarray(march.box_min, dtype=np.float32)
+    bmax = np.asarray(march.box_max, dtype=np.float32)
+    march_p = MarchConfig(
+        max_steps=march.max_steps, tstep=march.tstep,
+        opacity_threshold=march.opacity_threshold,
+        box_min=(float(bmin[px]), float(bmin[py]), float(bmin[pz])),
+        box_max=(float(bmax[px]), float(bmax[py]), float(bmax[pz])),
+    )
+
+    # bounding m-grid (march/shearwarp.py construction), rows extended to
+    # the shard multiple (and the kernel tiling when the fused path is on)
+    wi = max(8, int(np.ceil(width * oversample)))
+    hi = max(8, int(np.ceil(height * oversample)))
+    want_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if want_pallas:
+        wi = -(-wi // 128) * 128
+        row_mult = nr * STRIP
+    else:
+        row_mult = nr
+    mx_all, my_all = slopes[..., 0], slopes[..., 1]
+    mx_lo, mx_hi = float(mx_all.min()), float(mx_all.max())
+    my_lo, my_hi = float(my_all.min()), float(my_all.max())
+    mx_pad = max(1e-6, (mx_hi - mx_lo) / wi)
+    my_pad = max(1e-6, (my_hi - my_lo) / hi)
+    mx = np.linspace(mx_lo - mx_pad, mx_hi + mx_pad, wi, dtype=np.float32)
+    my = np.linspace(my_lo - my_pad, my_hi + my_pad, hi, dtype=np.float32)
+    my = _pad_grid(my, row_mult)
+
+    img_m = distributed_sweep_slope_space(
+        vol_perm, origin_p, mx, my, tf_lut, density, brightness,
+        transfer_offset, transfer_scale, march=march_p, mesh=mesh,
+        dz_sign=dz_sign, n_planes=n_planes,
+        length_correction=length_correction, plane_chunk=plane_chunk,
+        backend=backend, wrt=wrt,
+    )
+
+    # final homography warp m-space -> pixels (static fractional indices);
+    # spacing-based iy so the row extension never shifts in-range samples
+    ix = (mx_all - mx[0]) / (mx[-1] - mx[0]) * (wi - 1)
+    iy = (my_all - my[0]) / (my[1] - my[0])
+    return _bilinear_warp_2d(img_m, ix, iy)
