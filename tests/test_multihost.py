@@ -1,4 +1,13 @@
-"""Real 2-process distributed rendering test (CPU, local TCP coordinator)."""
+"""Real 2-process distributed rendering test (CPU, local TCP coordinator).
+
+Each worker process owns 4 virtual CPU devices; the (bricks=4, rays=2) mesh
+spans both processes with the BRICKS axis crossing the process boundary
+(asserted structurally inside the worker), so the halo ``ppermute``, the
+sort-last ``all_gather``, and the gradient transposes all ride the
+inter-process transport. The worker renders with both distributed paths and
+differentiates through the sweep; this test compares everything against
+single-process single-device references.
+"""
 
 import os
 import socket
@@ -20,7 +29,7 @@ def _free_port() -> int:
 
 def test_two_process_distributed_render(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-    out = str(tmp_path / "img.npy")
+    out = str(tmp_path / "result.npz")
     coord = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
@@ -39,7 +48,7 @@ def test_two_process_distributed_render(tmp_path):
     outputs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=240)
+            stdout, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -50,14 +59,17 @@ def test_two_process_distributed_render(tmp_path):
 
     got = np.load(out)
 
-    # single-host reference
     from vrdd_tpu.core.geometry import default_benchmark_inv_view
     from vrdd_tpu.core.transfer import default_transfer_function
     from vrdd_tpu.io.synthetic import gaussian_blob_volume
     from vrdd_tpu.march.scan import render_image
+    from vrdd_tpu.march.slice import slice_render_image
     from vrdd_tpu.models.renderer import stats_sample_fn
     from vrdd_tpu.utils.config import MarchConfig
 
+    march = MarchConfig(max_steps=50, tstep=0.05)
+
+    # scan-marcher bricks path vs the single-device ray marcher
     vol = gaussian_blob_volume((8, 8, 8), seed=11)
     stats = np.stack([vol, vol * 0.5, 1.0 - vol], axis=-1).astype(np.float32)
     want = np.asarray(
@@ -67,7 +79,35 @@ def test_two_process_distributed_render(tmp_path):
             16, 16,
             jnp.asarray(default_transfer_function()),
             0.1, 1.0, 0.0, 1.0,
-            MarchConfig(max_steps=50, tstep=0.05),
+            march,
         )
     )
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got["scan"], want, rtol=1e-4, atol=1e-5)
+
+    # distributed sweep + gradients vs the single-device slice sweep's VJP
+    # (cross-process halo taps in the pre-blend, ghost-layer cotangent
+    # scatter-back, and the mesh-wide LUT-gradient psum all in the loop)
+    import jax
+
+    tf = jnp.asarray(default_transfer_function())
+    vol2 = jnp.asarray(gaussian_blob_volume((8, 16, 16), seed=7))
+    origin = jnp.asarray([0.0, 0.0, 4.0], dtype=jnp.float32)
+
+    def ref_loss(v, lut):
+        out = slice_render_image(
+            v, origin, 16, 16, lut, 0.3, 1.0, 0.0, 1.0, march, n_planes=16
+        )
+        return jnp.mean((out - 0.25) ** 2), out
+
+    (loss_w, img_w), (gv_w, gl_w) = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True
+    )(vol2, tf)
+
+    np.testing.assert_allclose(got["sweep"], np.asarray(img_w),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(got["loss"]), float(loss_w),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(got["g_vol"], np.asarray(gv_w),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got["g_lut"], np.asarray(gl_w),
+                               rtol=1e-4, atol=1e-6)

@@ -103,6 +103,16 @@ def test_empty_space_skip_exact():
         assert np.quantile(diff, 0.999) < 1e-4
     assert ess.max() > 0  # the blob still renders
 
+    # cached plane stats (the per-volume pass hoisted out of the frame):
+    # bitwise-identical to the inline-computed bitmap render
+    from vrdd_tpu.pallas.slice_kernel import precompute_ess_stats
+
+    stats = precompute_ess_stats(vol, n_planes=kw["n_planes"])
+    with pltpu.force_tpu_interpret_mode():
+        cached = np.asarray(pallas_slice_render(
+            vol, o, tf, **kw, empty_space_skip=True, ess_stats=stats))
+    np.testing.assert_array_equal(cached, ess)
+
 
 def test_pallas_banded_tall_image(monkeypatch):
     """Images taller than the resident-accumulator budget split into row

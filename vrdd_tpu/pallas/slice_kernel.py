@@ -291,8 +291,50 @@ def _shrinking_footprint(params_ref, box_min, box_max, dz_sign):
     )
 
 
+# block grid for the ESS plane statistics (an 8x8 grid of blocks per plane)
+_ESS_YB = _ESS_XB = 8
+
+
+def ess_plane_stats(planes_all: jnp.ndarray):
+    """Per-PLANE block min/max of a plane stack: 2 x (n_planes, 8, 8).
+
+    The expensive part of the ESS bitmap (one full pass over the volume,
+    ~6 ms at 512^3). Depends only on the pre-blended stack — NOT on the
+    camera, TF, or chunking — so callers rendering the same volume many
+    times (the interactive viewer, a fitting loop) compute it once and pass
+    it as ``ess_stats``; the per-view bitmap from cached stats costs ~nothing
+    (see _ess_bitmap)."""
+    n_planes, NY, NX = planes_all.shape
+    by = -(-NY // _ESS_YB)
+    bx = -(-NX // _ESS_XB)
+    p = jnp.pad(
+        planes_all,
+        ((0, 0), (0, _ESS_YB * by - NY), (0, _ESS_XB * bx - NX)),
+        mode="edge",
+    )
+    p = p.reshape(n_planes, _ESS_YB, by, _ESS_XB, bx)
+    return p.min(axis=(2, 4)), p.max(axis=(2, 4))
+
+
+@functools.partial(jax.jit, static_argnames=("n_planes", "march", "dz_sign",
+                                             "tex_offset", "z_scale"))
+def precompute_ess_stats(volume, *, n_planes=0, march=MarchConfig(),
+                         dz_sign=-1, tex_offset=0.5, z_scale=1.0):
+    """Pre-blend ``volume`` exactly as the sweep will and return the cached
+    ESS plane statistics for it. Key your cache on (volume identity,
+    n_planes, dz_sign): the stats are camera- and TF-independent."""
+    if n_planes <= 0:
+        n_planes = 2 * volume.shape[0]
+    planes_all, _ = _preblend_planes(
+        jnp.asarray(volume), n_planes, march.box_min, march.box_max,
+        dz_sign, tex_offset, z_scale=z_scale,
+    )
+    return ess_plane_stats(planes_all)
+
+
 def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
-                slopes, box_min, box_max, H, W, pchunk, tex_offset):
+                slopes, box_min, box_max, H, W, pchunk, tex_offset,
+                plane_stats=None):
     """Empty-space-skipping bitmaps: (n_strips, n_chunks) int32, bit t set
     iff x-tile t of the strip can contribute during the chunk.
 
@@ -308,6 +350,10 @@ def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
     has zero slope). It is NOT valid for alpha-LUT / density / TF-offset /
     TF-scale cotangents (raising a LUT alpha entry would make empty samples
     visible), so the diff path only applies it for wrt=('volume',).
+
+    ``plane_stats``: optional cached (pmin, pmax) from
+    :func:`ess_plane_stats` — skips the volume pass, leaving only cheap
+    (strips x tiles x chunks)-sized interval math per view.
     """
     n_planes, NY, NX = planes_all.shape
     n_chunks = n_planes // pchunk
@@ -320,15 +366,15 @@ def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
     ox, oy, oz = origin[0], origin[1], origin[2]
     n_lut = tf_lut.shape[0]
 
-    # per-(chunk, block) min/max of the plane stack (edge-pad to block grid)
-    YB = XB = 8
+    # per-(chunk, block) min/max of the plane stack
+    YB, XB = _ESS_YB, _ESS_XB
     by = -(-NY // YB)
     bx = -(-NX // XB)
-    p = jnp.pad(planes_all, ((0, 0), (0, YB * by - NY), (0, XB * bx - NX)),
-                mode="edge")
-    p = p.reshape(n_chunks, pchunk, YB, by, XB, bx)
-    bmin = p.min(axis=(1, 3, 5))  # (n_chunks, YB, XB)
-    bmax = p.max(axis=(1, 3, 5))
+    if plane_stats is None:
+        plane_stats = ess_plane_stats(planes_all)
+    pmin, pmax = plane_stats
+    bmin = pmin.reshape(n_chunks, pchunk, YB, XB).min(axis=1)
+    bmax = pmax.reshape(n_chunks, pchunk, YB, XB).max(axis=1)
 
     # world-coordinate ranges: affine in (z, m) => extremes at the 4 corners
     zc = jnp.asarray(zs).reshape(n_chunks, pchunk)
@@ -780,8 +826,8 @@ def _pixel_slopes(width: int, height: int, focal: float):
 )
 def _sweep_call(
     volume, origin, slopes, tf_lut, density, brightness, transfer_offset,
-    transfer_scale, *, dz_sign, width, height, march, n_planes,
-    length_correction, precision, plane_chunk, tex_offset=0.5,
+    transfer_scale, ess_stats=None, *, dz_sign, width, height, march,
+    n_planes, length_correction, precision, plane_chunk, tex_offset=0.5,
     empty_space_skip=False, axis_scale=(1.0, 1.0, 1.0),
 ):
     nz, ny, nx = volume.shape
@@ -798,6 +844,7 @@ def _sweep_call(
         length_correction=length_correction, precision=precision,
         plane_chunk=pchunk, tex_offset=tex_offset,
         empty_space_skip=empty_space_skip, axis_scale=axis_scale[:2],
+        ess_stats=ess_stats,
     )
 
 
@@ -807,6 +854,7 @@ def sweep_preblended_planes(
     march: MarchConfig = MarchConfig(), length_correction=True,
     precision="f32", plane_chunk=8, tex_offset=0.5, empty_space_skip=False,
     acc_init=None, plane_spacing=None, axis_scale=(1.0, 1.0),
+    ess_stats=None,
 ):
     """Fused sweep over an ALREADY pre-blended, front-to-back plane stack.
 
@@ -870,7 +918,7 @@ def sweep_preblended_planes(
             jnp.asarray(transfer_offset, jnp.float32),
             jnp.asarray(transfer_scale, jnp.float32),
             slopes, march.box_min, march.box_max, height, width, pchunk,
-            tex_offset,
+            tex_offset, plane_stats=ess_stats,
         ))
     if seed:
         args.append(
@@ -915,6 +963,7 @@ def pallas_sweep_slope_space(
     tex_offset: float = 0.5,
     empty_space_skip: bool = False,
     axis_scale=(1.0, 1.0, 1.0),
+    ess_stats=None,
 ) -> jnp.ndarray:
     """Fused plane sweep over a UNIFORM ray-slope grid: (Hm, Wm, 4) RGBA.
 
@@ -947,7 +996,7 @@ def pallas_sweep_slope_space(
             volume, origin,
             jnp.asarray([mx0, dmx, my0 + dmy * row0, dmy], jnp.float32),
             tf_lut, density, brightness, transfer_offset,
-            transfer_scale, dz_sign=int(dz_sign),
+            transfer_scale, ess_stats, dz_sign=int(dz_sign),
             width=W, height=h,
             march=march, n_planes=n_planes,
             length_correction=length_correction,
@@ -979,13 +1028,16 @@ def pallas_slice_render(
     tex_offset: float = 0.5,
     empty_space_skip: bool = False,
     axis_scale=(1.0, 1.0, 1.0),
+    ess_stats=None,
 ) -> jnp.ndarray:
     """Fused forward render; same semantics as slice_render_image.
 
     ``empty_space_skip``: exact TF-interval tile culling (see _ess_bitmap).
     Opt-in: the bitmap costs a block-min/max pass over the plane stack
     (~6 ms at 512^3), which pays off for sparse volumes under windowed TFs
-    (zero-alpha bands) but is pure overhead on dense ramp TFs.
+    (zero-alpha bands) but is pure overhead on dense ramp TFs. Rendering the
+    same volume repeatedly: pass ``ess_stats = precompute_ess_stats(volume,
+    ...)`` to hoist that pass out of the per-frame cost entirely.
     """
     volume = jnp.asarray(volume)
     if n_planes <= 0:
@@ -997,4 +1049,5 @@ def pallas_slice_render(
         n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
         empty_space_skip=empty_space_skip, axis_scale=axis_scale,
+        ess_stats=ess_stats,
     )
