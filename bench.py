@@ -35,6 +35,104 @@ from vrdd_tpu.pallas.slice_vjp import (
 
 REFERENCE_MTEXELS_PER_S = 60.0 * 512 * 512 / 1e6  # 15.73, presentation.pdf
 
+# Nominal single-chip peaks for the roofline denominators (TPU v5e / "v5
+# lite": 197 TFLOP/s bf16 matmul, ~819 GB/s HBM, VPU = 8x128 lanes x FMA x
+# ~1.74 GHz ~= 3.6 Top/s f32). Published/derived figures; used only to
+# report "fraction of speed-of-light", never for correctness.
+#
+# MEASURED on this hardware (see VERDICT item 7 experiments): Mosaic's
+# default "f32" matmul multiplies in bf16 with f32 accumulation — casting
+# the resample operands to bf16 explicitly is bitwise a no-op and exactly
+# as fast — so the MXU denominator is the bf16 peak, and `precision='bf16'`
+# only matters off-hardware (interpret mode rounds f32 matmuls for real).
+PEAK_MXU_TFLOPS = 197.0
+PEAK_HBM_GBPS = 819.0
+PEAK_VPU_TOPS = 3.6
+
+
+def roofline(n, W, n_planes, n_lut, dt_fwd, dt_fb, pchunk_bwd=4):
+    """Analytic per-plane bytes / MXU flops / VPU ops for the fused sweep —
+    no-culling upper bounds against measured times. H = W = image edge;
+    NY = NX = n; S = H*W samples per plane.
+
+    FORWARD, per plane (slice_kernel.py kernel body):
+      HBM : plane stream in, NY*NX*4 B (accumulator + x-weight cache are
+            VMEM-resident and flushed once).
+      MXU : y-resample (H, NY) @ (NY, NX) + x-resample (H, NX) @ (NX, W)
+            = 2*H*NY*NX + 2*H*W*NX flops.
+      VPU : per sample, relu-basis TF = 6 ops/interior knot (relu + 4-chan
+            FMA) + ~8 setup, compositing/masks ~16, tent-weight builds
+            amortize to ~10 -> ~6*(n_lut-2) + 34 ops.
+
+    BACKWARD, per plane (slice_vjp.py; pchunk_bwd chunking): the replay
+    re-runs both resamples and the reverse adds the two transposes
+    (d_res @ Wx, Wy^T @ d_tmp) -> 2x forward MXU flops; HBM re-reads the
+    plane, writes the plane cotangent, and streams the chunk-start T
+    checkpoints (H*W*4/pchunk in fwd, read back in bwd); VPU = alpha-only
+    replay TF (3/knot) + g-contracted gc3 (2/knot) + tent LUT-grad
+    (6/knot) + dq slope (4/knot) + ~45 fixed -> ~15*(n_lut-2) + 45.
+
+    Measured anchors at 512^3 -> 1024^2 (n_lut sweep, 2026-08): each TF
+    knot costs ~0.6 ms in the forward and ~2.4 ms across the whole fwd+bwd
+    — i.e. the per-knot VPU blocks run at ~2.8 Top/s, ~80% of the nominal
+    VPU peak: the kernel is VPU-bound at speed-of-light within ~20%, and
+    the MXU/HBM terms are minor (see fractions below). Culling (footprint,
+    tile ET, ESS) only REDUCES real work, so achieved fractions are lower
+    bounds on kernel efficiency.
+    """
+    H = W
+    NY = NX = n
+    S = H * W
+    fwd_mxu = n_planes * (2 * H * NY * NX + 2 * H * W * NX)
+    fwd_hbm = n_planes * NY * NX * 4 + 2 * H * W * 4 * 4
+    fwd_vpu = n_planes * S * (6 * (n_lut - 2) + 34)
+    bwd_mxu = 2 * fwd_mxu
+    bwd_hbm = (
+        n_planes * 2 * NY * NX * 4
+        + 2 * (n_planes // pchunk_bwd) * H * W * 4
+    )
+    bwd_vpu = n_planes * S * (15 * (n_lut - 2) + 45)
+    fb_mxu, fb_hbm, fb_vpu = (
+        fwd_mxu + bwd_mxu, fwd_hbm + bwd_hbm, fwd_vpu + bwd_vpu
+    )
+
+    def bounds(mxu, hbm, vpu, dt):
+        t_mxu = mxu / (PEAK_MXU_TFLOPS * 1e12)
+        t_hbm = hbm / (PEAK_HBM_GBPS * 1e9)
+        t_vpu = vpu / (PEAK_VPU_TOPS * 1e12)
+        sol = t_mxu + t_hbm + t_vpu  # additive bound: VPU-dominated regime
+        return t_mxu, t_hbm, t_vpu, sol / dt
+
+    fm, fh, fv, ffrac = bounds(fwd_mxu, fwd_hbm, fwd_vpu, dt_fwd)
+    bm, bh, bv, bfrac = bounds(fb_mxu, fb_hbm, fb_vpu, dt_fb)
+    out = {
+        "roofline_fwd_mxu_gflop": fwd_mxu / 1e9,
+        "roofline_fwd_hbm_gb": fwd_hbm / 1e9,
+        "roofline_fwd_vpu_gop": fwd_vpu / 1e9,
+        "roofline_fwdbwd_mxu_gflop": fb_mxu / 1e9,
+        "roofline_fwdbwd_hbm_gb": fb_hbm / 1e9,
+        "roofline_fwdbwd_vpu_gop": fb_vpu / 1e9,
+        "roofline_fwd_sol_frac": ffrac,
+        "roofline_fwdbwd_sol_frac": bfrac,
+    }
+    print(
+        f"roofline (no-culling bounds; MXU {PEAK_MXU_TFLOPS:.0f} TFLOP/s "
+        f"bf16-rate [measured: default f32 matmul IS bf16-multiply], "
+        f"HBM {PEAK_HBM_GBPS:.0f} GB/s, VPU ~{PEAK_VPU_TOPS:.1f} Top/s):\n"
+        f"  fwd    : MXU {fwd_mxu / 1e9:6.0f} GF ({fm * 1e3:4.1f} ms) + "
+        f"HBM {fwd_hbm / 1e9:5.2f} GB ({fh * 1e3:4.1f} ms) + "
+        f"VPU {fwd_vpu / 1e9:6.0f} Gop ({fv * 1e3:5.1f} ms) -> bound "
+        f"{(fm + fh + fv) * 1e3:5.1f} ms vs measured {dt_fwd * 1e3:5.1f} ms "
+        f"= {100 * ffrac:.0f}% of speed-of-light\n"
+        f"  fwd+bwd: MXU {fb_mxu / 1e9:6.0f} GF ({bm * 1e3:4.1f} ms) + "
+        f"HBM {fb_hbm / 1e9:5.2f} GB ({bh * 1e3:4.1f} ms) + "
+        f"VPU {fb_vpu / 1e9:6.0f} Gop ({bv * 1e3:5.1f} ms) -> bound "
+        f"{(bm + bh + bv) * 1e3:5.1f} ms vs measured {dt_fb * 1e3:5.1f} ms "
+        f"= {100 * bfrac:.0f}% of speed-of-light",
+        file=sys.stderr,
+    )
+    return out
+
 
 def blob_volume(n: int, seed: int = 0) -> np.ndarray:
     """Memory-light float32 sum-of-gaussians volume (n, n, n)."""
@@ -72,6 +170,9 @@ def main() -> None:
     p.add_argument("--size", type=int, default=512, help="volume edge")
     p.add_argument("--image", type=int, default=1024, help="image edge")
     p.add_argument("--iters", type=int, default=4, help="amortized inner iterations")
+    p.add_argument("--full", action="store_true",
+                   help="also time bf16-resample and ESS-windowed-TF "
+                        "variants (extra compiles)")
     args = p.parse_args()
 
     n, W, K = args.size, args.image, args.iters
@@ -199,7 +300,67 @@ def main() -> None:
     }
     if dist is not None:
         out.update({k: round(v, 3) for k, v in dist.items()})
+        # the roofline's forward is the unsharded (W, W) fused kernel the
+        # distributed section already timed
+        out.update({
+            k: round(v, 4) for k, v in roofline(
+                n, W, n, int(tf.shape[0]),
+                dist["unsharded_fwd_ms"] / 1e3, dt_fb,
+            ).items()
+        })
+    if args.full:
+        out.update(bench_variants(n, W, K, vol, tf, origin, use_pallas_diff))
     print(json.dumps(out))
+
+
+def bench_variants(n, W, K, vol, tf, origin, use_pallas_diff):
+    """--full extras: ESS under a windowed TF (sparse volume, cached plane
+    stats). TPU-only. (An explicit bf16-resample variant was benchmarked and
+    retired: on this hardware Mosaic's default f32 matmul already multiplies
+    in bf16 — the cast is bitwise and time-wise a no-op; see roofline().)"""
+    if jax.default_backend() != "tpu" or not use_pallas_diff:
+        return {}
+    from vrdd_tpu.pallas.slice_kernel import precompute_ess_stats
+
+    out = {}
+
+    def fwd_fn(prec, ess=False, stats=None):
+        @jax.jit
+        def f(v, lut, o):
+            def it(i, acc):
+                img = pallas_slice_render(
+                    v * (1.0 + 1e-6 * i), o, lut, width=W, height=W,
+                    n_planes=n, precision=prec, empty_space_skip=ess,
+                    ess_stats=stats,
+                )
+                return acc + jnp.sum(img)
+            return jax.lax.fori_loop(0, K, it, 0.0)
+        return f
+
+    # ESS: sparse volume + windowed TF (zero-alpha band); cached plane stats
+    sparse = np.zeros((n, n, n), dtype=np.float32)
+    q = n // 4
+    sparse[q:2 * q, q:3 * q, q:3 * q] = np.asarray(
+        blob_volume(n, seed=3)
+    )[q:2 * q, q:3 * q, q:3 * q] + 0.6
+    sparse = jnp.asarray(np.clip(sparse, 0.0, 1.0))
+    lutw = np.zeros((9, 4), dtype=np.float32)
+    lutw[:, 0] = np.linspace(0.0, 1.0, 9)
+    lutw[6:, 3] = [0.3, 0.7, 1.0]  # alpha only above ~0.6
+    lutw = jnp.asarray(lutw)
+    stats = jax.block_until_ready(precompute_ess_stats(sparse, n_planes=n))
+
+    dt_plain, _ = time_amortized(fwd_fn("f32"), sparse, lutw, origin, iters=K)
+    dt_ess, _ = time_amortized(
+        fwd_fn("f32", ess=True, stats=stats), sparse, lutw, origin, iters=K
+    )
+    out["ess_windowed_plain_ms"] = round(dt_plain * 1e3, 3)
+    out["ess_windowed_cached_ms"] = round(dt_ess * 1e3, 3)
+    print(
+        f"ESS windowed-TF sparse {n}^3: plain {dt_plain * 1e3:.2f} ms vs "
+        f"ESS(cached stats) {dt_ess * 1e3:.2f} ms "
+        f"({dt_plain / dt_ess:.2f}x)", file=sys.stderr)
+    return out
 
 
 def decode_config_gaussian(n, W, K, tf, origin):

@@ -60,7 +60,15 @@ march/slice.py.
 
 ``precision='bf16'`` casts the resample matmul operands to bfloat16 (f32
 accumulation) — comparable to the reference GPU's 9-bit texture-filter
-weights; default 'f32' is bit-faithful to the XLA slice path.
+weights; default 'f32' is bit-faithful to the XLA slice path. MEASURED
+(v5e, 2026-08): on hardware the cast is bitwise AND time-wise a no-op —
+Mosaic's default f32 matmul already multiplies in bf16 with f32
+accumulation (f32->bf16->HW-multiply == f32->HW-multiply, identical
+truncation — the same default XLA matmul precision the non-Pallas paths
+see, cf. _preblend_planes' bf16-rounding note).
+The flag therefore only changes results off-hardware (interpret mode
+computes f32 matmuls for real); the roofline MXU denominator is the bf16
+peak (see bench.py roofline()).
 """
 
 from __future__ import annotations

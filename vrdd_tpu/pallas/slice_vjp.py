@@ -280,18 +280,25 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 def _add(acc, v):
                     return v if acc is None else acc + v
 
-                # the image cotangent g is plane-invariant, so the rgb LUT
-                # cotangents factor: cg[li, c] = g_c * sum_planes wl*mT*a —
-                # ONE weight accumulation per (plane, li) instead of three,
-                # expanded rank-1 once per tile (after the plane loop). The
-                # slope dot in dq factors the same way through G[li].
-                if need_dres:
-                    G = [
-                        g0 * coef_ref[0, (1 + li) * 4 + 0]
-                        + g1 * coef_ref[0, (1 + li) * 4 + 1]
-                        + g2 * coef_ref[0, (1 + li) * 4 + 2]
-                        for li in range(0, n_lut - 1)
-                    ]
+                # the image cotangent g is plane-invariant, so EVERY rgb
+                # quantity factors through G[li] = g . c_li and B = g . base:
+                # - LUT cotangents: cg[li, c] = g_c * sum_planes wl*mT*a —
+                #   ONE weight accumulation per (plane, li) instead of three,
+                #   expanded rank-1 once per tile (after the plane loop);
+                # - the slope dot in dq uses G[li] directly;
+                # - g . col_rgb(q) = B + sum_l G[l] relu(q - l), so the
+                #   reverse loop never evaluates the rgb TF at all (one FMA
+                #   per knot instead of one relu + three FMAs).
+                G = [
+                    g0 * coef_ref[0, (1 + li) * 4 + 0]
+                    + g1 * coef_ref[0, (1 + li) * 4 + 1]
+                    + g2 * coef_ref[0, (1 + li) * 4 + 2]
+                    for li in range(0, n_lut - 1)
+                ]
+                B = (
+                    g0 * coef_ref[0, 0] + g1 * coef_ref[0, 1]
+                    + g2 * coef_ref[0, 2]
+                )
 
                 for i in reversed(range(pchunk)):
                     z = zs_ref[0, kk * pchunk + i]
@@ -308,17 +315,22 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                     ).astype(jnp.float32)
                     covered = inbox_x[None, :] * inbox_y[:, None] * in_front
                     res = resloc_ref[i, :, sl]  # cached by the replay pass
-                    q, cols = _tf_relu_forward(res, coef_ref, n_lut, tf_off,
-                                               tf_scale, channels=(0, 1, 2))
-                    cols[3] = caloc_ref[i, :, sl]
-                    raw = cols[3] * abd  # forward's exact alpha expression
+                    q = jnp.clip(
+                        (res - tf_off) * tf_scale * n_lut - 0.5,
+                        0.0, n_lut - 1.0,
+                    )  # _tf_relu_forward's exact q
+                    col_a = caloc_ref[i, :, sl]
+                    raw = col_a * abd  # forward's exact alpha expression
                     a = jnp.minimum(raw, 1.0) * covered
                     T = tloc_ref[i, :, sl]  # prefix transmittance BEFORE this plane
                     m = (T >= 1.0 - threshold).astype(jnp.float32)
                     mT = m * T
 
-                    # composited-chain cotangents; S = sum_{j>k} P_j so far
-                    gc3 = g0 * cols[0] + g1 * cols[1] + g2 * cols[2]
+                    # composited-chain cotangents; S = sum_{j>k} P_j so far.
+                    # gc3 = g . col_rgb via the g-contracted relu basis.
+                    gc3 = B + G[0] * q
+                    for li in range(1, n_lut - 1):
+                        gc3 = gc3 + G[li] * jnp.maximum(q - li, 0.0)
                     gdotc = (gc3 + g3) * a
                     one_minus_a = 1.0 - a
                     chain = jnp.where(
@@ -336,7 +348,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                     d_open = d_a * openm
                     d_col_a = d_open * abd  # d raw / d col_a
                     if g_par:
-                        dens_acc = _add(dens_acc, d_open * cols[3] * ab)
+                        dens_acc = _add(dens_acc, d_open * col_a * ab)
 
                     # transpose through the TF: LUT cotangent in the TENT
                     # basis (well-conditioned: localized weights, no
