@@ -127,7 +127,7 @@ def test_pallas_banded_tall_image(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         full = np.asarray(pallas_slice_render(
             vol, o, tf, width=128, height=256, n_planes=16, density=0.4))
-        monkeypatch.setattr(sk, "_max_band_rows", lambda w: sk.STRIP)
+        monkeypatch.setattr(sk, "_max_band_rows", lambda w, n=9: sk.STRIP)
         banded = np.asarray(pallas_slice_render(
             vol, o, tf, width=128, height=256, n_planes=16, density=0.4))
     assert banded.shape == (256, 128, 4)

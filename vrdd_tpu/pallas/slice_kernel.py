@@ -100,16 +100,23 @@ _VMEM_PLANE_LIMIT = 4 * 1024 * 1024
 # resident accumulator and scratch
 _VMEM_PLANE_BLOCK_BUDGET = 32 * 1024 * 1024
 # the resident accumulator block is (n_strips, n_rows, STRIP, W) =
-# n_rows * H * W * 4 bytes (n_rows = 5 on the checkpointing forward). The
-# plain forward BANDS taller images into separate sweeps (one executable —
-# the band's my0 is a traced param); the diff path falls back to the XLA VJP
-# beyond this (pallas_diff_supported).
-_VMEM_ACC_BUDGET = 40 * 1024 * 1024
+# n_rows * H * W * 4 bytes (n_rows = max(4, n_lut) factorized rows, +1 for
+# the checkpointing forward's T row — 10 at the reference's 9-entry LUT).
+# The plain forward BANDS taller images into separate sweeps (one
+# executable — the band's my0 is a traced param); the diff path falls back
+# to the XLA VJP beyond this (pallas_diff_supported).
+_VMEM_ACC_BUDGET = 48 * 1024 * 1024
 
 
-def _max_band_rows(width: int) -> int:
-    """Largest STRIP-multiple row count whose 5-row accumulator block fits."""
-    rows = _VMEM_ACC_BUDGET // (5 * 4 * max(width, 1))
+def acc_rows(n_lut: int, emit_ckpt: bool) -> int:
+    """Accumulator rows of the factorized state [A, R_0..R_{n_lut-2}] (+T):
+    at least 4 so the in-place RGBA expansion always has room."""
+    return max(4, n_lut) + (1 if emit_ckpt else 0)
+
+
+def _max_band_rows(width: int, n_lut: int = 9) -> int:
+    """Largest STRIP-multiple row count whose accumulator block fits."""
+    rows = _VMEM_ACC_BUDGET // (acc_rows(n_lut, False) * 4 * max(width, 1))
     return max(STRIP, (rows // STRIP) * STRIP)
 
 
@@ -466,13 +473,30 @@ def _make_kernel(
     the re-sweep costs only the crossing tiles. Mutually exclusive with
     ``emit_ckpt``.
 
-    ``emit_ckpt``: additionally track per-ray transmittance in a 5th
+    ``emit_ckpt``: additionally track per-ray transmittance in a trailing
     accumulator row (the backward pass's own T recursion, bit-identical to
     what the backward replays) and stream ONE T-at-chunk-start checkpoint per
     (strip, chunk) to a second output — the backward replays the within-chunk
     recursion from it, so it runs a SINGLE reverse sweep with exact prefix
     transmittance and suffix sums at 1/pchunk the per-plane checkpoint HBM
     traffic (see slice_vjp.py).
+
+    FACTORIZED rgb ACCUMULATION (v6): compositing is linear in the rgb
+    colors, and the relu-basis TF is linear in its per-knot features, so
+
+        acc_c = sum_p col_c(q_p) at_p
+              = base_c * A + sum_l c_{l,c} * R_l,
+        A = sum_p at_p (== acc alpha),  R_l = sum_p relu(q_p - l) at_p
+
+    — the per-plane loop therefore evaluates ONLY the alpha channel of the
+    TF and accumulates the channel-independent R_l (one FMA per knot,
+    reusing the relu features the alpha evaluation needs), and the rgb
+    colors never materialize: 4 VPU ops per knot per sample instead of 6.
+    The accumulator rows become [A, R_0..R_{n_lut-2}] (+T) and the last
+    chunk expands them in place to premultiplied RGBA (exact algebra — the
+    only float change vs the per-plane rgb form is reassociation of the
+    per-plane sums into per-knot sums). A seeded sweep adds seed_rgb during
+    the expansion (the recursion is additive in the seed).
 
     Grid is (n_chunks, n_strips) CHUNK-MAJOR: the accumulator is ONE
     (n_strips, n_rows, STRIP, W) output block with a CONSTANT index map, so
@@ -500,7 +524,12 @@ def _make_kernel(
     xt = _xtile(W)
     n_xt = W // xt
 
-    n_rows = 5 if emit_ckpt else 4
+    # rows: [0] = A (accumulated alpha), [1..n_lut-1] = R_0..R_{n_lut-2},
+    # [-1] = T when checkpointing; at least 4 so the final in-place RGBA
+    # expansion always has room
+    n_state = max(4, n_lut)
+    n_rows = n_state + 1 if emit_ckpt else n_state
+    t_row = n_rows - 1  # only meaningful when emit_ckpt
 
     def kernel(params_ref, zs_ref, coef_ref, planes_ref, *rest):
         if ess:
@@ -544,19 +573,18 @@ def _make_kernel(
 
         @pl.when(k == 0)
         def _init_acc():
+            out_ref[si] = jnp.zeros((n_rows, STRIP, W), dtype=jnp.float32)
             if seed:
-                out_ref[si, 0:4] = seed_ref[...]
+                # only the seed ALPHA enters the recursion (row 0 = A);
+                # seed rgb is added during the final expansion (additive)
+                out_ref[si, 0] = seed_ref[3]
                 if emit_ckpt:
                     # the backward's transmittance recursion starts from the
                     # seed: T_0 = 1 - seed alpha (frozen seeds give T_0 <= 0,
                     # below the cutoff, so every plane's freeze mask is 0)
-                    out_ref[si, 4] = 1.0 - seed_ref[3]
-            else:
-                out_ref[si] = jnp.zeros(
-                    (n_rows, STRIP, W), dtype=jnp.float32
-                )
-                if emit_ckpt:
-                    out_ref[si, 4] = jnp.ones((STRIP, W), dtype=jnp.float32)
+                    out_ref[si, t_row] = 1.0 - seed_ref[3]
+            elif emit_ckpt:
+                out_ref[si, t_row] = jnp.ones((STRIP, W), dtype=jnp.float32)
 
         # --- all-scalar (SMEM) liveness: strip-chunk coverage, per-tile
         # x-footprint overlap, per-tile persistent early-termination flags ---
@@ -595,7 +623,7 @@ def _make_kernel(
             # ONE chunk-start transmittance checkpoint (the backward replays
             # the within-chunk T recursion from it — 1/pchunk the HBM traffic
             # of per-plane streaming); must precede any tile update of T
-            tck_ref[0] = out_ref[si, 4]
+            tck_ref[0] = out_ref[si, t_row]
 
         shrink = _shrinking_footprint(
             params_ref, box_min, box_max, dz_sign
@@ -666,11 +694,9 @@ def _make_kernel(
                         (STRIP, xt), density, dtype=jnp.float32
                     )
 
-                acc_r = out_ref[si, 0, :, sl]
-                acc_g = out_ref[si, 1, :, sl]
-                acc_b = out_ref[si, 2, :, sl]
-                acc_a = out_ref[si, 3, :, sl]
-                T = out_ref[si, 4, :, sl] if emit_ckpt else None
+                acc_a = out_ref[si, 0, :, sl]
+                R = [out_ref[si, 1 + l, :, sl] for l in range(n_lut - 1)]
+                T = out_ref[si, t_row, :, sl] if emit_ckpt else None
                 covered = None
                 # unrolled over the plane block: amortizes per-grid-step
                 # overhead over pchunk planes
@@ -688,9 +714,20 @@ def _make_kernel(
                         preferred_element_type=jnp.float32,
                     )  # (STRIP, XTILE)
 
-                    _, cols = _tf_relu_forward(
-                        res, coef_ref, n_lut, tf_off, tf_scale
+                    # alpha-only relu-basis TF; relu features r_l are reused
+                    # by the R_l accumulation (see docstring: rgb factors)
+                    q = jnp.clip(
+                        (res - tf_off) * tf_scale * n_lut - 0.5,
+                        0.0, n_lut - 1.0,
                     )
+                    r_feat = [q] + [
+                        jnp.maximum(q - li, 0.0) for li in range(1, n_lut - 1)
+                    ]
+                    col_a = coef_ref[0, 3] + coef_ref[0, 4 + 3] * q
+                    for li in range(1, n_lut - 1):
+                        col_a = (
+                            col_a + coef_ref[0, (1 + li) * 4 + 3] * r_feat[li]
+                        )
 
                     # t > 0 <=> (z - oz) has the sign of d_z; per-axis
                     # coverage is the in-box predicate (tent rows sum to 1)
@@ -698,23 +735,21 @@ def _make_kernel(
                         (z < oz) if dz_sign < 0 else (z > oz)
                     ).astype(jnp.float32)
                     covered = inbox_x[None, :] * inbox_y[:, None] * in_front
-                    a = jnp.minimum(cols[3] * alpha_base, 1.0) * covered
+                    a = jnp.minimum(col_a * alpha_base, 1.0) * covered
                     live_px = acc_a <= threshold
                     trans = jnp.where(live_px, 1.0 - acc_a, 0.0)
                     at = a * trans
-                    acc_r += cols[0] * at
-                    acc_g += cols[1] * at
-                    acc_b += cols[2] * at
+                    for l in range(n_lut - 1):
+                        R[l] = R[l] + r_feat[l] * at
                     acc_a = acc_a + at
                     if emit_ckpt:
                         mT = jnp.where(T >= 1.0 - threshold, T, 0.0)
                         T = T - mT * a  # the backward's own T recursion
-                out_ref[si, 0, :, sl] = acc_r
-                out_ref[si, 1, :, sl] = acc_g
-                out_ref[si, 2, :, sl] = acc_b
-                out_ref[si, 3, :, sl] = acc_a
+                out_ref[si, 0, :, sl] = acc_a
+                for l in range(n_lut - 1):
+                    out_ref[si, 1 + l, :, sl] = R[l]
                 if emit_ckpt:
-                    out_ref[si, 4, :, sl] = T
+                    out_ref[si, t_row, :, sl] = T
                 # tile-level early termination: every ray past the threshold
                 # or permanently outside the (shrinking) footprint
                 done = jnp.maximum(
@@ -733,7 +768,27 @@ def _make_kernel(
 
         @pl.when(k == n_chunks - 1)
         def _finish():
-            out_ref[si, 0:4] = out_ref[si, 0:4] * brightness
+            # in-place expansion [A, R_0..R_{n-2}] -> premultiplied RGBA
+            # (all R rows are read before rows 0..2 are overwritten)
+            A = out_ref[si, 0]
+            # the base term multiplies ONLY the alpha accumulated during
+            # THIS sweep: row 0 includes the seed's alpha, which contributed
+            # no rgb here (its rgb is added back verbatim below)
+            A_sweep = (A - seed_ref[3]) if seed else A
+            rgb = []
+            for c in range(3):
+                col = coef_ref[0, c] * A_sweep
+                for l in range(n_lut - 1):
+                    col = col + (
+                        coef_ref[0, (1 + l) * 4 + c] * out_ref[si, 1 + l]
+                    )
+                if seed:
+                    col = col + seed_ref[c]
+                rgb.append(col)
+            out_ref[si, 0] = rgb[0] * brightness
+            out_ref[si, 1] = rgb[1] * brightness
+            out_ref[si, 2] = rgb[2] * brightness
+            out_ref[si, 3] = A * brightness
 
     return kernel
 
@@ -780,7 +835,7 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     n_strips = H // STRIP
     n_chunks = n_planes // pchunk
-    n_rows = 5 if emit_ckpt else 4
+    n_rows = acc_rows(n_lut, emit_ckpt)
     n_xt = W // _xtile(W)
     in_specs = [
         smem((1, 12), lambda k, s: (0, 0)),
@@ -936,7 +991,7 @@ def sweep_preblended_planes(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (n_strips, 4, STRIP, width), jnp.float32
+            (n_strips, acc_rows(n_lut, False), STRIP, width), jnp.float32
         ),
         grid=grid,
         in_specs=in_specs,
@@ -947,8 +1002,8 @@ def sweep_preblended_planes(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*args)
-    # (S, 4, STRIP, W) -> (H, W, 4)
-    return jnp.transpose(out, (0, 2, 3, 1)).reshape(height, width, 4)
+    # (S, n_rows, STRIP, W) -> (H, W, 4); rows past 3 are spent R_l state
+    return jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(height, width, 4)
 
 
 def pallas_sweep_slope_space(
@@ -992,7 +1047,7 @@ def pallas_sweep_slope_space(
     if n_planes <= 0:
         n_planes = 2 * volume.shape[0]
     W = int(mx.shape[0])
-    band = _max_band_rows(W)
+    band = _max_band_rows(W, int(jnp.shape(tf_lut)[0]))
     # taller images than the resident accumulator admits run as independent
     # row bands (rays are independent); every band shares ONE executable —
     # only its my0 (a traced param) differs

@@ -78,6 +78,7 @@ from vrdd_tpu.pallas.slice_kernel import (
     _tent_weights,
     _tf_relu_forward,
     _uniform_grid_params,
+    acc_rows as _acc_rows,
     pallas_supported,
     tf_relu_coefficients,
 )
@@ -90,18 +91,20 @@ __all__ = [
 ]
 
 
-def pallas_diff_supported(volume_shape, width, height, n_planes) -> bool:
+def pallas_diff_supported(volume_shape, width, height, n_planes,
+                          n_lut: int = 9) -> bool:
     """The diff path additionally needs the (checkpointing) forward's
-    resident 5-row accumulator to fit VMEM — the plain forward bands taller
-    images instead, but banding the VJP would split the checkpoint/live-map
-    plumbing, so beyond this the caller should use the XLA analytic VJP."""
-    from vrdd_tpu.pallas.slice_kernel import _VMEM_ACC_BUDGET
+    resident factorized accumulator (max(4, n_lut) + 1 rows) to fit VMEM —
+    the plain forward bands taller images instead, but banding the VJP would
+    split the checkpoint/live-map plumbing, so beyond this the caller should
+    use the XLA analytic VJP."""
+    from vrdd_tpu.pallas.slice_kernel import _VMEM_ACC_BUDGET, acc_rows
 
     Hp = height + (-height) % STRIP
     Wp = width + (-width) % 128
     return (
         pallas_supported(volume_shape, width, height, n_planes)
-        and 5 * 4 * Hp * Wp <= _VMEM_ACC_BUDGET
+        and acc_rows(n_lut, True) * 4 * Hp * Wp <= _VMEM_ACC_BUDGET
     )
 
 
@@ -536,7 +539,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         out = pl.pallas_call(
             fwd_kernel,
             out_shape=jax.ShapeDtypeStruct(
-                (n_strips, 4, STRIP, W), jnp.float32
+                (n_strips, _acc_rows(n_lut, False), STRIP, W), jnp.float32
             ),
             grid=grid,
             in_specs=in_specs,
@@ -545,13 +548,15 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             compiler_params=cparams,
         )(params, zs_in, coef_flat, planes_all,
           *_ess_args(planes_all, zs_in, params, lut), *_seed_args(acc0))
-        return jnp.transpose(out, (0, 2, 3, 1)).reshape(H, W, 4)
+        return jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(H, W, 4)
 
     def _fwd_ckpt_call(planes_all, zs_in, acc0, params, coef_flat, lut):
         out, tck, live_map = pl.pallas_call(
             fwd_ckpt_kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((n_strips, 5, STRIP, W), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (n_strips, _acc_rows(n_lut, True), STRIP, W), jnp.float32
+                ),
                 jax.ShapeDtypeStruct((n_chunks, H, W), jnp.float32),
                 jax.ShapeDtypeStruct((n_strips, n_chunks), jnp.int32),
             ),
