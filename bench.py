@@ -360,6 +360,47 @@ def bench_variants(n, W, K, vol, tf, origin, use_pallas_diff):
         f"ESS windowed-TF sparse {n}^3: plain {dt_plain * 1e3:.2f} ms vs "
         f"ESS(cached stats) {dt_ess * 1e3:.2f} ms "
         f"({dt_plain / dt_ess:.2f}x)", file=sys.stderr)
+
+    # BASELINE config 5 with a DISTRIBUTION volume: per-voxel Gaussian
+    # (mu, sigma) bricked on the mesh, decoded per shard inside the
+    # differentiated graph, rendered by the distributed sweep (the 1-chip
+    # mesh measures the full machinery's per-chip cost)
+    from vrdd_tpu.ops.gaussian import gaussian_stats
+    from vrdd_tpu.parallel.mesh import make_mesh
+    from vrdd_tpu.parallel.sweep import (
+        distributed_sweep_render,
+        shard_scalar_volume,
+    )
+
+    mesh = make_mesh(1, 1)
+    rng = np.random.default_rng(2)
+    mu = shard_scalar_volume(vol, mesh)
+    sigma = shard_scalar_volume(jnp.asarray(
+        0.05 + 0.2 * rng.random((n, n, n), dtype=np.float32)), mesh)
+
+    @jax.jit
+    def dist_gauss_fb(mu, sigma, lut, o):
+        def loss(mu, sigma, lut, i):
+            v = gaussian_stats(mu * (1.0 + 1e-6 * i), sigma)[..., 0]
+            img = distributed_sweep_render(
+                v, o, lut, width=W, height=W, mesh=mesh, n_planes=n,
+                backend="pallas", plane_chunk=4, wrt=("volume", "lut"),
+            )
+            return jnp.mean((img - 0.25) ** 2)
+
+        def it(i, acc):
+            l, (gm, gs, gt) = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                mu, sigma, lut, i
+            )
+            return acc + l + jnp.sum(gt) + gm[0, 0, 0] + gs[0, 0, 0]
+        return jax.lax.fori_loop(0, K, it, 0.0)
+
+    dt_dg, _ = time_amortized(dist_gauss_fb, mu, sigma, tf, origin, iters=K)
+    out["dist_gaussian_fwdbwd_mrays"] = round(W * W / dt_dg / 1e6, 2)
+    print(
+        f"distributed Gaussian-decode fwd+bwd {W}^2 over {n}^3 (1-chip "
+        f"mesh): {dt_dg * 1e3:.2f} ms -> "
+        f"{out['dist_gaussian_fwdbwd_mrays']:.1f} Mrays/s", file=sys.stderr)
     return out
 
 

@@ -463,7 +463,7 @@ def _make_kernel(
     dz_sign, box_min, box_max, tstep: float, threshold: float,
     length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
     tex_offset: float = 0.5, ess: bool = False, seed: bool = False,
-    axis_scale=(1.0, 1.0),
+    axis_scale=(1.0, 1.0), ck_stride: int = 0,
 ):
     """``seed``: the accumulator initializes from a traced RGBA input image
     instead of zeros — "resume a sweep mid-flight". The distributed
@@ -523,6 +523,14 @@ def _make_kernel(
     n_strips = H // STRIP
     xt = _xtile(W)
     n_xt = W // xt
+    # checkpoint stride: the backward may chunk FINER than this forward
+    # (its preferred plane_chunk is smaller) — emit a T checkpoint every
+    # ck_stride planes: row 0 from the persistent T state at chunk start,
+    # later rows written per tile mid-loop (a full-strip mid-chunk T never
+    # exists at one program point; skipped tiles' mid rows stay garbage and
+    # the backward's live bitmap never reads them)
+    ck_stride = ck_stride or pchunk
+    assert pchunk % ck_stride == 0, (pchunk, ck_stride)
 
     # rows: [0] = A (accumulated alpha), [1..n_lut-1] = R_0..R_{n_lut-2},
     # [-1] = T when checkpointing; at least 4 so the final in-place RGBA
@@ -745,6 +753,9 @@ def _make_kernel(
                     if emit_ckpt:
                         mT = jnp.where(T >= 1.0 - threshold, T, 0.0)
                         T = T - mT * a  # the backward's own T recursion
+                        if (i + 1) % ck_stride == 0 and i + 1 < pchunk:
+                            # mid-chunk checkpoint for the finer-chunked bwd
+                            tck_ref[(i + 1) // ck_stride, :, sl] = T
                 out_ref[si, 0, :, sl] = acc_a
                 for l in range(n_lut - 1):
                     out_ref[si, 1 + l, :, sl] = R[l]

@@ -479,35 +479,54 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     ``ess`` (opt-in): empty-space skipping — exact for the image and for
     volume cotangents only (see _ess_bitmap), so it requires
     wrt=('volume',); the caller enforces that.
+
+    FORWARD/BACKWARD CHUNK DECOUPLING: the backward's preferred plane
+    chunk (default 4 — keeps its many VMEM blocks double-buffered) is
+    SLOWER for the forward, which prefers 8. The checkpointing forward
+    therefore runs at ``fwd_pchunk`` (the largest multiple of ``pchunk``
+    that divides n_planes, fits VMEM, and is <= 8) while emitting T
+    checkpoints every ``pchunk`` planes (mid-chunk rows written per tile;
+    see _make_kernel ck_stride) and duplicating its live bitmap per
+    backward sub-chunk — a tile processed for a forward chunk was
+    processed for all its planes, so both halves are genuinely live.
     """
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     assert not (ess and seed), "ESS bitmap + seeded resume not wired together"
     assert not (ess and axis_scale != (1.0, 1.0))
 
+    fwd_pchunk = _fit_plane_chunk(
+        max(8 // pchunk * pchunk, pchunk), n_planes, NY, NX, W
+    )
+    while fwd_pchunk % pchunk or n_planes % fwd_pchunk:
+        fwd_pchunk -= 1
+    ck_per_chunk = fwd_pchunk // pchunk
+
     fwd_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
-        threshold, length_correction, mm_dtype, pchunk,
+        threshold, length_correction, mm_dtype, fwd_pchunk,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
     )
     fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
-        threshold, length_correction, mm_dtype, pchunk, emit_ckpt=True,
+        threshold, length_correction, mm_dtype, fwd_pchunk, emit_ckpt=True,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
+        ck_stride=pchunk,
     )
     bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
         tex_offset=tex_offset, wrt=wrt, axis_scale=axis_scale,
     )
+    n_chunks_fwd = n_planes // fwd_pchunk
 
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     in_specs, out_spec, scratch, grid = _sweep_specs(
-        H, W, NY, NX, n_planes, n_lut, pchunk, ess=ess, mm_dtype=mm_dtype,
-        seed=seed,
+        H, W, NY, NX, n_planes, n_lut, fwd_pchunk, ess=ess,
+        mm_dtype=mm_dtype, seed=seed,
     )
-    in_specs_ck, out_spec_ck, scratch_ck, _ = _sweep_specs(
-        H, W, NY, NX, n_planes, n_lut, pchunk, ess=ess, emit_ckpt=True,
+    in_specs_ck, out_spec_ck, scratch_ck, grid_ck = _sweep_specs(
+        H, W, NY, NX, n_planes, n_lut, fwd_pchunk, ess=ess, emit_ckpt=True,
         mm_dtype=mm_dtype, seed=seed,
     )
     cparams = pltpu.CompilerParams(
@@ -527,7 +546,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         return (_ess_bitmap(
             planes_all, zs_in[0], params[0, :3], lut,
             params[0, 5], params[0, 6], params[0, 8:12], box_min, box_max,
-            H, W, pchunk, tex_offset,
+            H, W, fwd_pchunk, tex_offset,
         ),)
 
     def _seed_args(acc0):
@@ -557,21 +576,26 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 jax.ShapeDtypeStruct(
                     (n_strips, _acc_rows(n_lut, True), STRIP, W), jnp.float32
                 ),
+                # one T checkpoint per BACKWARD chunk (ck_per_chunk rows
+                # per forward chunk; row 0 = chunk start, rest mid-chunk)
                 jax.ShapeDtypeStruct((n_chunks, H, W), jnp.float32),
-                jax.ShapeDtypeStruct((n_strips, n_chunks), jnp.int32),
+                jax.ShapeDtypeStruct((n_strips, n_chunks_fwd), jnp.int32),
             ),
-            grid=grid,
+            grid=grid_ck,
             in_specs=in_specs_ck,
             out_specs=(
                 out_spec_ck,
-                vmem((1, STRIP, W), lambda k, s: (k, s, 0)),
-                smem((n_strips, n_chunks), lambda k, s: (0, 0)),
+                vmem((ck_per_chunk, STRIP, W), lambda k, s: (k, s, 0)),
+                smem((n_strips, n_chunks_fwd), lambda k, s: (0, 0)),
             ),
             scratch_shapes=scratch_ck,
             compiler_params=cparams,
         )(params, zs_in, coef_flat, planes_all,
           *_ess_args(planes_all, zs_in, params, lut), *_seed_args(acc0))
         img = jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(H, W, 4)
+        # duplicate the per-forward-chunk live bits over backward sub-chunks
+        if ck_per_chunk > 1:
+            live_map = jnp.repeat(live_map, ck_per_chunk, axis=1)
         return img, tck, live_map
 
     def _bwd_call(planes_all, zs_in, params, coef_flat, tck, live_map, g):
