@@ -60,9 +60,9 @@ def roofline(n, W, n_planes, n_lut, dt_fwd, dt_fb, pchunk_bwd=4):
             VMEM-resident and flushed once).
       MXU : y-resample (H, NY) @ (NY, NX) + x-resample (H, NX) @ (NX, W)
             = 2*H*NY*NX + 2*H*W*NX flops.
-      VPU : per sample, relu-basis TF = 6 ops/interior knot (relu + 4-chan
-            FMA) + ~8 setup, compositing/masks ~16, tent-weight builds
-            amortize to ~10 -> ~6*(n_lut-2) + 34 ops.
+      VPU : per sample, alpha-only relu TF + factorized R_l accumulation
+            = 4 ops/interior knot + ~8 setup, compositing/masks ~16,
+            tent-weight builds amortize to ~10 -> ~4*(n_lut-2) + 34 ops.
 
     BACKWARD, per plane (slice_vjp.py; pchunk_bwd chunking): the replay
     re-runs both resamples and the reverse adds the two transposes
@@ -85,7 +85,7 @@ def roofline(n, W, n_planes, n_lut, dt_fwd, dt_fb, pchunk_bwd=4):
     S = H * W
     fwd_mxu = n_planes * (2 * H * NY * NX + 2 * H * W * NX)
     fwd_hbm = n_planes * NY * NX * 4 + 2 * H * W * 4 * 4
-    fwd_vpu = n_planes * S * (6 * (n_lut - 2) + 34)
+    fwd_vpu = n_planes * S * (4 * (n_lut - 2) + 34)
     bwd_mxu = 2 * fwd_mxu
     bwd_hbm = (
         n_planes * 2 * NY * NX * 4

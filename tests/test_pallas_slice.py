@@ -16,6 +16,10 @@ def test_pallas_supported_predicate():
     assert pallas_supported((1024, 1024, 1024), 1024, 1024, 1024)
     assert not pallas_supported((8, 1500, 1200), 512, 512, 64)  # plane > VMEM
     assert pallas_supported((10, 50, 50), 500, 300, 100)  # pad+crop handles it
+    # the factorized accumulator carries max(4, n_lut) rows: a huge LUT whose
+    # single-strip rows outgrow the VMEM budget must go to the XLA path
+    assert pallas_supported((64, 64, 64), 1024, 1024, 128, n_lut=64)
+    assert not pallas_supported((64, 64, 64), 1024, 1024, 128, n_lut=4096)
 
 
 def test_fit_plane_chunk():

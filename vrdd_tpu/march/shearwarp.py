@@ -201,7 +201,8 @@ def shearwarp_render_image(
             "pallas"
             if jax.default_backend() == "tpu"
             and pallas_supported((nzp, nyp, nxp), wi_r, hi_r,
-                                 max(1, n_planes))
+                                 max(1, n_planes),
+                                 n_lut=int(jnp.shape(tf_lut)[0]))
             else "xla"
         )
     if backend == "pallas":  # round the m-grid up to the kernel tiling

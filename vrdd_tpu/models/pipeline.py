@@ -229,7 +229,7 @@ class RenderPipeline:
         vol = self._stats_channel(method)
         if jax.default_backend() == "tpu" and pallas_supported(
             vol.shape, config.camera.width, config.camera.height,
-            2 * vol.shape[0],
+            2 * vol.shape[0], n_lut=int(self.tf_lut.shape[0]),
         ):
             return "pallas"
         return "slice"

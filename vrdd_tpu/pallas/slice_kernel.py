@@ -136,12 +136,20 @@ def _fit_plane_chunk(pchunk: int, n_planes: int, ny: int, nx: int,
 
 
 def pallas_supported(
-    volume_shape: Tuple[int, int, int], width: int, height: int, n_planes: int
+    volume_shape: Tuple[int, int, int], width: int, height: int,
+    n_planes: int, n_lut: int = 9,
 ) -> bool:
     """Image sizes are unrestricted: the sweep pads the slope grid up to the
-    (STRIP, 128) kernel tiling and crops the output (see _pad_grid)."""
+    (STRIP, 128) kernel tiling and crops the output (see _pad_grid). Very
+    large LUTs are not: the factorized accumulator carries max(4, n_lut)
+    rows (see acc_rows), so a LUT so big that ONE strip's rows outgrow the
+    VMEM budget must use the XLA slice path instead."""
     nz, ny, nx = volume_shape
-    return 4 * ny * nx <= _VMEM_PLANE_LIMIT
+    Wp = width + (-width) % 128
+    return (
+        4 * ny * nx <= _VMEM_PLANE_LIMIT
+        and acc_rows(n_lut, False) * 4 * STRIP * Wp <= _VMEM_ACC_BUDGET
+    )
 
 
 def _pad_grid(m: np.ndarray, mult: int) -> np.ndarray:
