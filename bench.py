@@ -128,7 +128,9 @@ def roofline(n, W, n_planes, n_lut, dt_fwd, dt_fb, pchunk_bwd=4):
         f"HBM {fb_hbm / 1e9:5.2f} GB ({bh * 1e3:4.1f} ms) + "
         f"VPU {fb_vpu / 1e9:6.0f} Gop ({bv * 1e3:5.1f} ms) -> bound "
         f"{(bm + bh + bv) * 1e3:5.1f} ms vs measured {dt_fb * 1e3:5.1f} ms "
-        f"= {100 * bfrac:.0f}% of speed-of-light",
+        f"= {100 * bfrac:.0f}% of speed-of-light"
+        + ("  (>100%: early-termination/footprint culling beats the "
+           "no-culling bound)" if bfrac > 1 else ""),
         file=sys.stderr,
     )
     return out
