@@ -464,7 +464,11 @@ def decode_config_hist16(n, W, K, tf, origin):
     @jax.jit
     def fwdbwd(hist, tf, o):
         def loss(hist, tf, i):
-            vol = flex_block_stats(hist * (1.0 + 1e-6 * i))[..., 0] / 255.0
+            # mean channel only — explicit selection: XLA does not DCE the
+            # var/entropy branches through stack()[..., 0] (see _select_stats)
+            vol = flex_block_stats(
+                hist * (1.0 + 1e-6 * i), channels=(0,)
+            )[..., 0] / 255.0
             if use_pallas_diff:
                 img = pallas_slice_render_diff(
                     vol, o, tf, width=W, height=W, n_planes=n,

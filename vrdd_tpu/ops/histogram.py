@@ -52,26 +52,47 @@ def histogram_entropy(hist: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     return ent / jnp.log2(jnp.float32(n_bins))
 
 
-def raw_block_stats(hist: jnp.ndarray) -> jnp.ndarray:
-    """Raw-histogram decode: ``(..., N_BINS) -> (..., 3)`` (mean, var, entropy)."""
+def _select_stats(builders, channels):
+    """Stack only the requested stat channels (0=mean, 1=var, 2=entropy).
+
+    ``channels=None`` keeps the full (..., 3) layout. Explicit selection
+    exists because XLA does NOT reliably dead-code-eliminate the unused
+    channels through a ``stack(...)[..., c]`` pattern inside larger
+    differentiated graphs — measured 18.5 ms vs ~4 ms for a mean-only
+    decode+grad of a 256^3 x 16-bin volume — so callers on a hot path
+    should ask for exactly what they read."""
+    if channels is None:
+        channels = (0, 1, 2)
+    return jnp.stack([builders[c]() for c in channels], axis=-1)
+
+
+def raw_block_stats(hist: jnp.ndarray, channels=None) -> jnp.ndarray:
+    """Raw-histogram decode: ``(..., N_BINS) -> (..., len(channels))``
+    (default all three: mean, var, entropy)."""
     centers = _bin_centers(N_BINS, MAX_HISTOGRAM)
     edges = _bin_left_edges(N_BINS, MAX_HISTOGRAM)
     mean = jnp.sum(hist * centers, axis=-1)
-    var = jnp.sum(hist * (edges - mean[..., None]) ** 2, axis=-1)
-    ent = histogram_entropy(hist, N_BINS)
-    return jnp.stack([mean / MEAN_NORM, var / VARIANCE_NORM, ent], axis=-1)
+    return _select_stats([
+        lambda: mean / MEAN_NORM,
+        lambda: jnp.sum(
+            hist * (edges - mean[..., None]) ** 2, axis=-1) / VARIANCE_NORM,
+        lambda: histogram_entropy(hist, N_BINS),
+    ], channels)
 
 
-def fractal_block_stats(hist: jnp.ndarray) -> jnp.ndarray:
+def fractal_block_stats(hist: jnp.ndarray, channels=None) -> jnp.ndarray:
     """Fractal-decoded-histogram stats: centers for mean AND variance."""
     centers = _bin_centers(N_BINS, MAX_HISTOGRAM)
     mean = jnp.sum(hist * centers, axis=-1)
-    var = jnp.sum(hist * (centers - mean[..., None]) ** 2, axis=-1)
-    ent = histogram_entropy(hist, N_BINS)
-    return jnp.stack([mean / MEAN_NORM, var / VARIANCE_NORM, ent], axis=-1)
+    return _select_stats([
+        lambda: mean / MEAN_NORM,
+        lambda: jnp.sum(
+            hist * (centers - mean[..., None]) ** 2, axis=-1) / VARIANCE_NORM,
+        lambda: histogram_entropy(hist, N_BINS),
+    ], channels)
 
 
-def flex_block_stats(hist: jnp.ndarray) -> jnp.ndarray:
+def flex_block_stats(hist: jnp.ndarray, channels=None) -> jnp.ndarray:
     """Flexible-block stats over [0, 255], unnormalized mean/variance.
 
     Bin count is inferred from the trailing axis (64 in the reference,
@@ -80,9 +101,11 @@ def flex_block_stats(hist: jnp.ndarray) -> jnp.ndarray:
     n_bins = hist.shape[-1]
     centers = _bin_centers(n_bins, FLEX_MAX_HISTOGRAM)
     mean = jnp.sum(hist * centers, axis=-1)
-    var = jnp.sum(hist * (centers - mean[..., None]) ** 2, axis=-1)
-    ent = histogram_entropy(hist, n_bins)
-    return jnp.stack([mean, var, ent], axis=-1)
+    return _select_stats([
+        lambda: mean,
+        lambda: jnp.sum(hist * (centers - mean[..., None]) ** 2, axis=-1),
+        lambda: histogram_entropy(hist, n_bins),
+    ], channels)
 
 
 def normalize_histogram(hist: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
