@@ -98,6 +98,45 @@ def test_codebook_path_matches_raw_path():
     assert via_codebooks.timings and "accumulate" in via_codebooks.timings
 
 
+def test_codebook_path_at_reference_scale():
+    """The reference's own config: Fuel 64^3, the FULL Fenwick span universe
+    (64^3 = 262,144 spans split fractal >= 8 voxels / simple < 8,
+    volumeRender_kernel.cu:99-100, 1349), block size 6 (ver1.9.6.txt:6-10).
+    The reference's d_querySpanNew span search alone took 194,764 ms there;
+    this pipeline's equivalent stages (build_span_index +
+    corner_decomposition + accumulate) are asserted under 30 s on CPU and
+    measured in single-digit seconds (PARITY.md)."""
+    ds = synthetic_flexible_dataset(dims=(64, 64, 64), n_bins=64, seed=5)
+    assert len(ds["fractal_spans"]) + len(ds["simple_spans"]) == 64 ** 3
+    fb = FlexibleBlockVolume.from_codebooks(
+        volume_dim=ds["volume_dim"],
+        block_size=6,
+        fractal_spans=ds["fractal_spans"],
+        fractal_codebook=ds["fractal_codebook"],
+        fractal_error_bins=ds["fractal_error_bins"],
+        fractal_error_values=ds["fractal_error_values"],
+        templates=ds["templates"],
+        simple_spans=ds["simple_spans"],
+        simple_bin_ids=ds["simple_bin_ids"],
+        simple_freqs=ds["simple_freqs"],
+        simple_counts=ds["simple_counts"],
+    )
+    via_raw = FlexibleBlockVolume.from_raw(
+        ds["raw"], block_size=6, n_bins=64, vmax=256.0
+    )
+    assert fb.stats_grid.shape == (11, 11, 11, 3)
+    np.testing.assert_allclose(
+        np.asarray(fb.stats_grid), np.asarray(via_raw.stats_grid),
+        rtol=1e-4, atol=1e-4,
+    )
+    query_stages = (
+        fb.timings["build_span_index"]
+        + fb.timings["corner_decomposition"]
+        + fb.timings["accumulate"]
+    )
+    assert query_stages < 30.0, fb.timings  # reference: 194.8 s on a K5000
+
+
 def test_flex_render_query_methods():
     """Queries 8/9/0: flex stats grid sampled with unnormalized linear fetch."""
     from vrdd_tpu.core.geometry import default_benchmark_inv_view

@@ -170,59 +170,71 @@ def synthetic_flexible_dataset(
     spans = all_fenwick_triples(dims)  # (n, 6) 1-indexed xyz
     sizes = span_sizes(spans)
 
-    def span_hist(row):
-        lx, ly, lz, hx, hy, hz = (int(v) for v in row)
+    def span_hists(rows):
+        """Vectorized 8-corner span histograms, normalized: (m, n_bins)."""
+        lx, ly, lz = rows[:, 0], rows[:, 1], rows[:, 2]
+        hx, hy, hz = rows[:, 3], rows[:, 4], rows[:, 5]
         h = (
             sat[hz, hy, hx] - sat[lz - 1, hy, hx] - sat[hz, ly - 1, hx]
             - sat[hz, hy, lx - 1] + sat[lz - 1, ly - 1, hx]
             + sat[lz - 1, hy, lx - 1] + sat[hz, ly - 1, lx - 1]
             - sat[lz - 1, ly - 1, lx - 1]
         )
-        return h / h.sum()
+        return h / h.sum(axis=-1, keepdims=True)
 
     fractal_mask = sizes >= 8
     f_rows = spans[fractal_mask]
     s_rows = spans[~fractal_mask]
 
+    # fractal-encode every >=8-voxel span (vectorized over the whole bank):
+    # the template is the exact inverse of flip(shift(h)), then a fraction of
+    # rows get sparse post-decode error corrections carved out of the
+    # template so decode(template) + errors == h exactly
     nf = len(f_rows)
-    templates = np.zeros((nf, n_bins), dtype=np.float32)
-    codebook = np.zeros((nf, 4), dtype=np.int32)
-    error_bins = np.zeros((nf, max_errors), dtype=np.int32)
-    error_values = np.zeros((nf, max_errors), dtype=np.float32)
-    for i, row in enumerate(f_rows):
-        h = span_hist(row).astype(np.float32)
-        shift = int(rng.integers(0, n_bins))
-        flip = int(rng.integers(0, 2))
-        t = np.roll(h, -shift)
-        if flip:
-            t = t[::-1].copy()
-        ne = 0
-        if rng.random() < error_fraction:
-            # perturb template bins, record corrections applied post-shift
-            ne = int(rng.integers(1, max_errors + 1))
-            target_bins = rng.choice(n_bins, size=ne, replace=False)
-            for k, tb in enumerate(target_bins):
-                # template position whose decoded position is tb
-                j = (tb - shift) % n_bins
-                tpos = (n_bins - 1 - j) if flip else j
-                delta = np.float32(min(0.01, t[tpos] * 0.5))
-                t[tpos] -= delta
-                error_bins[i, k] = tb
-                error_values[i, k] = delta
-        templates[i] = t
-        codebook[i] = (i, shift, flip, ne)
+    h_all = span_hists(f_rows).astype(np.float32)
+    shift = rng.integers(0, n_bins, size=nf)
+    flip = rng.integers(0, 2, size=nf)
+    j = np.arange(n_bins)
+    templates = np.take_along_axis(
+        h_all, (j[None, :] + shift[:, None]) % n_bins, axis=1
+    )
+    templates = np.where(flip[:, None] == 1, templates[:, ::-1], templates)
+    has_err = rng.random(nf) < error_fraction
+    ne = np.where(has_err, rng.integers(1, max_errors + 1, size=nf), 0)
+    # ne distinct decoded bins per row via random-matrix argsort; the
+    # shift/flip mapping decoded-bin -> template-position is bijective, so
+    # distinct targets touch distinct template entries (scatter is exact)
+    target = np.argsort(rng.random((nf, n_bins)), axis=1)[:, :max_errors]
+    jpos = (target - shift[:, None]) % n_bins
+    tpos = np.where(flip[:, None] == 1, n_bins - 1 - jpos, jpos)
+    emask = np.arange(max_errors)[None, :] < ne[:, None]
+    delta = np.minimum(
+        np.float32(0.01), np.take_along_axis(templates, tpos, axis=1) * 0.5
+    ) * emask
+    np.put_along_axis(
+        templates, tpos,
+        np.take_along_axis(templates, tpos, axis=1) - delta, axis=1,
+    )
+    templates = templates.astype(np.float32)
+    error_bins = (target * emask).astype(np.int32)
+    error_values = delta.astype(np.float32)
+    codebook = np.stack(
+        [np.arange(nf), shift, flip, ne], axis=-1
+    ).astype(np.int32)
 
+    # sparse "simple" encoding of every < 8-voxel span (vectorized):
+    # stable-sort nonzero bins to the front of each row
     ns = len(s_rows)
     max_nnz = n_bins
-    simple_bin_ids = np.zeros((ns, max_nnz), dtype=np.int32)
-    simple_freqs = np.zeros((ns, max_nnz), dtype=np.float32)
-    simple_counts = np.zeros(ns, dtype=np.int32)
-    for i, row in enumerate(s_rows):
-        h = span_hist(row)
-        nz_bins = np.nonzero(h)[0]
-        simple_counts[i] = len(nz_bins)
-        simple_bin_ids[i, : len(nz_bins)] = nz_bins
-        simple_freqs[i, : len(nz_bins)] = h[nz_bins]
+    h_s = span_hists(s_rows)
+    nzmask = h_s > 0
+    simple_counts = nzmask.sum(axis=1).astype(np.int32)
+    order = np.argsort(~nzmask, axis=1, kind="stable")[:, :max_nnz]
+    keep = np.arange(max_nnz)[None, :] < simple_counts[:, None]
+    simple_bin_ids = (order * keep).astype(np.int32)
+    simple_freqs = (
+        np.take_along_axis(h_s, order, axis=1) * keep
+    ).astype(np.float32)
 
     return dict(
         raw=raw,

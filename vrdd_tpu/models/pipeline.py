@@ -296,15 +296,17 @@ class RenderPipeline:
             src, _ = self.sample_source(config.query_method)
         return fn(src, jnp.asarray(inv_view, dtype=jnp.float32), *params)
 
-    @staticmethod
-    def _shearwarp_uses_pallas(vol_shape, config) -> bool:
+    def _shearwarp_uses_pallas(self, vol_shape, config) -> bool:
         """Mirror shearwarp_render_image's backend='auto' choice, using the
-        worst-case principal-axis permutation for the plane-VMEM test."""
+        worst-case principal-axis permutation for the plane-VMEM test (and
+        this pipeline's LUT size for the accumulator-VMEM test, which
+        shearwarp.py passes through as n_lut)."""
         from vrdd_tpu.pallas.slice_kernel import pallas_supported
 
         d = sorted(int(v) for v in vol_shape)
         return jax.default_backend() == "tpu" and pallas_supported(
-            (d[0], d[2], d[1]), config.camera.width, config.camera.height, 1
+            (d[0], d[2], d[1]), config.camera.width, config.camera.height, 1,
+            n_lut=int(self.tf_lut.shape[0]),
         )
 
     @functools.lru_cache(maxsize=32)

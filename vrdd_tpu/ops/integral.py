@@ -187,6 +187,99 @@ def all_fenwick_triples(dims: Tuple[int, int, int]) -> np.ndarray:
     return np.asarray(rows, dtype=np.int32)
 
 
+def fenwick_high_table(vals: np.ndarray, n_levels: int) -> np.ndarray:
+    """Successive clear-lowest-set-bit highs of each prefix coordinate.
+
+    ``vals (...,) -> (..., n_levels)`` int64: column k holds the k-th Fenwick
+    span's high end (0-padded once the prefix is exhausted) — the vectorized
+    form of the d_queryBlockNew bit loop (volumeRender_kernel.cu:1248-1259).
+    """
+    cur = np.asarray(vals, dtype=np.int64).copy()
+    out = np.zeros(cur.shape + (n_levels,), dtype=np.int64)
+    for k in range(n_levels):
+        out[..., k] = cur
+        cur = cur & (cur - 1)
+    if np.any(cur):
+        raise ValueError(
+            f"n_levels={n_levels} too small for max coordinate {vals.max()}"
+        )
+    return out
+
+
+def build_span_lookup(spans: np.ndarray, dims: Tuple[int, int, int]) -> np.ndarray:
+    """Dense ``(dx+1, dy+1, dz+1)`` high-corner -> row-index table (-1 absent).
+
+    A canonical Fenwick span is uniquely identified by its high corner
+    (``low = high - lowbit(high) + 1``); rows that are not canonical are
+    skipped (never requested by the decomposition). On duplicate high corners
+    the LATER row wins — matching from_codebooks' dict semantics where simple
+    spans override fractal ones. This is the vectorized replacement for the
+    reference's brute-force per-span texture scan (the 194,764 ms
+    d_querySpanNew bottleneck, volumeRender_kernel.cu:1352-1374,
+    ver1.9.6.txt:9)."""
+    dx, dy, dz = (int(v) for v in dims)
+    spans = np.asarray(spans, dtype=np.int64)
+    lut = np.full((dx + 1, dy + 1, dz + 1), -1, dtype=np.int64)
+    h = spans[:, 3:6]
+    canon = np.all(spans[:, 0:3] == h - (h & -h) + 1, axis=1)
+    canon &= np.all((h >= 1) & (h <= np.asarray([dx, dy, dz])), axis=1)
+    rows = np.nonzero(canon)[0]
+    lut[h[rows, 0], h[rows, 1], h[rows, 2]] = rows
+    return lut
+
+
+def block_prefix_entries(
+    spans: np.ndarray, dims: Tuple[int, int, int]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized Fenwick corner decomposition of every block span at once.
+
+    The 8-corner inclusion-exclusion factorizes per axis: the corner
+    coordinate is ``high`` (sign +1) or ``low - 1`` (sign -1), each prefix
+    ``[1, c]`` decomposes into Fenwick spans (identified by their high ends,
+    length = lowbit), and the entry weight is the voxel count x sign, which
+    is itself the product of per-axis ``sign x lowbit`` factors. The full
+    entry list the reference accumulates one shared-memory atomicAdd at a
+    time over a (blocks*8, 1000) grid (volumeRender_kernel.cu:1318-1544) is
+    produced here as three flat arrays in a handful of numpy kernels.
+
+    ``spans``: (nb, 6) 1-indexed inclusive (lowx..highz). Returns
+    ``(block_idx (M,), high_xyz (M, 3), coef (M,))`` with
+    ``block_hist[b] = sum_{i: block_idx[i]==b} coef[i] *
+    span_hist[lookup[high_xyz[i]]]`` exact (counts domain).
+    """
+    spans = np.asarray(spans, dtype=np.int64)
+    dims_i = [int(v) for v in dims]
+    nb = spans.shape[0]
+    vals, wts = [], []
+    for ax in range(3):
+        c = np.stack([spans[:, ax] - 1, spans[:, 3 + ax]], axis=-1)  # (nb, 2)
+        n_levels = max(1, dims_i[ax].bit_length())
+        t = fenwick_high_table(c, n_levels)  # (nb, 2, L)
+        sign = np.asarray([-1.0, 1.0])[None, :, None]
+        v = t.reshape(nb, 2 * n_levels)
+        w = (np.broadcast_to(sign, t.shape).reshape(nb, 2 * n_levels)
+             * (v & -v))  # sign * Fenwick span length (0 where exhausted)
+        vals.append(v)
+        wts.append(w)
+    (vx, vy, vz), (wx, wy, wz) = vals, wts
+    ex, ey, ez = vx.shape[1], vy.shape[1], vz.shape[1]
+    shape = (nb, ex, ey, ez)
+    hx = np.broadcast_to(vx[:, :, None, None], shape)
+    hy = np.broadcast_to(vy[:, None, :, None], shape)
+    hz = np.broadcast_to(vz[:, None, None, :], shape)
+    coef = (
+        wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    )
+    m = ((hx > 0) & (hy > 0) & (hz > 0)).reshape(-1)
+    bidx = np.broadcast_to(
+        np.arange(nb, dtype=np.int64)[:, None, None, None], shape
+    ).reshape(-1)[m]
+    high = np.stack(
+        [hx.reshape(-1)[m], hy.reshape(-1)[m], hz.reshape(-1)[m]], axis=-1
+    )
+    return bidx, high, coef.reshape(-1)[m]
+
+
 def span_sizes(spans: np.ndarray) -> np.ndarray:
     """Voxel count of each ``(n, 6)`` span row (d_spanSize semantics)."""
     return (

@@ -26,8 +26,14 @@ def densify_sparse_histograms(
     """
     bin_ids = jnp.asarray(bin_ids, dtype=jnp.int32)
     freqs = jnp.asarray(freqs, dtype=jnp.float32)
-    k = jnp.arange(bin_ids.shape[-1], dtype=jnp.int32)
+    h, e = bin_ids.shape
+    k = jnp.arange(e, dtype=jnp.int32)
     valid = k[None, :] < jnp.asarray(counts, dtype=jnp.int32)[:, None]
     masked = jnp.where(valid, freqs, 0.0)
-    onehot = (bin_ids[..., None] == jnp.arange(n_bins, dtype=jnp.int32)).astype(jnp.float32)
-    return jnp.einsum("he,hen->hn", masked, onehot)
+    # row-wise scatter-add (a (H, E, n_bins) one-hot einsum materializes
+    # H*E*n_bins floats — 2 GB for the 64^3 Fuel-scale bank at E = 64)
+    rows = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, e))
+    return (
+        jnp.zeros((h, n_bins), dtype=jnp.float32)
+        .at[rows, bin_ids].add(masked)
+    )

@@ -344,8 +344,13 @@ def ess_plane_stats(planes_all: jnp.ndarray):
 def precompute_ess_stats(volume, *, n_planes=0, march=MarchConfig(),
                          dz_sign=-1, tex_offset=0.5, z_scale=1.0):
     """Pre-blend ``volume`` exactly as the sweep will and return the cached
-    ESS plane statistics for it. Key your cache on (volume identity,
-    n_planes, dz_sign): the stats are camera- and TF-independent."""
+    ESS plane statistics for it. The stats are camera- and TF-independent,
+    but they ARE a function of everything the pre-blend sees: key your cache
+    on (volume identity, n_planes, dz_sign, tex_offset, z_scale,
+    march.box_min, march.box_max). Reusing stats across a change in ANY of
+    those silently yields non-conservative culling (wrong pixels) with no
+    shape mismatch to catch it — the render passes axis_scale[2] as z_scale,
+    so flex-query renders need their own entry."""
     if n_planes <= 0:
         n_planes = 2 * volume.shape[0]
     planes_all, _ = _preblend_planes(

@@ -103,7 +103,7 @@ def pallas_diff_supported(volume_shape, width, height, n_planes,
     Hp = height + (-height) % STRIP
     Wp = width + (-width) % 128
     return (
-        pallas_supported(volume_shape, width, height, n_planes)
+        pallas_supported(volume_shape, width, height, n_planes, n_lut=n_lut)
         and acc_rows(n_lut, True) * 4 * Hp * Wp <= _VMEM_ACC_BUDGET
     )
 

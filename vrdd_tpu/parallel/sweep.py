@@ -238,15 +238,17 @@ def _sweep_slope_space_call(
 
     hl = height // nr
     ppd = n_planes // nb  # planes per device slab
+    n_lut = int(tf_lut.shape[0])
     pallas_ok = (
         width % 128 == 0 and hl % STRIP == 0
-        and pallas_supported((nz, ny, nx), width, hl, ppd)
+        and pallas_supported((nz, ny, nx), width, hl, ppd, n_lut=n_lut)
     )
     if backend == "pallas" and not pallas_ok:
         raise ValueError(
             f"backend='pallas' needs width % 128 == 0 and (height/rays) % "
-            f"{STRIP} == 0 and the plane to fit VMEM; got width={width}, "
-            f"height/rays={hl}, plane=({ny},{nx})"
+            f"{STRIP} == 0 and the plane AND the max(4, n_lut)-row factorized "
+            f"accumulator to fit VMEM; got width={width}, "
+            f"height/rays={hl}, plane=({ny},{nx}), n_lut={n_lut}"
         )
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_ok and jax.default_backend() == "tpu"
