@@ -84,6 +84,8 @@ CASES = [
     ("shearwarp_q1", 1, "shearwarp"),
     ("scan_q9", 9, "scan"),
     ("pallas_q9", 9, "pallas"),
+    # rotated flexible-block query on the object-order fast path
+    ("shearwarp_q9", 9, "shearwarp"),
 ]
 
 

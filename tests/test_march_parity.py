@@ -155,3 +155,57 @@ def test_brightness_not_applied_to_missed_rays():
         brightness=5.0,
     )
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_point_filter_on_object_order_paths():
+    """The reference's 'f' key (setTextureFilterMode, volumeRender.cpp:
+    311-314) on the slice/pallas sweeps: one-hot (floor) weight rows behind
+    filter_linear=False. The sweeps' plane discretization differs from
+    ray-order, so scan parity is bulk-level; the pallas and XLA sweeps must
+    agree with each other to float eps, and the nearest render must track
+    the scan marcher's NEAREST mode much closer than its linear mode."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vrdd_tpu.core.geometry import default_benchmark_inv_view
+    from vrdd_tpu.core.transfer import default_transfer_function
+    from vrdd_tpu.io.synthetic import random_histogram_volume
+    from vrdd_tpu.march.scan import render_image
+    from vrdd_tpu.march.slice import slice_render_image
+    from vrdd_tpu.models.renderer import stats_sample_fn
+    from vrdd_tpu.ops.histogram import raw_block_stats
+    from vrdd_tpu.pallas.slice_kernel import pallas_slice_render
+    from vrdd_tpu.utils.config import MarchConfig
+
+    hist = jnp.asarray(random_histogram_volume((10, 50, 50), n_bins=32, seed=0))
+    stats = raw_block_stats(hist)
+    vol = stats[..., 0]
+    iv = jnp.asarray(default_benchmark_inv_view())
+    tf = jnp.asarray(default_transfer_function())
+    march = MarchConfig(max_steps=500, tstep=0.01)
+    W = H = 64
+    o = iv[:, 3]
+    scan_n = np.asarray(render_image(
+        stats_sample_fn(stats, 0, linear=False), iv, W, H, tf,
+        march=march, density=0.3,
+    ))
+    scan_l = np.asarray(render_image(
+        stats_sample_fn(stats, 0, linear=True), iv, W, H, tf,
+        march=march, density=0.3,
+    ))
+    got = np.asarray(slice_render_image(
+        vol, o, W, H, tf, density=0.3, march=march, n_planes=64,
+        filter_linear=False,
+    ))
+    with pltpu.force_tpu_interpret_mode():
+        got_p = np.asarray(pallas_slice_render(
+            vol, o, tf, 0.3, width=W, height=H, march=march, n_planes=64,
+            filter_linear=False,
+        ))
+    np.testing.assert_allclose(got_p, got, atol=2e-5)
+    d_n = np.abs(got - scan_n)
+    d_l = np.abs(got - scan_l)
+    assert np.quantile(d_n, 0.90) < 0.06, np.quantile(d_n, 0.90)
+    assert d_n.mean() < 0.025, d_n.mean()
+    # discriminates: point sampling is NOT just linear within tolerance
+    assert d_n.mean() < 0.6 * d_l.mean(), (d_n.mean(), d_l.mean())

@@ -137,11 +137,12 @@ def test_renderer_selection_and_slice_path(pipeline):
     assert pipeline.resolve_renderer(
         "auto", iv, _cfg(QueryMethod.FLEX_MEAN)
     ) in ("slice", "pallas")
-    # ... but not shear-warp (axis permutation would permute the filter
-    # scales — unwired), and never when no flex volume is loaded
+    # ... including rotated views via shear-warp (the axis permutation
+    # carries the filter-grid scales, march/shearwarp.py axis_scale); a
+    # pipeline with no flex volume loaded still errors on render
     assert (
         pipeline.resolve_renderer("auto", rot, _cfg(QueryMethod.FLEX_MEAN))
-        == "scan"
+        == "shearwarp"
     )
     img_slice = np.asarray(pipeline.render(iv, cfg, renderer="slice"))
     img_scan = np.asarray(pipeline.render(iv, cfg, renderer="scan"))

@@ -140,3 +140,57 @@ def test_shearwarp_pallas_gradients(vol):
         # same warp-filter-level agreement as the forward
         sc = np.abs(a).max() + 1e-8
         assert np.quantile(np.abs(a - b), 0.99) / sc < 5e-2
+
+
+def test_rotated_flex_query_rides_shearwarp():
+    """Rotated flexible-block queries (8/9/0) on the object-order fast path:
+    the shear-warp axis permutation carries the per-axis filter-grid scales
+    (axis_scale), matching the scan marcher's unnormalized padded-grid fetch
+    (volumeRender_kernel.cu:654-680 at an arbitrary camera, :288-296).
+    Views cover all principal axes and both d_z signs on an ANISOTROPIC
+    block grid (6 x 4 x 8 blocks), so a mis-permuted or dropped axis_scale
+    cannot pass (the identity-scale control errs ~0.8 p98 here)."""
+    from vrdd_tpu.io.synthetic import gaussian_blob_volume
+    from vrdd_tpu.models.flexible import FlexibleBlockVolume
+    from vrdd_tpu.models.pipeline import RenderPipeline
+    from vrdd_tpu.models.renderer import flex_sample_fn
+    from vrdd_tpu.utils.config import CameraConfig, QueryMethod, RenderConfig
+
+    raw = (gaussian_blob_volume((24, 16, 32), seed=6) * 255).astype(np.float32)
+    fb = FlexibleBlockVolume.from_raw(raw, block_size=4, vmax=256.0)
+    pipe = RenderPipeline(flexible=fb)
+    config = RenderConfig(
+        camera=CameraConfig(width=64, height=64), density=0.2,
+        march=MARCH, query_method=QueryMethod.FLEX_ENTROPY,
+    )
+    views = [(20.0, -35.0), (0.0, 80.0), (80.0, 10.0), (0.0, 180.0)]
+    for rx, ry in views:
+        iv = inv_view_from_rotation_translation(rx, ry, (0.0, 0.0, -4.0))
+        # 'auto' routes rotated flex queries object-order (was: scan)
+        assert pipe.resolve_renderer("auto", iv, config) == "shearwarp"
+        got = np.asarray(pipe.render(iv, config, "shearwarp"))
+        ref = np.asarray(pipe.render(iv, config, "scan"))
+        assert np.isfinite(got).all()
+        diff = np.abs(got - ref)
+        assert np.quantile(diff, 0.98) < 0.08, (rx, ry, np.quantile(diff, 0.98))
+        assert diff.mean() < 0.012, (rx, ry, diff.mean())
+        assert ref[..., 3].max() > 0.1, (rx, ry)  # scene actually visible
+
+    # negative control: WITHOUT the scales the same render is far off —
+    # the tolerance above genuinely discriminates
+    grid = fb.stats_grid
+    padded = jnp.pad(jnp.asarray(grid), ((0, 1), (0, 1), (0, 1), (0, 0)))
+    iv = inv_view_from_rotation_translation(20.0, -35.0, (0.0, 0.0, -4.0))
+    bad = np.asarray(
+        shearwarp_render_image(
+            padded[..., 2], iv, 64, 64, TF, density=0.2, march=MARCH,
+            n_planes=128,
+        )
+    )
+    ref = np.asarray(
+        render_image(
+            flex_sample_fn(grid, 2), jnp.asarray(iv), 64, 64, TF,
+            march=MARCH, density=0.2,
+        )
+    )
+    assert np.quantile(np.abs(bad - ref), 0.98) > 0.3

@@ -143,6 +143,7 @@ def shearwarp_render_image(
     backend: str = "auto",
     tex_offset: float = 0.5,
     wrt: tuple = ("volume", "lut", "params"),
+    axis_scale=(1.0, 1.0, 1.0),
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA for an ARBITRARY view on the matmul sweep.
 
@@ -151,6 +152,12 @@ def shearwarp_render_image(
     view key compiles; on the xla backend the view is static per compile).
     ``oversample`` scales the intermediate m-grid resolution relative to the
     output image (2.0 keeps the warp's filtering loss ~1e-2).
+
+    ``axis_scale`` are per-WORLD-axis (sx, sy, sz) filter-grid scales (the
+    padded-grid form of the flexible-block unnormalized fetch,
+    volumeRender_kernel.cu:654-680); they are permuted together with the
+    volume axes, so rotated flexible-block queries (8/9/0) ride this fast
+    path too.
 
     ``backend``: 'xla' (march/slice.py sweep), 'pallas' (the fused TPU
     kernels of vrdd_tpu/pallas — the slope-space sweep is slope-grid-generic,
@@ -184,6 +191,9 @@ def shearwarp_render_image(
         opacity_threshold=march.opacity_threshold,
         box_min=(float(box_min[px]), float(box_min[py]), float(box_min[pz])),
         box_max=(float(box_max[px]), float(box_max[py]), float(box_max[pz])),
+    )
+    ascale_p = (
+        float(axis_scale[px]), float(axis_scale[py]), float(axis_scale[pz])
     )
 
     # bounding m-grid over the image's slopes (+ one-texel margin)
@@ -226,7 +236,7 @@ def shearwarp_render_image(
             length_correction=length_correction,
             # 0 = backend default (4: fastest measured for the fused bwd)
             plane_chunk=plane_chunk or 4,
-            tex_offset=tex_offset, wrt=wrt,
+            tex_offset=tex_offset, wrt=wrt, axis_scale=ascale_p,
         )
     else:
         img_m = sweep_slope_space(
@@ -235,7 +245,7 @@ def shearwarp_render_image(
             dz_sign=dz_sign, n_planes=n_planes,
             length_correction=length_correction, compute_dtype=compute_dtype,
             plane_chunk=plane_chunk or 8, use_custom_vjp=use_custom_vjp,
-            tex_offset=tex_offset,
+            tex_offset=tex_offset, axis_scale=ascale_p,
         )
 
     # final homography warp m-space -> pixels (static fractional indices)

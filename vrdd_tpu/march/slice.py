@@ -66,7 +66,7 @@ from vrdd_tpu.utils.config import MarchConfig
 
 def _axis_weights(
     coords: jnp.ndarray, n: int, lo: float, hi: float,
-    tex_offset: float = 0.5, scale: float = 1.0,
+    tex_offset: float = 0.5, scale: float = 1.0, linear: bool = True,
 ) -> jnp.ndarray:
     """Dense CUDA-model bilinear weight matrix (P, n) for world coords (P,).
 
@@ -89,6 +89,11 @@ def _axis_weights(
     xf = p01 * (n * scale) - tex_offset
     i0 = jnp.floor(xf)
     a = xf - i0
+    if not linear:
+        # CUDA point sampling T[clamp(floor(p01 * n * scale))]: snapping the
+        # lerp weight to the near tap selects exactly that texel (ties at
+        # a == 0.5 go up, matching floor(xf + 0.5))
+        a = jnp.floor(a + 0.5)
     i0i = i0.astype(jnp.int32)
     lo_idx = jnp.clip(i0i, 0, n - 1)
     hi_idx = jnp.clip(i0i + 1, 0, n - 1)
@@ -141,6 +146,7 @@ def sweep_slope_space(
     use_custom_vjp: bool = True,
     tex_offset: float = 0.5,
     axis_scale=(1.0, 1.0, 1.0),
+    filter_linear: bool = True,
 ) -> jnp.ndarray:
     """Plane sweep over a ray-slope grid: returns ``(Hi, Wi, 4)`` RGBA.
 
@@ -198,8 +204,16 @@ def sweep_slope_space(
     zf_all = (zs - zlo) / (zhi - zlo) * (nz * sz) - tex_offset
     iz0_all = np.floor(zf_all)
     az_all = (zf_all - iz0_all).astype(np.float32)
+    # BOTH taps clamp from the unclipped floor (the CUDA texture model and
+    # _axis_weights): for floor = -1 the pair is (0, 0) = the edge texel.
+    # Clipping iz0 first and adding 1 after leaked the below-range tap onto
+    # texel 1 — a half-texel band error at the low-z face, systematic (it
+    # does not shrink with n_planes) and visible on +z-looking cameras where
+    # the band is unoccluded (worst on coarse flexible-block grids).
+    if not filter_linear:  # point sampling: snap the z lerp to the near tap
+        az_all = np.floor(az_all + 0.5).astype(np.float32)
+    iz1_all = np.clip(iz0_all.astype(np.int64) + 1, 0, nz - 1)
     iz0_all = np.clip(iz0_all.astype(np.int64), 0, nz - 1)
-    iz1_all = np.clip(iz0_all + 1, 0, nz - 1)
     if np.all(az_all < 1e-6):
         planes_all = volume[jnp.asarray(iz0_all)]  # pure (reversed) selection
     else:
@@ -225,10 +239,10 @@ def sweep_slope_space(
         x_at = ox + (z[:, None] - oz) * mx[None, :]  # (C, W)
         y_at = oy + (z[:, None] - oz) * my[None, :]  # (C, H)
         wx = _axis_weights(
-            x_at.reshape(-1), nx, xlo, xhi, tex_offset, sx
+            x_at.reshape(-1), nx, xlo, xhi, tex_offset, sx, filter_linear
         ).reshape(chunk, width, nx).astype(dtype)
         wy = _axis_weights(
-            y_at.reshape(-1), ny, ylo, yhi, tex_offset, sy
+            y_at.reshape(-1), ny, ylo, yhi, tex_offset, sy, filter_linear
         ).reshape(chunk, height, ny).astype(dtype)
         tmp = jax.lax.dot_general(
             wy, planes.astype(dtype), (((2,), (1,)), ((0,), (0,))),
@@ -377,6 +391,7 @@ def slice_render_image(
     use_custom_vjp: bool = True,
     tex_offset: float = 0.5,
     axis_scale=(1.0, 1.0, 1.0),
+    filter_linear: bool = True,
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA by plane sweep (unrotated camera at ``origin``).
 
@@ -396,5 +411,5 @@ def slice_render_image(
         dz_sign=-1, n_planes=n_planes, length_correction=length_correction,
         compute_dtype=compute_dtype, plane_chunk=plane_chunk,
         use_custom_vjp=use_custom_vjp, tex_offset=tex_offset,
-        axis_scale=axis_scale,
+        axis_scale=axis_scale, filter_linear=filter_linear,
     )

@@ -214,18 +214,17 @@ class RenderPipeline:
         )
         if not (stats_ok or flex_ok):
             return "scan"
-        if not config.filter_linear:
-            # the reference's 'f' key: point sampling exists only on the
-            # scan marcher (the sweeps always filter linearly)
+        if not config.filter_linear and not unrotated:
+            # the reference's 'f' key at a rotated view: the shear-warp
+            # path's final bilinear image warp would re-soften the crisp
+            # point-sampled texels, so the scan marcher serves it; unrotated
+            # point sampling rides the sweeps (one-hot weight rows)
             return "scan"
         if not unrotated:
-            # flex + rotation: the shear-warp axis permutation would also
-            # permute the filter-grid scales — not wired; scan serves it
-            return (
-                "shearwarp"
-                if stats_ok and shearwarp_applicable(inv_view)
-                else "scan"
-            )
+            # rotated views object-order via the shear-warp factorization;
+            # flex queries ride it too (the axis permutation carries the
+            # filter-grid scales, march/shearwarp.py axis_scale)
+            return "shearwarp" if shearwarp_applicable(inv_view) else "scan"
         vol = self._stats_channel(method)
         if jax.default_backend() == "tpu" and pallas_supported(
             vol.shape, config.camera.width, config.camera.height,
@@ -272,6 +271,7 @@ class RenderPipeline:
                     vol, iv, config.camera.width, config.camera.height,
                     *params, march=config.march, n_planes=n_planes,
                     tex_offset=self._tex_offset(config.query_method),
+                    axis_scale=self._flex_axis_scale(config.query_method),
                     backend="auto",
                 )
             # XLA backend: slope grids embed as literals, so the view stays
@@ -316,6 +316,7 @@ class RenderPipeline:
         if renderer == "shearwarp":
             inv_view = np.frombuffer(iv_bytes, dtype=np.float32).reshape(3, 4)
             toff = self._tex_offset(method)
+            ascale = self._flex_axis_scale(method)
 
             @jax.jit
             def run_sw(volume, tf_lut, density, brightness, offset, scale):
@@ -326,13 +327,21 @@ class RenderPipeline:
                     volume, inv_view, width, height, tf_lut, density,
                     brightness, offset, scale, march=march,
                     n_planes=max(64, 2 * volume.shape[0]),
-                    tex_offset=toff, backend="xla",
+                    tex_offset=toff, axis_scale=ascale, backend="xla",
                 )
 
             return run_sw
         if renderer in ("slice", "pallas"):
             toff = self._tex_offset(method)
             ascale = self._flex_axis_scale(method)
+            # point filtering ('f' key) applies to the stats-volume fetch of
+            # queries 1-6 only — query 7 interpolates manually and the
+            # flexible-block texture is always linear in the reference
+            # (mirrors sample_source's linear handling)
+            flin = linear or QueryMethod(method) in (
+                QueryMethod.INTERP_MEAN, QueryMethod.FLEX_ENTROPY,
+                QueryMethod.FLEX_MEAN, QueryMethod.FLEX_VARIANCE,
+            )
 
             @jax.jit
             def run_obj(volume, inv_view, tf_lut, density, brightness,
@@ -344,11 +353,12 @@ class RenderPipeline:
                         volume, origin, tf_lut, density, brightness,
                         offset, scale, width=width, height=height, march=march,
                         n_planes=n_planes, tex_offset=toff, axis_scale=ascale,
+                        filter_linear=flin,
                     )
                 return slice_render_image(
                     volume, origin, width, height, tf_lut, density,
                     brightness, offset, scale, march=march, n_planes=n_planes,
-                    tex_offset=toff, axis_scale=ascale,
+                    tex_offset=toff, axis_scale=ascale, filter_linear=flin,
                 )
 
             return run_obj

@@ -193,7 +193,8 @@ def _tf_coef_matrix(n: int) -> np.ndarray:
 
 
 def _tent_weights(coords, n: int, lo: float, hi: float,
-                  tex_offset: float = 0.5, scale: float = 1.0):
+                  tex_offset: float = 0.5, scale: float = 1.0,
+                  linear: bool = True):
     """(P,) world coords -> (P, n) bilinear weights + (P,) in-box f32 mask.
 
     Tent identity: with ``q = clip(u * n * scale - tex_offset, 0, n - 1)``,
@@ -205,6 +206,10 @@ def _tent_weights(coords, n: int, lo: float, hi: float,
     unnormalized fetch ``p01 * n_blocks - 0.5`` on an (n_blocks + 1)
     zero-padded grid => scale = n_blocks / (n_blocks + 1); see
     march/slice.py _axis_weights).
+    ``linear=False`` is CUDA point sampling (``T[clamp(floor(u * n))]``, the
+    reference's 'f' key): rounding q snaps the tent to a one-hot row —
+    ``floor(q + 0.5) == clamp(floor(p01 * n * scale))`` exactly, including
+    at the clamped edges.
     In-box rows always sum to exactly 1, so the returned mask doubles as the
     per-axis coverage predicate — NEVER reduce the weight matrix to test
     coverage (a cross-lane ``sum(w, axis=1)`` per grid step costs ~10x the
@@ -212,6 +217,8 @@ def _tent_weights(coords, n: int, lo: float, hi: float,
     """
     p01 = (coords - lo) / (hi - lo)
     q = jnp.clip(p01 * (n * scale) - tex_offset, 0.0, n - 1.0)
+    if not linear:
+        q = jnp.floor(q + 0.5)
     l = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], n), 1).astype(
         jnp.float32
     )
@@ -476,7 +483,7 @@ def _make_kernel(
     dz_sign, box_min, box_max, tstep: float, threshold: float,
     length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
     tex_offset: float = 0.5, ess: bool = False, seed: bool = False,
-    axis_scale=(1.0, 1.0), ck_stride: int = 0,
+    axis_scale=(1.0, 1.0), ck_stride: int = 0, filter_linear: bool = True,
 ):
     """``seed``: the accumulator initializes from a traced RGBA input image
     instead of zeros — "resume a sweep mid-flight". The distributed
@@ -674,7 +681,7 @@ def _make_kernel(
                 z = zs_ref[0, k * pchunk + i]
                 x_at = ox + (z - oz) * mx_all
                 wx, inbox_x = _tent_weights(x_at, NX, xlo, xhi, tex_offset,
-                                            sxs)
+                                            sxs, linear=filter_linear)
                 wx_ref[i] = wx.astype(mm_dtype)
                 ibx_ref[i] = inbox_x[None, :]
 
@@ -687,7 +694,8 @@ def _make_kernel(
             for i in range(pchunk):
                 z = zs_ref[0, k * pchunk + i]
                 y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
-                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset, sys)
+                wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset, sys,
+                                      linear=filter_linear)
                 tmp_ref[i] = jnp.dot(
                     wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
@@ -818,14 +826,15 @@ def _make_kernel(
 
 
 def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
-                     tex_offset=0.5, z_scale=1.0):
+                     tex_offset=0.5, z_scale=1.0, filter_linear=True):
     """Front-to-back plane stack: CUDA-model z-resample via static two-tap
-    gather lerp (march/slice.py:186-190 semantics — index clamp, az from the
-    unclipped floor). Static indices lower to slices, so this is exact f32
-    at memory-bound cost; the earlier (n_planes, nz) MXU formulation ran at
-    the TPU's default bf16 matmul precision and silently rounded the volume
-    to ~2e-3 (caught by the distributed sweep's exact static-tap pre-blend,
-    parallel/sweep.py)."""
+    gather lerp (march/slice.py sweep_slope_space semantics — BOTH taps
+    clamp from the unclipped floor, so a below-range sample hits the edge
+    texel twice, exactly like the texture unit). Static indices lower to
+    slices, so this is exact f32 at memory-bound cost; the earlier
+    (n_planes, nz) MXU formulation ran at the TPU's default bf16 matmul
+    precision and silently rounded the volume to ~2e-3 (caught by the
+    distributed sweep's exact static-tap pre-blend, parallel/sweep.py)."""
     nz, ny, nx = volume.shape
     zlo, zhi = box_min[2], box_max[2]
     spacing = (zhi - zlo) / n_planes
@@ -835,11 +844,15 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
     if dz_sign < 0:
         zs = zs[::-1]
     zf_all = (zs - zlo) / (zhi - zlo) * (nz * z_scale) - tex_offset
-    iz0 = np.clip(np.floor(zf_all).astype(np.int64), 0, nz - 1)
     az = (zf_all - np.floor(zf_all)).astype(np.float32)
+    if not filter_linear:  # point sampling: snap the lerp to the near tap
+        az = np.floor(az + 0.5).astype(np.float32)
+    iz1 = np.clip(np.floor(zf_all).astype(np.int64) + 1, 0, nz - 1)
+    iz0 = np.clip(np.floor(zf_all).astype(np.int64), 0, nz - 1)
     if np.all(az < 1e-6):
         return volume[jnp.asarray(iz0)], zs  # pure (reversed) selection
-    iz1 = np.clip(iz0 + 1, 0, nz - 1)
+    if not filter_linear and np.all(az > 1 - 1e-6):
+        return volume[jnp.asarray(iz1)], zs  # pure selection, upper taps
     azj = jnp.asarray(az)[:, None, None]
     planes = (
         volume[jnp.asarray(iz0)] * (1.0 - azj)
@@ -908,21 +921,21 @@ def _pixel_slopes(width: int, height: int, focal: float):
     static_argnames=(
         "dz_sign", "width", "height", "march", "n_planes",
         "length_correction", "precision", "plane_chunk", "tex_offset",
-        "empty_space_skip", "axis_scale",
+        "empty_space_skip", "axis_scale", "filter_linear",
     ),
 )
 def _sweep_call(
     volume, origin, slopes, tf_lut, density, brightness, transfer_offset,
     transfer_scale, ess_stats=None, *, dz_sign, width, height, march,
     n_planes, length_correction, precision, plane_chunk, tex_offset=0.5,
-    empty_space_skip=False, axis_scale=(1.0, 1.0, 1.0),
+    empty_space_skip=False, axis_scale=(1.0, 1.0, 1.0), filter_linear=True,
 ):
     nz, ny, nx = volume.shape
     pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx, width)
 
     planes_all, zs = _preblend_planes(
         volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset,
-        z_scale=axis_scale[2],
+        z_scale=axis_scale[2], filter_linear=filter_linear,
     )
     return sweep_preblended_planes(
         planes_all, jnp.asarray(zs), origin, slopes, tf_lut, density,
@@ -931,7 +944,7 @@ def _sweep_call(
         length_correction=length_correction, precision=precision,
         plane_chunk=pchunk, tex_offset=tex_offset,
         empty_space_skip=empty_space_skip, axis_scale=axis_scale[:2],
-        ess_stats=ess_stats,
+        ess_stats=ess_stats, filter_linear=filter_linear,
     )
 
 
@@ -941,7 +954,7 @@ def sweep_preblended_planes(
     march: MarchConfig = MarchConfig(), length_correction=True,
     precision="f32", plane_chunk=8, tex_offset=0.5, empty_space_skip=False,
     acc_init=None, plane_spacing=None, axis_scale=(1.0, 1.0),
-    ess_stats=None,
+    ess_stats=None, filter_linear=True,
 ):
     """Fused sweep over an ALREADY pre-blended, front-to-back plane stack.
 
@@ -993,6 +1006,7 @@ def sweep_preblended_planes(
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, mm_dtype, pchunk, tex_offset=tex_offset,
         ess=empty_space_skip, seed=seed, axis_scale=tuple(axis_scale),
+        filter_linear=filter_linear,
     )
     in_specs, out_spec, scratch, grid = _sweep_specs(
         height, width, ny, nx, n_planes, n_lut, pchunk, ess=empty_space_skip,
@@ -1051,6 +1065,7 @@ def pallas_sweep_slope_space(
     empty_space_skip: bool = False,
     axis_scale=(1.0, 1.0, 1.0),
     ess_stats=None,
+    filter_linear: bool = True,
 ) -> jnp.ndarray:
     """Fused plane sweep over a UNIFORM ray-slope grid: (Hm, Wm, 4) RGBA.
 
@@ -1089,7 +1104,7 @@ def pallas_sweep_slope_space(
             length_correction=length_correction,
             precision=precision, plane_chunk=plane_chunk,
             tex_offset=float(tex_offset), empty_space_skip=empty_space_skip,
-            axis_scale=tuple(axis_scale),
+            axis_scale=tuple(axis_scale), filter_linear=filter_linear,
         ))
     out = bands[0] if len(bands) == 1 else jnp.concatenate(bands, axis=0)
     return out[:Hm, :Wm]
@@ -1116,6 +1131,7 @@ def pallas_slice_render(
     empty_space_skip: bool = False,
     axis_scale=(1.0, 1.0, 1.0),
     ess_stats=None,
+    filter_linear: bool = True,
 ) -> jnp.ndarray:
     """Fused forward render; same semantics as slice_render_image.
 
@@ -1136,5 +1152,5 @@ def pallas_slice_render(
         n_planes=n_planes, length_correction=length_correction,
         precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
         empty_space_skip=empty_space_skip, axis_scale=axis_scale,
-        ess_stats=ess_stats,
+        ess_stats=ess_stats, filter_linear=filter_linear,
     )

@@ -225,16 +225,17 @@ def _sweep_slope_space_call(
         lf = lf[::-1]  # front-to-back for dz < 0: descending z
     iz0_host = np.floor(lf).astype(np.int32)
     az_host = (lf - np.floor(lf)).astype(np.float32)[:, None, None]
-    # low-z boundary quirk: the single-device z pre-blend (march/slice.py:
-    # 186-190, pallas _preblend_planes) INDEX-clamps — floor(zf) = -1 clips
-    # to texel 0 but keeps iz1 = 1, so the below-range tap leaks onto
-    # texel 1 instead of clamping the coordinate. Only planes with
-    # lf < 1 on device 0 see this (typically one); they are corrected
-    # per-device below for bit parity with the unsharded sweep.
-    lowz_idx = [int(i) for i in np.nonzero(lf < 1.0)[0]]
+    # low-z boundary: any plane with lf < 1 on device 0 samples below the
+    # volume; _halo_exchange replicates the edge layer into the ghost, so
+    # the two-tap lerp equals the clamped edge texel identically — the same
+    # clamp-from-the-unclipped-floor semantics as the single-device
+    # pre-blends (march/slice.py, pallas _preblend_planes) and the CUDA
+    # texture unit. (An earlier revision of those pre-blends leaked the
+    # below-range tap onto texel 1 and this path patched device 0's planes
+    # to match; both sides now clamp properly.)
     # n_planes == nz lands planes exactly on layers: pure (reversed) layer
     # selection, no lerp, no halo taps (mirrors _preblend_planes)
-    pure_select = bool(np.all(az_host < 1e-6)) and not lowz_idx
+    pure_select = bool(np.all(az_host < 1e-6)) and bool(np.all(lf >= 1.0))
 
     hl = height // nr
     ppd = n_planes // nb  # planes per device slab
@@ -273,12 +274,6 @@ def _sweep_slope_space_call(
                 padded[jnp.asarray(iz0_host)] * (1.0 - az_host)
                 + padded[jnp.asarray(iz0_host + 1)] * az_host
             )
-            for i in lowz_idx:  # device 0's index-clamp quirk (host setup)
-                a = float(az_host[i, 0, 0])
-                corr = (1.0 - a) * padded[1] + a * padded[2]
-                planes = planes.at[i].set(
-                    jnp.where(d == 0, corr, planes[i])
-                )
         zs_ftb = (
             jnp.flip(zs_local, axis=0) if dz_sign < 0 else zs_local
         )  # front-to-back order
