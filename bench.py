@@ -186,12 +186,15 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=4, help="amortized inner iterations")
     p.add_argument(
         "--sections",
-        default=os.environ.get("VRDD_BENCH_SECTIONS", "headline,decode,dist"),
+        default=os.environ.get(
+            "VRDD_BENCH_SECTIONS", "headline,decode,dist,view"
+        ),
         help="comma list of sections to run, in order: headline (forward "
         "MTexels/s + fwd+bwd Mrays/s — the metric), decode (Gaussian + "
         "hist16 differentiable decode), dist (distributed overhead + "
-        "roofline). A JSON line is (re-)emitted after every measurement; "
-        "last line wins.",
+        "roofline), view (interactive-viewer fps at the reference's 512^2 "
+        "Isabel config). A JSON line is (re-)emitted after every "
+        "measurement; last line wins.",
     )
     p.add_argument("--full", action="store_true",
                    help="also time ESS-windowed-TF and distributed-Gaussian "
@@ -319,6 +322,11 @@ def main() -> None:
              f"{hist_mrays:.1f} Mrays/s")
         out["hist16_decode_fwdbwd_mrays"] = round(hist_mrays, 2)
         emit(out)
+        hist_stream = decode_config_hist16_streamed(nd, Wd, K, tf, origin)
+        note(f"fwd+bwd STREAMED 16-bin-histogram-decode {Wd}^2 over {nd}^3: "
+             f"{hist_stream:.1f} Mrays/s")
+        out["hist16_streamed_fwdbwd_mrays"] = round(hist_stream, 2)
+        emit(out)
 
     if "dist" in sections:
         # --- distributed-vs-unsharded per-chip overhead (the scaling proxy
@@ -344,6 +352,14 @@ def main() -> None:
                     ).items()
                 })
                 emit(out)
+
+    if "view" in sections:
+        fps_unrot, fps_rot = viewer_fps_config(K)
+        note(f"viewer 512^2 Isabel config: {fps_unrot:.1f} fps unrotated, "
+             f"{fps_rot:.1f} fps under rotation drag (reference: 60 fps)")
+        out["viewer_fps_512"] = round(fps_unrot, 1)
+        out["viewer_fps_rotated_512"] = round(fps_rot, 1)
+        emit(out)
 
     if args.full:
         out.update(bench_variants(n, W, K, vol, tf, origin, use_pallas_diff))
@@ -525,6 +541,85 @@ def decode_config_hist16(n, W, K, tf, origin):
 
     dt, _ = time_amortized(fwdbwd, hist, tf, origin, iters=K)
     return W * W / dt / 1e6
+
+
+def decode_config_hist16_streamed(n, W, K, tf, origin):
+    """BASELINE config 4 with the decode STREAMED into the sweep: per-voxel
+    16-bin histograms are decoded per plane-chunk inside seeded chunk sweeps
+    (march/streaming.py), so neither the decoded scalar volume nor the
+    plane-stack residuals ever materialize in HBM — the in-march decode of
+    the reference's query 7 generalized to every distribution family
+    (volumeRender_kernel.cu:354-480). Same loss/grads as
+    decode_config_hist16.
+
+    This is the MEMORY mode, not the speed mode: measured 2026-08 at
+    256^3/512^2, remat costs an extra decode + forward-sweep replay
+    (20.1 ms vs 11.0 ms materialized; chunked-no-remat 14.7, single-chunk
+    16.5/11.8) — at sizes where everything fits, XLA already streams the
+    materialized decode optimally. The win is peak HBM: ~2x the decoded
+    volume + plane residuals, which raises the largest differentiable
+    Gaussian-decode volume from <= 768^3 (materialized OOM at 896^3) to
+    896^3 on a 16 GB chip (PARITY.md round 3)."""
+    from vrdd_tpu.march.streaming import streaming_decode_render
+    from vrdd_tpu.ops.histogram import flex_block_stats
+
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (n, n, n, 16), dtype=jnp.float32)
+    hist = jax.nn.softmax(2.0 * logits, axis=-1)
+
+    def decode(h):
+        return flex_block_stats(h, channels=(0,))[..., 0] / 255.0
+
+    @jax.jit
+    def fwdbwd(hist, tf, o):
+        def loss(hist, tf, i):
+            img = streaming_decode_render(
+                hist * (1.0 + 1e-6 * i), decode, o, tf, width=W, height=W,
+                n_planes=n, chunk_planes=64, backend="auto",
+            )
+            return jnp.mean((img - 0.25) ** 2)
+
+        def it(i, acc):
+            l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(hist, tf, i)
+            return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0]
+
+        return jax.lax.fori_loop(0, K, it, 0.0)
+
+    dt, _ = time_amortized(fwdbwd, hist, tf, origin, iters=K)
+    return W * W / dt / 1e6
+
+
+def viewer_fps_config(K):
+    """Interactive-viewer frame rate through the viewer's EXACT frame path
+    (ViewerServer.render_frame: pipeline auto-render + uint8 pack + bytes),
+    at the reference's interactive config — 512^2 image over the
+    Isabel-shaped decoded stats volume (presentation.pdf "Frame rate:
+    60 fps" on a Quadro K5000). Two regimes: the fixed benchmark view
+    (object-order fused path) and a continuous rotation drag (shear-warp
+    path, slope grids traced so dragging never recompiles)."""
+    from vrdd_tpu.io.synthetic import random_histogram_volume
+    from vrdd_tpu.models.pipeline import RenderPipeline
+    from vrdd_tpu.models.volumes import RawHistogramVolume
+    from vrdd_tpu.viewer import ViewerServer
+
+    hist = random_histogram_volume((10, 50, 50), n_bins=32, seed=0)
+    pipe = RenderPipeline(raw=RawHistogramVolume(jnp.asarray(hist)))
+    srv = ViewerServer(pipe, width=512, height=512, port=0)
+    try:
+        n_frames = max(8, 4 * K)
+        srv.render_frame({})  # compile the unrotated fast path
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            srv.render_frame({"density": 0.05 + 1e-7 * i})
+        fps_unrot = n_frames / (time.perf_counter() - t0)
+        srv.render_frame({"rx": 10.0, "ry": 5.0})  # compile shear-warp
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            srv.render_frame({"rx": 10.0 + 0.05 * i, "ry": 5.0})
+        fps_rot = n_frames / (time.perf_counter() - t0)
+    finally:
+        srv.httpd.server_close()
+    return fps_unrot, fps_rot
 
 
 def dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff):

@@ -100,3 +100,28 @@ def test_densify_sparse_histograms():
     expected[0, 3] = 0.5
     expected[1, 2] = 1.0
     np.testing.assert_allclose(dense, expected)
+
+
+def test_gaussian_stats_pinned_constants():
+    """Pins the Gaussian decode's exact semantics — mean/variance are the
+    moments; the entropy channel is a FRAMEWORK EXTENSION (no reference
+    counterpart, see ops/gaussian.py): logistic(0.5*log2(2*pi*e*sigma^2)/8).
+    Any change to the /8 temperature or the squash breaks these literals."""
+    from vrdd_tpu.ops.gaussian import gaussian_stats
+
+    mu = jnp.asarray([0.3, -1.0, 2.0])
+    sigma = jnp.asarray([0.1, 1.0, 4.0])
+    got = np.asarray(gaussian_stats(mu, sigma))
+    expected = np.array([
+        [0.3, 0.01, 0.46024558],
+        [-1.0, 1.0, 0.56362492],
+        [2.0, 16.0, 0.62384176],
+    ], dtype=np.float32)
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-7)
+    # analytic cross-check of the formula itself at sigma = 1
+    ent_bits = 0.5 * np.log2(2 * np.pi * np.e)
+    np.testing.assert_allclose(
+        got[1, 2], 1.0 / (1.0 + np.exp(-ent_bits / 8.0)), rtol=1e-6
+    )
+    # monotone in sigma, bounded in [0, 1)
+    assert got[0, 2] < got[1, 2] < got[2, 2] < 1.0

@@ -164,3 +164,34 @@ def test_pallas_flex_axis_scale_matches_slice():
         ))
     diff = np.abs(got - ref)
     assert np.quantile(diff, 0.999) < 1e-4, np.quantile(diff, 0.999)
+
+
+def test_empty_space_skip_with_axis_scale():
+    """ESS + flexible-block filter scales: the bitmap's footprint math now
+    carries the scaled texel mapping (u * N * s - tex_offset), so flex
+    queries (8/9/0) benefit from TF-interval culling too. Skipping must stay
+    EXACT: ESS == no-ESS bitwise-comparable on a sparse padded grid under a
+    windowed TF."""
+    rng = np.random.default_rng(11)
+    nzb, nyb, nxb = 10, 12, 12
+    grid = np.zeros((nzb, nyb, nxb), dtype=np.float32)
+    grid[3:6, 4:9, 4:9] = rng.uniform(0.7, 1.0, (3, 5, 5)).astype(np.float32)
+    padded = jnp.asarray(np.pad(grid, ((0, 1), (0, 1), (0, 1))))
+    scale = (nxb / (nxb + 1), nyb / (nyb + 1), nzb / (nzb + 1))
+    lut = np.zeros((8, 4), dtype=np.float32)
+    lut[:, 0] = np.linspace(0, 1, 8)
+    lut[5:, 3] = [0.3, 0.7, 1.0]
+    tf = jnp.asarray(lut)
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    kw = dict(width=128, height=128, n_planes=32, density=0.8,
+              axis_scale=scale)
+    with pltpu.force_tpu_interpret_mode():
+        ess = np.asarray(pallas_slice_render(
+            padded, o, tf, **kw, empty_space_skip=True))
+        no_ess = np.asarray(pallas_slice_render(padded, o, tf, **kw))
+    np.testing.assert_allclose(ess, no_ess, atol=1e-6)
+    assert ess.max() > 0  # the blob still renders
+    ref = np.asarray(slice_render_image(
+        padded, o, kw["width"], kw["height"], tf, kw["density"],
+        n_planes=kw["n_planes"], axis_scale=scale))
+    assert np.quantile(np.abs(ess - ref), 0.999) < 1e-4

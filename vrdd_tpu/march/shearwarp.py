@@ -38,6 +38,7 @@ sweep has an analytic custom VJP).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -99,6 +100,71 @@ def shearwarp_applicable(
     return ok
 
 
+def _bilinear_warp_2d_traced(
+    img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray
+) -> jnp.ndarray:
+    """Traced twin of :func:`_bilinear_warp_2d`: the index maps are DATA, so
+    one compiled executable serves every view (the eager host-index version
+    dispatches ~15 device ops per frame — ~200 ms/frame over a tunneled
+    remote chip)."""
+    hi, wi = img.shape[0], img.shape[1]
+    x0 = jnp.clip(jnp.floor(ix).astype(jnp.int32), 0, wi - 1)
+    y0 = jnp.clip(jnp.floor(iy).astype(jnp.int32), 0, hi - 1)
+    x1 = jnp.clip(x0 + 1, 0, wi - 1)
+    y1 = jnp.clip(y0 + 1, 0, hi - 1)
+    fx = (ix - jnp.floor(ix))[..., None]
+    fy = (iy - jnp.floor(iy))[..., None]
+    c00 = img[y0, x0]
+    c01 = img[y0, x1]
+    c10 = img[y1, x0]
+    c11 = img[y1, x1]
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c01 * fx * (1 - fy)
+        + c10 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "wi", "hi", "march", "dz_sign", "n_planes", "length_correction",
+        "plane_chunk", "tex_offset", "wrt", "axis_scale", "perm_axes",
+        "pack_u8",
+    ),
+)
+def _pallas_frame(
+    volume, origin_p, slopes, ix, iy, tf_lut, density, brightness,
+    transfer_offset, transfer_scale, *, wi, hi, march, dz_sign, n_planes,
+    length_correction, plane_chunk, tex_offset, wrt, axis_scale, perm_axes,
+    pack_u8,
+):
+    """ONE jitted dispatch per rotated frame: axis permutation + fused
+    m-space sweep + homography warp (+ optional uint8 pack). Everything
+    view-dependent (origin, slope-grid params, warp index maps) is traced
+    data; only the principal-axis permutation and dz_sign key compiles —
+    interactive dragging re-renders through one cached executable instead
+    of ~15 eager dispatches (each a round trip on remote-attached TPUs)."""
+    from vrdd_tpu.pallas.slice_vjp import _diff_call, _norm_wrt
+
+    vol_perm = jnp.transpose(volume, perm_axes)
+    img_m = _diff_call(
+        vol_perm, origin_p, slopes, tf_lut, density, brightness,
+        transfer_offset, transfer_scale, dz_sign=dz_sign, width=wi,
+        height=hi, march=march, n_planes=n_planes,
+        length_correction=length_correction, precision="f32",
+        plane_chunk=plane_chunk, tex_offset=tex_offset, wrt=_norm_wrt(wrt),
+        axis_scale=axis_scale,
+    )
+    img = _bilinear_warp_2d_traced(img_m, ix, iy)
+    if pack_u8:
+        from vrdd_tpu.core.image import rgba_to_uint8
+
+        return rgba_to_uint8(img)
+    return img
+
+
 def _bilinear_warp_2d(
     img: jnp.ndarray, ix: np.ndarray, iy: np.ndarray
 ) -> jnp.ndarray:
@@ -144,6 +210,7 @@ def shearwarp_render_image(
     tex_offset: float = 0.5,
     wrt: tuple = ("volume", "lut", "params"),
     axis_scale=(1.0, 1.0, 1.0),
+    pack_u8: bool = False,
 ) -> jnp.ndarray:
     """Render ``(H, W, 4)`` RGBA for an ARBITRARY view on the matmul sweep.
 
@@ -176,9 +243,9 @@ def shearwarp_render_image(
         )
 
     # permute volume (Z, Y, X) axes so the principal world axis becomes z'.
-    # volume array axis for world axis w is (2 - w).
+    # volume array axis for world axis w is (2 - w). (The pallas branch
+    # permutes INSIDE its one jitted frame call.)
     volume = jnp.asarray(volume)
-    vol_perm = jnp.transpose(volume, (2 - pz, 2 - py, 2 - px))
     origin_w = inv_view[:, 3]
     origin_p = np.array(
         [origin_w[px], origin_w[py], origin_w[pz]], dtype=np.float32
@@ -226,29 +293,45 @@ def shearwarp_render_image(
     mx = np.linspace(mx_lo - mx_pad, mx_hi + mx_pad, wi, dtype=np.float32)
     my = np.linspace(my_lo - my_pad, my_hi + my_pad, hi, dtype=np.float32)
 
-    if backend == "pallas":
-        from vrdd_tpu.pallas.slice_vjp import pallas_sweep_slope_space_diff
-
-        img_m = pallas_sweep_slope_space_diff(
-            vol_perm, jnp.asarray(origin_p), mx, my, tf_lut,
-            density, brightness, transfer_offset, transfer_scale,
-            march=march_p, dz_sign=dz_sign, n_planes=n_planes,
-            length_correction=length_correction,
-            # 0 = backend default (4: fastest measured for the fused bwd)
-            plane_chunk=plane_chunk or 4,
-            tex_offset=tex_offset, wrt=wrt, axis_scale=ascale_p,
-        )
-    else:
-        img_m = sweep_slope_space(
-            vol_perm, origin_p, mx, my, tf_lut,
-            density, brightness, transfer_offset, transfer_scale, march_p,
-            dz_sign=dz_sign, n_planes=n_planes,
-            length_correction=length_correction, compute_dtype=compute_dtype,
-            plane_chunk=plane_chunk or 8, use_custom_vjp=use_custom_vjp,
-            tex_offset=tex_offset, axis_scale=ascale_p,
-        )
-
-    # final homography warp m-space -> pixels (static fractional indices)
+    # homography warp index maps m-space -> pixels (host fractional indices)
     ix = (mx_all - mx[0]) / (mx[-1] - mx[0]) * (wi - 1)
     iy = (my_all - my[0]) / (my[-1] - my[0]) * (hi - 1)
-    return _bilinear_warp_2d(img_m, ix, iy)
+
+    if backend == "pallas":
+        if n_planes <= 0:
+            n_planes = 2 * int(volume.shape[2 - pz])
+        slopes_vec = jnp.asarray(
+            [mx[0], (mx[-1] - mx[0]) / (wi - 1),
+             my[0], (my[-1] - my[0]) / (hi - 1)], jnp.float32,
+        )
+        return _pallas_frame(
+            jnp.asarray(volume), jnp.asarray(origin_p), slopes_vec,
+            jnp.asarray(ix), jnp.asarray(iy), tf_lut,
+            jnp.asarray(density, jnp.float32),
+            jnp.asarray(brightness, jnp.float32),
+            jnp.asarray(transfer_offset, jnp.float32),
+            jnp.asarray(transfer_scale, jnp.float32),
+            wi=wi, hi=hi, march=march_p, dz_sign=dz_sign, n_planes=n_planes,
+            length_correction=length_correction,
+            # 0 = backend default (4: fastest measured for the fused bwd)
+            plane_chunk=plane_chunk or 4, tex_offset=tex_offset,
+            wrt=tuple(wrt), axis_scale=ascale_p,
+            perm_axes=(2 - pz, 2 - py, 2 - px), pack_u8=pack_u8,
+        )
+    vol_perm = jnp.transpose(volume, (2 - pz, 2 - py, 2 - px))
+    img_m = sweep_slope_space(
+        vol_perm, origin_p, mx, my, tf_lut,
+        density, brightness, transfer_offset, transfer_scale, march_p,
+        dz_sign=dz_sign, n_planes=n_planes,
+        length_correction=length_correction, compute_dtype=compute_dtype,
+        plane_chunk=plane_chunk or 8, use_custom_vjp=use_custom_vjp,
+        tex_offset=tex_offset, axis_scale=ascale_p,
+    )
+
+    # final warp (static fractional indices, XLA view-static branch)
+    img = _bilinear_warp_2d(img_m, ix, iy)
+    if pack_u8:
+        from vrdd_tpu.core.image import rgba_to_uint8
+
+        return rgba_to_uint8(img)
+    return img

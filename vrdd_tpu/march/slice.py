@@ -183,17 +183,6 @@ def sweep_slope_space(
     if dz_sign < 0:
         zs = zs[::-1].copy()
 
-    # Per-ray world path length through one slab: dz * |d| / |d_z|.
-    stretch = np.sqrt(1.0 + my[:, None] ** 2 + mx[None, :] ** 2)
-    alpha_scale = (
-        (spacing * stretch / march.tstep).astype(np.float32)
-        if length_correction
-        else np.ones((height, width), dtype=np.float32)
-    )
-
-    dtype = compute_dtype
-    thr = march.opacity_threshold
-
     # Pre-blend all sampling planes with static two-tap gather lerps (two
     # CUDA-model bilinear weights per plane; index clamp, az from the
     # unclipped floor). Outside the sweep, so the volume cotangent is a pair
@@ -223,6 +212,81 @@ def sweep_slope_space(
             + volume[jnp.asarray(iz1_all)] * azj
         )
 
+    return sweep_preblended_planes_xla(
+        planes_all, zs, origin, mx, my, tf_lut, density, brightness,
+        transfer_offset, transfer_scale, march, dz_sign=dz_sign,
+        plane_spacing=spacing, length_correction=length_correction,
+        compute_dtype=compute_dtype, plane_chunk=plane_chunk,
+        use_custom_vjp=use_custom_vjp, tex_offset=tex_offset,
+        axis_scale=(sx, sy), filter_linear=filter_linear,
+    )
+
+
+def sweep_preblended_planes_xla(
+    planes_all,
+    zs: np.ndarray,
+    origin,
+    mx: np.ndarray,
+    my: np.ndarray,
+    tf_lut: jnp.ndarray,
+    density: jnp.ndarray = 0.05,
+    brightness: jnp.ndarray = 1.0,
+    transfer_offset: jnp.ndarray = 0.0,
+    transfer_scale: jnp.ndarray = 1.0,
+    march: MarchConfig = MarchConfig(),
+    *,
+    dz_sign: int = -1,
+    plane_spacing=None,
+    length_correction: bool = True,
+    compute_dtype=jnp.float32,
+    plane_chunk: int = 8,
+    use_custom_vjp: bool = True,
+    tex_offset: float = 0.5,
+    axis_scale=(1.0, 1.0),
+    filter_linear: bool = True,
+    acc_init=None,
+) -> jnp.ndarray:
+    """Masked-scan sweep over an ALREADY pre-blended plane stack.
+
+    The XLA twin of the fused kernels' ``sweep_preblended_planes(_diff)``
+    (pallas/slice_kernel.py / slice_vjp.py): ``planes_all (P, NY, NX)`` is a
+    front-to-back plane stack, ``zs (P,)`` its HOST-side plane depths, and
+    ``acc_init`` an optional (H, W, 4) premultiplied-RGBA seed that resumes
+    the "over" recursion mid-flight — seeded pixels past the opacity
+    threshold freeze instantly. ``plane_spacing`` must be the FULL stack's
+    inter-plane distance when ``planes_all`` is a partial stack (a streamed
+    decode chunk, a z-slab).
+
+    The custom VJP produces cotangents for the plane stack, TF LUT, render
+    params AND the seed (``d seed_rgb = g_rgb``, ``d seed_a = g_a -
+    P_total / T_0`` with ``T_0 = 1 - seed_a`` — the same seed-cotangent
+    algebra as the fused kernel, slice_vjp.py _make_diff_sweep), so chained
+    chunk sweeps backpropagate exactly.
+    """
+    planes_all = jnp.asarray(planes_all)
+    n_planes, ny, nx = planes_all.shape
+    origin = jnp.asarray(origin, dtype=jnp.float32)
+    (xlo, ylo, zlo) = march.box_min
+    (xhi, yhi, zhi) = march.box_max
+    mx = np.asarray(mx, dtype=np.float32)
+    my = np.asarray(my, dtype=np.float32)
+    width, height = mx.shape[0], my.shape[0]
+    zs = np.asarray(zs, dtype=np.float32)
+    sx, sy = axis_scale
+    if plane_spacing is None:
+        plane_spacing = (zhi - zlo) / n_planes
+
+    # Per-ray world path length through one slab: dz * |d| / |d_z|.
+    stretch = np.sqrt(1.0 + my[:, None] ** 2 + mx[None, :] ** 2)
+    alpha_scale = (
+        (plane_spacing * stretch / march.tstep).astype(np.float32)
+        if length_correction
+        else np.ones((height, width), dtype=np.float32)
+    )
+
+    dtype = compute_dtype
+    thr = march.opacity_threshold
+
     chunk = plane_chunk
     while n_planes % chunk:
         chunk -= 1
@@ -230,12 +294,16 @@ def sweep_slope_space(
     zs_c = jnp.asarray(zs.reshape(n_chunks, chunk))
     planes_c = planes_all.reshape(n_chunks, chunk, ny, nx)
 
-    def chunk_rgba(z, planes, lut, density_, toff, tscl):
+    def chunk_rgba(z, planes, lut, density_, toff, tscl, orig):
         """Per-plane premultiplied RGBA for one chunk: (C, H, W, 4).
 
         Everything except compositing: separable resample (batched matmuls),
         TF lookup, opacity scaling and coverage masking.
         """
+        # origin is an EXPLICIT argument (not a closure): a closed-over
+        # origin tracer leaks out of the custom_vjp under jax.checkpoint
+        # (the streamed-decode chunk bodies remat this whole sweep)
+        ox, oy, oz = orig[0], orig[1], orig[2]
         x_at = ox + (z[:, None] - oz) * mx[None, :]  # (C, W)
         y_at = oy + (z[:, None] - oz) * my[None, :]  # (C, H)
         wx = _axis_weights(
@@ -272,41 +340,52 @@ def sweep_slope_space(
         rgb = col[..., :3] * a[..., None]
         return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
-    def primal(planes_c, lut, density_, toff, tscl):
+    seed0 = (
+        jnp.zeros((height, width, 4), dtype=jnp.float32)
+        if acc_init is None
+        else jnp.asarray(acc_init, dtype=jnp.float32)
+    )
+
+    def primal(planes_c, zs_cj, lut, density_, toff, tscl, acc0, orig):
         def body(acc, xs):
             z, planes = xs
-            rgba_all = chunk_rgba(z, planes, lut, density_, toff, tscl)
+            rgba_all = chunk_rgba(z, planes, lut, density_, toff, tscl, orig)
             for k in range(chunk):
                 new_acc = acc + rgba_all[k] * (1.0 - acc[..., 3:4])
                 acc = jnp.where(acc[..., 3:4] > thr, acc, new_acc)
             return acc, None
 
-        acc0 = jnp.zeros((height, width, 4), dtype=jnp.float32)
-        acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, (zs_c, planes_c))
+        acc, _ = jax.lax.scan(jax.checkpoint(body), acc0, (zs_cj, planes_c))
         return acc
 
     if not use_custom_vjp:
-        acc = primal(planes_c, tf_lut, jnp.asarray(density, jnp.float32),
+        acc = primal(planes_c, zs_c, tf_lut,
+                     jnp.asarray(density, jnp.float32),
                      jnp.asarray(transfer_offset, jnp.float32),
-                     jnp.asarray(transfer_scale, jnp.float32))
+                     jnp.asarray(transfer_scale, jnp.float32), seed0, origin)
         return acc * jnp.asarray(brightness, dtype=jnp.float32)
 
+    # zs_c and origin are EXPLICIT custom_vjp arguments: any traced (or
+    # trace-constant) value captured in a closure here escapes its trace
+    # when the whole sweep is rematerialized (jax.checkpoint around the
+    # streamed-decode chunk bodies)
     @jax.custom_vjp
-    def sweep(planes_c, lut, density_, toff, tscl):
-        return primal(planes_c, lut, density_, toff, tscl)
+    def sweep(planes_c, zs_cj, lut, density_, toff, tscl, acc0, orig):
+        return primal(planes_c, zs_cj, lut, density_, toff, tscl, acc0, orig)
 
-    def sweep_fwd(planes_c, lut, density_, toff, tscl):
-        acc = primal(planes_c, lut, density_, toff, tscl)
-        return acc, (planes_c, lut, density_, toff, tscl)
+    def sweep_fwd(planes_c, zs_cj, lut, density_, toff, tscl, acc0, orig):
+        acc = primal(planes_c, zs_cj, lut, density_, toff, tscl, acc0, orig)
+        return acc, (planes_c, zs_cj, lut, density_, toff, tscl, acc0, orig)
 
     def sweep_bwd(res, g):
-        planes_c, lut, density_, toff, tscl = res
+        planes_c, zs_cj, lut, density_, toff, tscl, acc0, orig = res
 
         # Sweep 1: total P = sum_k m_k (g . c_k) T_{k-1}.
         def pass1(carry, xs):
             T, Psum = carry
             z, planes = xs
-            rgba_all = chunk_rgba(z, planes, lut, density_, toff, tscl)
+            rgba_all = chunk_rgba(z, planes, lut, density_, toff, tscl,
+                                  orig)
             for k in range(chunk):
                 m = T >= 1.0 - thr
                 P_k = jnp.where(
@@ -316,10 +395,11 @@ def sweep_slope_space(
                 T = jnp.where(m, T * (1.0 - rgba_all[k][..., 3]), T)
             return (T, Psum), None
 
-        ones = jnp.ones((height, width), dtype=jnp.float32)
+        # seeded start: the transmittance entering plane 0 is 1 - seed_a
+        T0 = 1.0 - acc0[..., 3]
         zeros = jnp.zeros((height, width), dtype=jnp.float32)
         (_, Ptot), _ = jax.lax.scan(
-            jax.checkpoint(pass1), (ones, zeros), (zs_c, planes_c)
+            jax.checkpoint(pass1), (T0, zeros), (zs_cj, planes_c)
         )
 
         # Sweep 2: assemble per-plane cotangents, transpose locally via vjp.
@@ -327,7 +407,7 @@ def sweep_slope_space(
             T, Ppre, g_lut, g_dens, g_toff, g_tscl = carry
             z, planes = xs
             rgba_all, chunk_vjp = jax.vjp(
-                lambda p, l, d, to, ts: chunk_rgba(z, p, l, d, to, ts),
+                lambda p, l, d, to, ts: chunk_rgba(z, p, l, d, to, ts, orig),
                 planes, lut, density_, toff, tscl,
             )
             d_rgba = []
@@ -353,21 +433,31 @@ def sweep_slope_space(
             )
 
         carry0 = (
-            ones, zeros, jnp.zeros_like(lut), jnp.zeros_like(density_),
+            T0, zeros, jnp.zeros_like(lut), jnp.zeros_like(density_),
             jnp.zeros_like(toff), jnp.zeros_like(tscl),
         )
         (_, _, g_lut, g_dens, g_toff, g_tscl), g_planes = jax.lax.scan(
-            jax.checkpoint(pass2), carry0, (zs_c, planes_c)
+            jax.checkpoint(pass2), carry0, (zs_cj, planes_c)
         )
-        return g_planes, g_lut, g_dens, g_toff, g_tscl
+        # seed cotangent: out = seed + sum_k m_k c_k T_{k-1} with every
+        # T_{k-1} proportional to T_0 = 1 - seed_a, so
+        # d seed_rgb = g_rgb and d seed_a = g_a - P_total / T_0 (fully
+        # saturated seeds contribute nothing: P_total = 0 there).
+        dsa = g[..., 3] - jnp.where(T0 > 1e-6, Ptot / jnp.where(
+            T0 > 1e-6, T0, 1.0), 0.0)
+        d_acc0 = jnp.concatenate([g[..., :3], dsa[..., None]], axis=-1)
+        # origin is geometry, not a fit parameter on this path: zero
+        # cotangent (use use_custom_vjp=False to differentiate camera pose)
+        return g_planes, jnp.zeros_like(zs_cj), g_lut, g_dens, g_toff, \
+            g_tscl, d_acc0, jnp.zeros_like(orig)
 
     sweep.defvjp(sweep_fwd, sweep_bwd)
 
     brightness = jnp.asarray(brightness, dtype=jnp.float32)
     acc = sweep(
-        planes_c, tf_lut, jnp.asarray(density, jnp.float32),
+        planes_c, zs_c, tf_lut, jnp.asarray(density, jnp.float32),
         jnp.asarray(transfer_offset, jnp.float32),
-        jnp.asarray(transfer_scale, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32), seed0, origin,
     )
     return acc * brightness
 

@@ -238,6 +238,7 @@ class RenderPipeline:
         inv_view: Optional[np.ndarray] = None,
         config: RenderConfig = RenderConfig(),
         renderer: str = "scan",
+        as_uint8: bool = False,
     ) -> jnp.ndarray:
         """Jitted render; returns (H, W, 4) float RGBA.
 
@@ -247,6 +248,10 @@ class RenderPipeline:
         unrotated view and a precomputed-stats query method (1-6); their
         plane-sweep discretization matches the scan marcher to ~1e-2 (see
         vrdd_tpu/march/slice.py docstring).
+
+        ``as_uint8=True`` fuses the RGBA8 pack into the SAME jitted call —
+        the interactive viewer's frame path stays one device dispatch
+        (every extra eager op is a full round trip on remote-attached TPUs).
         """
         if inv_view is None:
             inv_view = default_benchmark_inv_view()
@@ -272,14 +277,14 @@ class RenderPipeline:
                     *params, march=config.march, n_planes=n_planes,
                     tex_offset=self._tex_offset(config.query_method),
                     axis_scale=self._flex_axis_scale(config.query_method),
-                    backend="auto",
+                    backend="auto", pack_u8=as_uint8,
                 )
             # XLA backend: slope grids embed as literals, so the view stays
             # a compile key (cached per view matrix)
             fn = self._compiled(
                 config.query_method, config.camera.width,
                 config.camera.height, config.march, renderer,
-                iv_bytes=iv.tobytes(),
+                iv_bytes=iv.tobytes(), pack_u8=as_uint8,
             )
             return fn(vol, *params)
         fn = self._compiled(
@@ -289,6 +294,7 @@ class RenderPipeline:
             config.march,
             renderer,
             linear=config.filter_linear,
+            pack_u8=as_uint8,
         )
         if renderer in ("slice", "pallas"):
             src = self._stats_channel(config.query_method)
@@ -311,7 +317,10 @@ class RenderPipeline:
 
     @functools.lru_cache(maxsize=32)
     def _compiled(self, method, width, height, march, renderer="scan",
-                  iv_bytes=None, linear=True):
+                  iv_bytes=None, linear=True, pack_u8=False):
+        from vrdd_tpu.core.image import rgba_to_uint8
+
+        pack = rgba_to_uint8 if pack_u8 else (lambda x: x)
         # the sample source is a jit ARGUMENT (see sample_source docstring)
         if renderer == "shearwarp":
             inv_view = np.frombuffer(iv_bytes, dtype=np.float32).reshape(3, 4)
@@ -323,12 +332,12 @@ class RenderPipeline:
                 # distribution stats volumes are coarse (tens of blocks per
                 # axis); floor the plane count so the sweep's axial sampling
                 # stays comparable to the scan marcher's tstep
-                return shearwarp_render_image(
+                return pack(shearwarp_render_image(
                     volume, inv_view, width, height, tf_lut, density,
                     brightness, offset, scale, march=march,
                     n_planes=max(64, 2 * volume.shape[0]),
                     tex_offset=toff, axis_scale=ascale, backend="xla",
-                )
+                ))
 
             return run_sw
         if renderer in ("slice", "pallas"):
@@ -349,17 +358,17 @@ class RenderPipeline:
                 origin = inv_view[:, 3]
                 n_planes = max(64, 2 * volume.shape[0])
                 if renderer == "pallas":
-                    return pallas_slice_render(
+                    return pack(pallas_slice_render(
                         volume, origin, tf_lut, density, brightness,
                         offset, scale, width=width, height=height, march=march,
                         n_planes=n_planes, tex_offset=toff, axis_scale=ascale,
                         filter_linear=flin,
-                    )
-                return slice_render_image(
+                    ))
+                return pack(slice_render_image(
                     volume, origin, width, height, tf_lut, density,
                     brightness, offset, scale, march=march, n_planes=n_planes,
                     tex_offset=toff, axis_scale=ascale, filter_linear=flin,
-                )
+                ))
 
             return run_obj
         if renderer != "scan":
@@ -368,9 +377,9 @@ class RenderPipeline:
 
         @jax.jit
         def run(src, inv_view, tf_lut, density, brightness, offset, scale):
-            return render_image(
+            return pack(render_image(
                 build(src), inv_view, width, height, tf_lut,
                 density, brightness, offset, scale, march,
-            )
+            ))
 
         return run

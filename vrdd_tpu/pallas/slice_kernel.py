@@ -369,7 +369,7 @@ def precompute_ess_stats(volume, *, n_planes=0, march=MarchConfig(),
 
 def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
                 slopes, box_min, box_max, H, W, pchunk, tex_offset,
-                plane_stats=None):
+                plane_stats=None, axis_scale=(1.0, 1.0)):
     """Empty-space-skipping bitmaps: (n_strips, n_chunks) int32, bit t set
     iff x-tile t of the strip can contribute during the chunk.
 
@@ -432,17 +432,18 @@ def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
         ox, mx0 + dmx * (tcol * xt), mx0 + dmx * (tcol * xt + xt - 1)
     )  # (T, C)
 
-    def block_range(lo_w, hi_w, lo_box, hi_box, N, bsz, nb):
+    def block_range(lo_w, hi_w, lo_box, hi_box, N, bsz, nb, scale):
         # coordinate range -> 1-voxel-dilated texel range -> block range
         u_lo = (lo_w - lo_box) / (hi_box - lo_box)
         u_hi = (hi_w - lo_box) / (hi_box - lo_box)
-        v_lo = jnp.floor(u_lo * N - tex_offset) - 1.0
-        v_hi = jnp.ceil(u_hi * N - tex_offset) + 2.0
+        v_lo = jnp.floor(u_lo * (N * scale) - tex_offset) - 1.0
+        v_hi = jnp.ceil(u_hi * (N * scale) - tex_offset) + 2.0
         return (jnp.clip(jnp.floor(v_lo / bsz), 0, nb - 1),
                 jnp.clip(jnp.floor(v_hi / bsz), 0, nb - 1))
 
-    yb_lo, yb_hi = block_range(ylo_r, yhi_r, ylo, yhi, NY, by, YB)  # (S, C)
-    xb_lo, xb_hi = block_range(xlo_r, xhi_r, xlo, xhi, NX, bx, XB)  # (T, C)
+    sxs, sys = axis_scale
+    yb_lo, yb_hi = block_range(ylo_r, yhi_r, ylo, yhi, NY, by, YB, sys)
+    xb_lo, xb_hi = block_range(xlo_r, xhi_r, xlo, xhi, NX, bx, XB, sxs)
 
     ybi = jnp.arange(YB, dtype=jnp.float32)
     xbi = jnp.arange(XB, dtype=jnp.float32)
@@ -1000,7 +1001,6 @@ def sweep_preblended_planes(
 
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     seed = acc_init is not None
-    assert not (empty_space_skip and axis_scale != (1.0, 1.0))
     kernel = _make_kernel(
         height, width, ny, nx, n_planes, n_lut, dz_sign,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
@@ -1019,7 +1019,7 @@ def sweep_preblended_planes(
             jnp.asarray(transfer_offset, jnp.float32),
             jnp.asarray(transfer_scale, jnp.float32),
             slopes, march.box_min, march.box_max, height, width, pchunk,
-            tex_offset, plane_stats=ess_stats,
+            tex_offset, plane_stats=ess_stats, axis_scale=tuple(axis_scale),
         ))
     if seed:
         args.append(

@@ -492,7 +492,6 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     """
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     assert not (ess and seed), "ESS bitmap + seeded resume not wired together"
-    assert not (ess and axis_scale != (1.0, 1.0))
 
     fwd_pchunk = _fit_plane_chunk(
         max(8 // pchunk * pchunk, pchunk), n_planes, NY, NX, W
@@ -546,7 +545,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         return (_ess_bitmap(
             planes_all, zs_in[0], params[0, :3], lut,
             params[0, 5], params[0, 6], params[0, 8:12], box_min, box_max,
-            H, W, fwd_pchunk, tex_offset,
+            H, W, fwd_pchunk, tex_offset, axis_scale=tuple(axis_scale),
         ),)
 
     def _seed_args(acc0):

@@ -39,6 +39,13 @@ def make_tf_fit_step(
     opt_state, loss)`` where ``params`` is ``{"tf_lut": (N, 4)}`` (plus
     ``"stats"`` if ``learn_volume``). ``target`` is an (H, W, 4) image sharded
     over rows on the rays axis.
+
+    PERFORMANCE NOTE: this differentiates the general scan MARCHER
+    (gather-bound; correct for any camera and query method, but orders of
+    magnitude slower per step on TPU than the fused object-order path). For
+    unrotated cameras over a scalar field use :func:`make_sweep_fit_step`
+    (the fused Pallas/XLA sweep VJP) — this factory is the fallback for
+    rotated views and the exotic query modes only.
     """
     optimizer = optax.adam(1e-2) if optimizer is None else optimizer
 
