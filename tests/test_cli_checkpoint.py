@@ -116,3 +116,22 @@ def test_fit_voxels_cli(tmp_path):
     assert out["mu"].shape == (8, 8, 8)
     assert out["sigma"].shape == (8, 8, 8)
     assert float(out["loss"]) < 0.05  # decreased from the zero-init render
+
+
+def test_fit_voxels_cli_streamed(tmp_path):
+    """--streamed: unrotated views decode per plane-chunk inside the sweep
+    (march/streaming.py); the fit still converges to the same checkpoint
+    contract."""
+    from vrdd_tpu.cli import main
+    from vrdd_tpu.io.checkpoint import load_checkpoint
+
+    ck = str(tmp_path / "vox_s.npz")
+    rc = main([
+        "fit-voxels", "--size", "8", "--image", "24", "--views", "2",
+        "--iters", "8", "--checkpoint", ck, "--renderer", "slice",
+        "--streamed",
+    ])
+    assert rc == 0
+    out = load_checkpoint(ck)
+    assert out["mu"].shape == (8, 8, 8)
+    assert float(out["loss"]) < 0.05

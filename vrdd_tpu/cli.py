@@ -361,15 +361,36 @@ def cmd_fit_voxels(args) -> int:
             wrt=("volume",),
         )
 
+    def render_channel_streamed(mu, log_sigma, ch, tf_scale):
+        # --streamed: decode per plane-chunk inside the sweep (the decoded
+        # stats volume never materializes; march/streaming.py)
+        from vrdd_tpu.march.streaming import streaming_decode_render
+
+        return streaming_decode_render(
+            (mu, log_sigma),
+            lambda t: gaussian_stats(t[0], jnp.exp(t[1]))[..., ch],
+            jnp.asarray([0.0, 0.0, 4.0]), lut, transfer_scale=tf_scale,
+            width=W, height=H, n_planes=2 * n, wrt=("volume",),
+            backend="auto",
+        )
+
+    streamed = bool(getattr(args, "streamed", False))
+
     def render_views(mu, log_sigma):
         stats = gaussian_stats(mu, jnp.exp(log_sigma))
-        return [
-            (
-                render_channel(stats[..., 0], rx, ry, 1.0),
-                render_channel(stats[..., 1], rx, ry, var_scale),
-            )
-            for rx, ry in views
-        ]
+        out = []
+        for rx, ry in views:
+            if streamed and (rx, ry) == (0.0, 0.0):
+                out.append((
+                    render_channel_streamed(mu, log_sigma, 0, 1.0),
+                    render_channel_streamed(mu, log_sigma, 1, var_scale),
+                ))
+            else:
+                out.append((
+                    render_channel(stats[..., 0], rx, ry, 1.0),
+                    render_channel(stats[..., 1], rx, ry, var_scale),
+                ))
+        return out
 
     targets = jax.jit(render_views)(mu_true, jnp.log(sigma_true))
     targets = jax.tree_util.tree_map(jax.lax.stop_gradient, targets)
@@ -516,6 +537,11 @@ def main(argv=None) -> int:
     pv.add_argument("--checkpoint", default="voxel_fit.npz")
     pv.add_argument(
         "--renderer", default="auto", choices=["auto", "slice", "pallas"]
+    )
+    pv.add_argument(
+        "--streamed", action="store_true",
+        help="decode (mu, sigma) per plane-chunk inside the sweep for the "
+        "unrotated views (peak-memory mode; march/streaming.py)",
     )
     pv.set_defaults(fn=cmd_fit_voxels)
 

@@ -44,7 +44,9 @@ def enable_compilation_cache(path: str = "~/.cache/vrdd_tpu_xla") -> None:
     """
     import os
 
-    p = os.path.expanduser(path)
+    # VRDD_XLA_CACHE_DIR overrides (e.g. point at an empty dir to measure
+    # cold-cache behavior without invalidating the real cache)
+    p = os.path.expanduser(os.environ.get("VRDD_XLA_CACHE_DIR", path))
     os.makedirs(p, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", p)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
