@@ -209,3 +209,59 @@ def test_point_filter_on_object_order_paths():
     assert d_n.mean() < 0.025, d_n.mean()
     # discriminates: point sampling is NOT just linear within tolerance
     assert d_n.mean() < 0.6 * d_l.mean(), (d_n.mean(), d_l.mean())
+
+
+def test_box_clipping_non_default():
+    """BASELINE config 2's box clipping with a NON-default asymmetric box:
+    the general scan marcher, the XLA slice sweep, and the fused pallas
+    kernel must agree on the clip region (coverage masks + coordinate
+    mapping), and rays that miss the box must stay fully transparent."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vrdd_tpu.core.geometry import default_benchmark_inv_view
+    from vrdd_tpu.core.transfer import default_transfer_function
+    from vrdd_tpu.io.synthetic import gaussian_blob_volume
+    from vrdd_tpu.march.scan import render_image
+    from vrdd_tpu.march.slice import slice_render_image
+    from vrdd_tpu.models.renderer import scalar_sample_fn
+    from vrdd_tpu.pallas.slice_kernel import pallas_slice_render
+    from vrdd_tpu.utils.config import MarchConfig
+
+    vol = jnp.asarray(gaussian_blob_volume((24, 24, 24), seed=8))
+    tf = jnp.asarray(default_transfer_function())
+    iv = jnp.asarray(default_benchmark_inv_view())
+    o = iv[:, 3]
+    march = MarchConfig(
+        max_steps=500, tstep=0.01,
+        box_min=(-0.5, -1.0, -0.75), box_max=(1.0, 0.25, 1.0),
+    )
+    W = H = 64
+    scan = np.asarray(render_image(
+        scalar_sample_fn(vol), iv, W, H, tf, march=march, density=0.4,
+    ))
+    slc = np.asarray(slice_render_image(
+        vol, o, W, H, tf, 0.4, march=march, n_planes=128,
+    ))
+    with pltpu.force_tpu_interpret_mode():
+        pls = np.asarray(pallas_slice_render(
+            vol, o, tf, 0.4, width=W, height=H, march=march, n_planes=128,
+        ))
+    # fused kernel == XLA sweep to float eps; sweep vs scan to sweep
+    # discretization tolerance
+    np.testing.assert_allclose(pls, slc, atol=2e-5)
+    d = np.abs(slc - scan)
+    assert np.quantile(d, 0.98) < 0.06, np.quantile(d, 0.98)
+    # clipping visible: the clipped render differs from the full-box one
+    # and rays that miss the box are fully transparent on every path
+    full = np.asarray(render_image(
+        scalar_sample_fn(vol), iv, W, H, tf,
+        march=MarchConfig(max_steps=500, tstep=0.01), density=0.4,
+    ))
+    assert np.abs(full - scan).max() > 0.05
+    # the smaller box covers strictly fewer pixels on every path (the
+    # volume remaps into the box, so per-pixel coverage is not a subset —
+    # only the covered AREA shrinks)
+    cov_full = float((full[..., 3] > 1e-6).sum())
+    for img in (scan, slc, pls):
+        cov = float((img[..., 3] > 1e-6).sum())
+        assert 0 < cov < 0.8 * cov_full, (cov, cov_full)
