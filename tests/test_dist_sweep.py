@@ -79,10 +79,10 @@ def test_sweep_preblended_planes_traced_slopes():
     grid / plane depths / row window (what shard_map shards are). Parity vs
     the single-device slice sweep on the same planes.
 
-    The full shard_map x pallas composition is exercised on real TPU (it is
-    pathologically slow under interpret mode on CPU — minutes per trace —
-    so CI pins the building block and the XLA-backend distributed path
-    instead; `backend='auto'` only selects pallas on a real TPU backend).
+    The full shard_map x pallas composition is ALSO pinned on CPU now —
+    see test_shard_map_pallas_composition_interpret below (small shapes
+    keep the interpreter affordable); `backend='auto'` still only selects
+    pallas on a real TPU backend.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -289,3 +289,49 @@ def test_distributed_shearwarp_gradients():
                                atol=3e-4, rtol=3e-4)
     np.testing.assert_allclose(np.asarray(gl), np.asarray(gl1),
                                atol=3e-4, rtol=3e-4)
+
+
+def test_shard_map_pallas_composition_interpret():
+    """The FULL shard_map x fused-Pallas composition — the distributed
+    sort-last sweep running the seeded two-pass kernels per device — on a
+    2-brick virtual CPU mesh under the Mosaic interpreter, forward AND
+    differentiated: value and (volume, LUT) cotangents match the
+    single-device XLA path at float eps. (This is the novel distributed
+    path previously attested only on real TPU; small shapes keep the
+    interpreter cost ~40 s.)"""
+    from jax.experimental.pallas import tpu as pltpu
+
+    vol = jnp.asarray(gaussian_blob_volume((8, 16, 16), seed=5))
+    mesh = make_mesh(bricks=2, rays=1, devices=jax.devices()[:2])
+    sharded = shard_scalar_volume(vol, mesh)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(distributed_sweep_render(
+            sharded, O, TF, width=128, height=128, mesh=mesh, n_planes=16,
+            backend="pallas",
+        ))
+    ref = np.asarray(
+        slice_render_image(vol, O, 128, 128, TF, n_planes=16,
+                           use_custom_vjp=False)
+    )
+    assert float(np.abs(got - ref).max()) < 1e-5
+
+    def loss_d(v, lut):
+        img = distributed_sweep_render(
+            v, O, lut, width=128, height=128, mesh=mesh, n_planes=16,
+            backend="pallas", plane_chunk=4, wrt=("volume", "lut"),
+        )
+        return jnp.sum(img ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gv, gl = jax.grad(loss_d, argnums=(0, 1))(sharded, TF)
+        gv, gl = np.asarray(gv), np.asarray(gl)
+
+    def loss_s(v, lut):
+        img = slice_render_image(v, O, 128, 128, lut, n_planes=16)
+        return jnp.sum(img ** 2)
+
+    rv, rl = jax.grad(loss_s, argnums=(0, 1))(vol, TF)
+    rv, rl = np.asarray(rv), np.asarray(rl)
+    assert float(np.abs(gv - rv).max()) / (np.abs(rv).max() + 1e-12) < 1e-5
+    assert float(np.abs(gl - rl).max()) / (np.abs(rl).max() + 1e-12) < 1e-5
