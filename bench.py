@@ -187,13 +187,14 @@ def main() -> None:
     p.add_argument(
         "--sections",
         default=os.environ.get(
-            "VRDD_BENCH_SECTIONS", "headline,decode,dist,view"
+            "VRDD_BENCH_SECTIONS", "headline,decode,dist,view,extras"
         ),
         help="comma list of sections to run, in order: headline (forward "
         "MTexels/s + fwd+bwd Mrays/s — the metric), decode (Gaussian + "
         "hist16 differentiable decode), dist (distributed overhead + "
         "roofline), view (interactive-viewer fps at the reference's 512^2 "
-        "Isabel config). A JSON line is (re-)emitted after every "
+        "Isabel config), extras (ESS windowed-TF win + distributed "
+        "Gaussian decode). A JSON line is (re-)emitted after every "
         "measurement; last line wins.",
     )
     p.add_argument("--full", action="store_true",
@@ -244,8 +245,13 @@ def main() -> None:
             def it(i, acc):
                 vi = v * (1.0 + 1e-6 * i)
                 if use_pallas:
+                    # plane_chunk=20 measured fastest for the tiny 50x50
+                    # plane (8 -> 111.9, 20 -> 123.8, 40 -> 99.0 MTexels/s:
+                    # fewer grid steps amortize per-step overhead until the
+                    # x-weight cache pressures VMEM)
                     img = pallas_slice_render(
-                        vi, o, tf, width=W0, height=W0, n_planes=200
+                        vi, o, tf, width=W0, height=W0, n_planes=200,
+                        plane_chunk=20,
                     )
                 else:
                     img = slice_render_image(vi, o, W0, W0, tf, n_planes=200)
@@ -361,7 +367,7 @@ def main() -> None:
         out["viewer_fps_rotated_512"] = round(fps_rot, 1)
         emit(out)
 
-    if args.full:
+    if args.full or "extras" in sections:
         out.update(bench_variants(n, W, K, vol, tf, origin, use_pallas_diff))
         emit(out)
     if out["value"] is None:
