@@ -230,3 +230,37 @@ def test_native_codebook_duplicate_bins_rejected(tmp_path):
     nb = _dup_codebook(p, dup=True)
     with pytest.raises(formats.FormatError):
         native.read_codebook(p, nb, 2)
+
+
+@pytest.mark.skipif(not native.available(), reason="native toolchain missing")
+def test_native_ppm_matches_python(tmp_path):
+    """Native PPM write/read/compare == the Python spec (the reference's
+    sdkSavePPM4ub/sdkComparePPM path, volumeRender.cpp:1073-1083)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(17, 23, 4), dtype=np.uint8)
+    p_native = str(tmp_path / "n.ppm")
+    p_python = str(tmp_path / "p.ppm")
+    native.write_ppm(p_native, img)
+    formats.write_ppm(p_python, img)
+    assert open(p_native, "rb").read() == open(p_python, "rb").read()
+    np.testing.assert_array_equal(
+        native.read_ppm(p_native), formats.read_ppm(p_python)
+    )
+
+    # compare: identical passes with 0 outliers; perturbed image's outlier
+    # fraction matches the Python spec exactly
+    ok, frac = native.compare_ppm(img[..., :3], p_python)
+    assert ok and frac == 0.0
+    noisy = img[..., :3].astype(np.int32)
+    noisy[::3, ::2] += 37
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    ok_n, frac_n = native.compare_ppm(noisy, p_python)
+    ok_p, frac_p = formats.compare_ppm(noisy, formats.read_ppm(p_python))
+    assert (ok_n, frac_n) == (ok_p, frac_p)
+
+    # header with comments still parses
+    pc = str(tmp_path / "c.ppm")
+    with open(pc, "wb") as fp:
+        fp.write(b"P6\n# a comment\n23 17\n255\n")
+        fp.write(np.ascontiguousarray(img[..., :3]).tobytes())
+    np.testing.assert_array_equal(native.read_ppm(pc), img[..., :3])

@@ -27,6 +27,7 @@ _build_failed = False
 
 _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -65,6 +66,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
             _i32p, _i32p, _i32p, _f32p, _i32p,
         ]
+        lib.vrdd_write_ppm.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, _u8p,
+        ]
+        lib.vrdd_ppm_size.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vrdd_read_ppm.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, _u8p,
+        ]
+        lib.vrdd_compare_ppm.argtypes = [
+            _u8p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ]
+        lib.vrdd_compare_ppm.restype = ctypes.c_long
         _lib = lib
         return _lib
 
@@ -140,3 +155,46 @@ def read_simple_histograms(
         "simple",
     )
     return low, high, bin_ids, freqs, counts
+
+
+def write_ppm(path: str, rgba_u8: np.ndarray) -> None:
+    """Native P6 writer (sdkSavePPM4ub semantics: alpha dropped)."""
+    lib = _load()
+    arr = np.ascontiguousarray(rgba_u8, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    _check(lib.vrdd_write_ppm(path.encode(), w, h, arr.reshape(-1)), "ppm write")
+
+
+def read_ppm(path: str) -> np.ndarray:
+    lib = _load()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    _check(lib.vrdd_ppm_size(path.encode(), ctypes.byref(w), ctypes.byref(h)),
+           "ppm header")
+    out = np.zeros(h.value * w.value * 3, dtype=np.uint8)
+    _check(lib.vrdd_read_ppm(path.encode(), w.value, h.value, out), "ppm read")
+    return out.reshape(h.value, w.value, 3)
+
+
+def compare_ppm(
+    img_rgb_u8: np.ndarray,
+    ref_path: str,
+    epsilon: float = 5.0,
+    threshold: float = 0.30,
+):
+    """Native golden compare against a stored reference PPM.
+
+    Same tolerance model as io/formats.py compare_ppm (the spec) and the
+    reference's sdkComparePPM (MAX_EPSILON_ERROR/THRESHOLD,
+    volumeRender.cpp:57-58, 1077). Returns ``(passed, outlier_fraction)``.
+    """
+    lib = _load()
+    arr = np.ascontiguousarray(img_rgb_u8[..., :3], dtype=np.uint8)
+    h, w = arr.shape[:2]
+    outliers = _check(
+        int(lib.vrdd_compare_ppm(arr.reshape(-1), ref_path.encode(), w, h,
+                                 float(epsilon))),
+        "ppm compare",
+    )
+    frac = outliers / float(w * h)
+    return frac <= threshold, frac

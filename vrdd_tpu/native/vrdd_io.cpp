@@ -9,6 +9,7 @@
 // the reference's checks (span ordering, frequency ranges, sum-to-one) and is
 // reported through negative return codes instead of printf + exit.
 
+#include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -217,4 +218,100 @@ int vrdd_read_simple(const char* counts_path, const char* ids_path,
   return n;
 }
 
+// ------------------------------------------------ PPM golden images (fmt 8)
+//
+// The reference's benchmark/golden path writes the rendered frame as a P6
+// PPM and compares against a stored reference with a per-pixel epsilon and
+// an outlier budget (sdkSavePPM4ub / sdkComparePPM, volumeRender.cpp:
+// 1073-1083, tolerances :57-58). vrdd_tpu/io/formats.py is the spec; these
+// are the native equivalents for the load-bearing benchmark loop.
+
+// (H, W, 4) RGBA8 -> P6 file, alpha dropped. 0 on success.
+int vrdd_write_ppm(const char* path, int w, int h, const uint8_t* rgba) {
+  FILE* fp = std::fopen(path, "wb");
+  if (!fp) return kErrOpen;
+  std::fprintf(fp, "P6\n%d %d\n255\n", w, h);
+  std::vector<uint8_t> row(static_cast<size_t>(w) * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* src = rgba + static_cast<size_t>(y) * w * 4;
+    for (int x = 0; x < w; ++x) std::memcpy(&row[x * 3u], src + x * 4, 3);
+    if (std::fwrite(row.data(), 1, row.size(), fp) != row.size()) {
+      std::fclose(fp);
+      return kErrTruncated;
+    }
+  }
+  return std::fclose(fp) == 0 ? 0 : kErrTruncated;
+}
+
+namespace {
+
+// P6 header: magic, optional #-comments, width height, maxval 255.
+int ppm_header(FILE* fp, int* w, int* h) {
+  char magic[3] = {0};
+  if (std::fscanf(fp, "%2s", magic) != 1 || std::strcmp(magic, "P6") != 0)
+    return kErrRange;
+  int vals[3];
+  for (int i = 0; i < 3;) {
+    int c = std::fgetc(fp);
+    if (c == EOF) return kErrTruncated;
+    if (std::isspace(c)) continue;
+    if (c == '#') {  // comment line
+      while (c != '\n' && c != EOF) c = std::fgetc(fp);
+      continue;
+    }
+    std::ungetc(c, fp);
+    if (std::fscanf(fp, "%d", &vals[i]) != 1) return kErrTruncated;
+    ++i;
+  }
+  if (vals[2] != 255) return kErrRange;
+  if (std::fgetc(fp) == EOF) return kErrTruncated;  // single ws after maxval
+  *w = vals[0];
+  *h = vals[1];
+  return 0;
+}
+
+}  // namespace
+
+// Header probe. 0 on success.
+int vrdd_ppm_size(const char* path, int* w, int* h) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  return ppm_header(f.fp, w, h);
+}
+
+// Read pixel payload into (h, w, 3) u8. 0 on success.
+int vrdd_read_ppm(const char* path, int w, int h, uint8_t* rgb) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  int fw = 0, fh = 0;
+  int rc = ppm_header(f.fp, &fw, &fh);
+  if (rc != 0) return rc;
+  if (fw != w || fh != h) return kErrRange;
+  if (!f.read(rgb, static_cast<size_t>(w) * h * 3)) return kErrTruncated;
+  return 0;
+}
+
+// Compare an in-memory (H, W, 3) u8 image against a reference PPM file:
+// returns the number of pixels with ANY channel differing by more than
+// epsilon (the sdkComparePPM model; pass/fail = outliers <= threshold *
+// w * h, left to the caller), or a negative error code.
+long vrdd_compare_ppm(const uint8_t* rgb, const char* ref_path, int w, int h,
+                      float epsilon) {
+  std::vector<uint8_t> ref(static_cast<size_t>(w) * h * 3);
+  int rc = vrdd_read_ppm(ref_path, w, h, ref.data());
+  if (rc != 0) return rc;
+  long outliers = 0;
+  for (long p = 0; p < static_cast<long>(w) * h; ++p) {
+    for (int c = 0; c < 3; ++c) {
+      int d = static_cast<int>(rgb[p * 3 + c]) - static_cast<int>(ref[p * 3 + c]);
+      if (d > epsilon || -d > epsilon) {
+        ++outliers;
+        break;
+      }
+    }
+  }
+  return outliers;
+}
+
 }  // extern "C"
+
