@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +50,19 @@ from vrdd_tpu.ops.integral import (
 from vrdd_tpu.ops.sparse import densify_sparse_histograms
 from vrdd_tpu.utils.config import FLEX_N_BINS
 from vrdd_tpu.utils.timing import StageTimer
+
+
+# one jitted call per from_raw device stage (see from_raw docstring)
+_integral_jit = jax.jit(
+    integral_histogram, static_argnames=("n_bins", "vmin", "vmax")
+)
+_query_jit = jax.jit(query_block_histogram)
+
+
+@jax.jit
+def _stats_jit(counts):
+    hist, _ = normalize_histogram(counts)
+    return flex_block_stats(hist)
 
 
 @dataclasses.dataclass
@@ -105,20 +119,30 @@ class FlexibleBlockVolume:
         vmin: float = 0.0,
         vmax: float = 255.0,
     ) -> "FlexibleBlockVolume":
-        """O(1)-per-block construction from a raw scalar volume ``(Z, Y, X)``."""
+        """O(1)-per-block construction from a raw scalar volume ``(Z, Y, X)``.
+
+        Each device stage is one jitted call (eager op chains cost a remote
+        compile + round trip PER OP on tunneled TPUs — measured 9+ s of
+        startup for a 16^3 volume before jitting); the per-stage timings
+        mirror the reference's dataProcessing banners
+        (volumeRender_kernel.cu:1739-1783).
+        """
         timer = StageTimer()
         nz, ny, nx = raw.shape
         with timer.stage("divide_blocks"):
             spans = divide_blocks((nx, ny, nz), block_size)  # (nb, 6) 1-indexed
         with timer.stage("integral_histogram"):
-            sat = integral_histogram(jnp.asarray(raw), n_bins, vmin, vmax)
+            sat = jax.block_until_ready(
+                _integral_jit(jnp.asarray(raw), n_bins, vmin, vmax)
+            )
         with timer.stage("query_blocks"):
             low = np.stack([spans[:, 2], spans[:, 1], spans[:, 0]], -1) - 1  # zyx
             high = np.stack([spans[:, 5], spans[:, 4], spans[:, 3]], -1) - 1
-            counts = query_block_histogram(sat, jnp.asarray(low), jnp.asarray(high))
+            counts = jax.block_until_ready(
+                _query_jit(sat, jnp.asarray(low), jnp.asarray(high))
+            )
         with timer.stage("compute_block_stats"):
-            hist, _ = normalize_histogram(counts)
-            stats = flex_block_stats(hist)
+            stats = jax.block_until_ready(_stats_jit(counts))
         nbx = -(-nx // block_size)
         nby = -(-ny // block_size)
         nbz = -(-nz // block_size)

@@ -38,7 +38,11 @@ from vrdd_tpu.models.renderer import (
     interp_mean_volume,
     stats_sample_fn,
 )
-from vrdd_tpu.models.volumes import FractalHistogramVolume, RawHistogramVolume
+from vrdd_tpu.models.volumes import (
+    FractalHistogramVolume,
+    RawHistogramVolume,
+    compute_stats_volume,
+)
 from vrdd_tpu.utils.config import QueryMethod, RenderConfig, query_channel
 from vrdd_tpu.utils.timing import StageTimer
 
@@ -58,12 +62,18 @@ class RenderPipeline:
         self.fractal = fractal
         self.flexible = flexible
         self.raw_stats = (
-            timer.time("basic_data_processing/raw", raw.stats_volume)
+            timer.time(
+                "basic_data_processing/raw",
+                lambda: jax.block_until_ready(compute_stats_volume(raw)),
+            )
             if raw is not None
             else None
         )
         self.fractal_stats = (
-            timer.time("basic_data_processing/fractal", fractal.stats_volume)
+            timer.time(
+                "basic_data_processing/fractal",
+                lambda: jax.block_until_ready(compute_stats_volume(fractal)),
+            )
             if fractal is not None
             else None
         )

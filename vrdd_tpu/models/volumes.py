@@ -98,3 +98,15 @@ class GaussianMomentVolume:
 
     def stats_volume(self) -> jnp.ndarray:
         return gaussian_stats(self.mu, self.sigma)
+
+
+@jax.jit
+def compute_stats_volume(volume) -> jnp.ndarray:
+    """Any family's stats decode as ONE jitted call.
+
+    Eager op chains pay a remote compile + round trip PER OP on
+    tunneled/remote-attached TPUs (measured 8-16 s of pipeline startup for
+    Isabel-sized volumes before jitting); the families are registered
+    pytrees, so one jit serves them all.
+    """
+    return volume.stats_volume()
