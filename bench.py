@@ -187,19 +187,23 @@ def main() -> None:
     p.add_argument(
         "--sections",
         default=os.environ.get(
-            "VRDD_BENCH_SECTIONS", "headline,decode,dist,view,extras"
+            "VRDD_BENCH_SECTIONS", "headline,decode,dist,view,big"
         ),
         help="comma list of sections to run, in order: headline (forward "
         "MTexels/s + fwd+bwd Mrays/s — the metric), decode (Gaussian + "
         "hist16 differentiable decode), dist (distributed overhead + "
         "roofline), view (interactive-viewer fps at the reference's 512^2 "
-        "Isabel config), extras (ESS windowed-TF win + distributed "
-        "Gaussian decode). A JSON line is (re-)emitted after every "
-        "measurement; last line wins.",
+        "Isabel config), big (1024^3 fwd + fwd+bwd — the above-512^3 "
+        "differentiable datapoint), extras (--full only by default: ESS "
+        "windowed-TF win + distributed Gaussian decode), scaling (pod "
+        "linear-scaling efficiency over all attached devices; reports n/a "
+        "on one chip). A JSON line is (re-)emitted after every "
+        "measurement; last line wins; per-section wall time lands as "
+        "sec_<name>_s keys.",
     )
     p.add_argument("--full", action="store_true",
-                   help="also time ESS-windowed-TF and distributed-Gaussian "
-                        "variants (extra compiles)")
+                   help="also run the extras section (ESS-windowed-TF and "
+                        "distributed-Gaussian variants: extra compiles)")
     args = p.parse_args()
     sections = [s.strip() for s in args.sections.split(",") if s.strip()]
 
@@ -230,148 +234,264 @@ def main() -> None:
     }
     dt_fb = None
 
-    if "headline" in sections:
-        # --- forward, the reference's own benchmark geometry: 512^2 image
-        # over an Isabel-shaped (50x50x10) decoded stats volume, 200 sampling
-        # planes (~ the reference's effective step count under early
-        # termination). Runs FIRST: smallest compile, lands vs_baseline. ---
-        W0 = 512
-        rng = np.random.default_rng(0)
-        isabel = jnp.asarray(rng.random((10, 50, 50), dtype=np.float32))
-        use_pallas = pallas_supported((10, 50, 50), W0, W0, 200)
+    class sec:
+        """Per-section wall-clock (compiles included) -> sec_<name>_s key,
+        so regressions in bench COST are visible in the record itself
+        (round-2's bench lost its number to a driver timeout; the round-3
+        fix was incremental emission, this makes the budget observable)."""
 
-        @jax.jit
-        def fwd_isabel(v, tf, o):
-            def it(i, acc):
-                vi = v * (1.0 + 1e-6 * i)
-                if use_pallas:
-                    # plane_chunk=20 measured fastest for the tiny 50x50
-                    # plane (8 -> 111.9, 20 -> 123.8, 40 -> 99.0 MTexels/s:
-                    # fewer grid steps amortize per-step overhead until the
-                    # x-weight cache pressures VMEM)
-                    img = pallas_slice_render(
-                        vi, o, tf, width=W0, height=W0, n_planes=200,
-                        plane_chunk=20,
-                    )
-                else:
-                    img = slice_render_image(vi, o, W0, W0, tf, n_planes=200)
-                return acc + jnp.sum(img)
+        def __init__(self, name):
+            self.name = name
 
-            return jax.lax.fori_loop(0, 4 * K, it, 0.0)
+        def __enter__(self):
+            self.t0 = time.perf_counter()
 
-        dt_fwd, _ = time_amortized(fwd_isabel, isabel, tf, origin, iters=4 * K)
-        fwd_mtexels = W0 * W0 / dt_fwd / 1e6
-        note(f"forward 512^2 Isabel-shaped (50x50x10): {dt_fwd * 1e3:.2f} ms "
-             f"-> {fwd_mtexels:.1f} MTexels/s")
-        out["vs_baseline"] = round(fwd_mtexels / REFERENCE_MTEXELS_PER_S, 3)
-        out["forward_512_mtexels_per_s"] = round(fwd_mtexels, 2)
-        if out["value"] is None:
-            # provisional headline until the fwd+bwd lands (a timed-out run
-            # then still reports the reference's own metric)
-            out.update(
-                metric="MTexels/s forward 512^2 Isabel (fwd+bwd pending)",
-                value=round(fwd_mtexels, 2), unit="MTexels/s",
+        def __exit__(self, *exc):
+            out[f"sec_{self.name}_s"] = round(
+                time.perf_counter() - self.t0, 1
             )
-        emit(out)
+            emit(out)
 
-        # --- forward+backward, headline config: fused Pallas analytic VJP
-        # when supported (three VMEM-resident sweeps; 104 ms vs 269 ms XLA at
-        # 512^3), else the XLA analytic VJP (plane_chunk=1 — XLA fully fuses
-        # the per-plane body, while chunked (C, H, W, 4) intermediates
-        # round-trip HBM) ---
-        @jax.jit
-        def fwdbwd_many(v, tf, o):
-            def loss(v, tf, i):
-                if use_pallas_diff:
-                    # wrt mirrors value_and_grad(argnums=(0, 1)): volume +
-                    # LUT cotangents only (XLA autodiff would prune the rest)
-                    img = pallas_slice_render_diff(
-                        v * (1.0 + 1e-6 * i), o, tf, width=W, height=W,
-                        n_planes=n, wrt=("volume", "lut"),
-                    )
-                else:
-                    img = slice_render_image(
-                        v * (1.0 + 1e-6 * i), o, W, W, tf, n_planes=n,
-                        plane_chunk=1,
-                    )
-                return jnp.mean((img - 0.25) ** 2)
+    if "headline" in sections:
+      with sec("headline"):
+          # --- forward, the reference's own benchmark geometry: 512^2 image
+          # over an Isabel-shaped (50x50x10) decoded stats volume, 200 sampling
+          # planes (~ the reference's effective step count under early
+          # termination). Runs FIRST: smallest compile, lands vs_baseline. ---
+          W0 = 512
+          rng = np.random.default_rng(0)
+          isabel = jnp.asarray(rng.random((10, 50, 50), dtype=np.float32))
+          use_pallas = pallas_supported((10, 50, 50), W0, W0, 200)
 
-            def it(i, acc):
-                l, (gv, gt) = jax.value_and_grad(loss, argnums=(0, 1))(v, tf, i)
-                return acc + l + jnp.sum(gt) + gv[0, 0, 0]
+          @jax.jit
+          def fwd_isabel(v, tf, o):
+              def it(i, acc):
+                  vi = v * (1.0 + 1e-6 * i)
+                  if use_pallas:
+                      # plane_chunk=20 measured fastest for the tiny 50x50
+                      # plane (8 -> 111.9, 20 -> 123.8, 40 -> 99.0 MTexels/s:
+                      # fewer grid steps amortize per-step overhead until the
+                      # x-weight cache pressures VMEM)
+                      img = pallas_slice_render(
+                          vi, o, tf, width=W0, height=W0, n_planes=200,
+                          plane_chunk=20,
+                      )
+                  else:
+                      img = slice_render_image(vi, o, W0, W0, tf, n_planes=200)
+                  return acc + jnp.sum(img)
 
-            return jax.lax.fori_loop(0, K, it, 0.0)
+              return jax.lax.fori_loop(0, 4 * K, it, 0.0)
 
-        dt_fb, _ = time_amortized(fwdbwd_many, vol, tf, origin, iters=K)
-        fb_mrays = W * W / dt_fb / 1e6
-        note(f"fwd+bwd {W}^2 over {n}^3: {dt_fb * 1e3:.2f} ms -> "
-             f"{fb_mrays:.1f} Mrays/s")
-        out.update(
-            metric=f"Mrays/s/chip fwd+bwd {n}^3 vol {W}^2 img (slice-sweep)",
-            value=round(fb_mrays, 2), unit="Mrays/s",
-        )
-        emit(out)
+          dt_fwd, _ = time_amortized(fwd_isabel, isabel, tf, origin, iters=4 * K)
+          fwd_mtexels = W0 * W0 / dt_fwd / 1e6
+          note(f"forward 512^2 Isabel-shaped (50x50x10): {dt_fwd * 1e3:.2f} ms "
+               f"-> {fwd_mtexels:.1f} MTexels/s")
+          out["vs_baseline"] = round(fwd_mtexels / REFERENCE_MTEXELS_PER_S, 3)
+          out["forward_512_mtexels_per_s"] = round(fwd_mtexels, 2)
+          if out["value"] is None:
+              # provisional headline until the fwd+bwd lands (a timed-out run
+              # then still reports the reference's own metric)
+              out.update(
+                  metric="MTexels/s forward 512^2 Isabel (fwd+bwd pending)",
+                  value=round(fwd_mtexels, 2), unit="MTexels/s",
+              )
+          emit(out)
+
+          # --- forward+backward, headline config: fused Pallas analytic VJP
+          # when supported (three VMEM-resident sweeps; 104 ms vs 269 ms XLA at
+          # 512^3), else the XLA analytic VJP (plane_chunk=1 — XLA fully fuses
+          # the per-plane body, while chunked (C, H, W, 4) intermediates
+          # round-trip HBM) ---
+          @jax.jit
+          def fwdbwd_many(v, tf, o):
+              def loss(v, tf, i):
+                  if use_pallas_diff:
+                      # wrt mirrors value_and_grad(argnums=(0, 1)): volume +
+                      # LUT cotangents only (XLA autodiff would prune the rest)
+                      img = pallas_slice_render_diff(
+                          v * (1.0 + 1e-6 * i), o, tf, width=W, height=W,
+                          n_planes=n, wrt=("volume", "lut"),
+                      )
+                  else:
+                      img = slice_render_image(
+                          v * (1.0 + 1e-6 * i), o, W, W, tf, n_planes=n,
+                          plane_chunk=1,
+                      )
+                  return jnp.mean((img - 0.25) ** 2)
+
+              def it(i, acc):
+                  l, (gv, gt) = jax.value_and_grad(loss, argnums=(0, 1))(v, tf, i)
+                  return acc + l + jnp.sum(gt) + gv[0, 0, 0]
+
+              return jax.lax.fori_loop(0, K, it, 0.0)
+
+          dt_fb, _ = time_amortized(fwdbwd_many, vol, tf, origin, iters=K)
+          fb_mrays = W * W / dt_fb / 1e6
+          note(f"fwd+bwd {W}^2 over {n}^3: {dt_fb * 1e3:.2f} ms -> "
+               f"{fb_mrays:.1f} Mrays/s")
+          out.update(
+              metric=f"Mrays/s/chip fwd+bwd {n}^3 vol {W}^2 img (slice-sweep)",
+              value=round(fb_mrays, 2), unit="Mrays/s",
+          )
+          emit(out)
 
     if "decode" in sections:
-        # --- distribution decode INSIDE the timed fwd+bwd graph (BASELINE
-        # configs 3/4; the reference decodes during marching only for query
-        # 7, volumeRender_kernel.cu:722-872 precomputes the rest — here the
-        # decode is differentiable and fused into the render step) ---
-        nd, Wd = min(n, 256), min(W, 512)
-        gauss_mrays = decode_config_gaussian(nd, Wd, K, tf, origin)
-        note(f"fwd+bwd Gaussian-decode {Wd}^2 over {nd}^3: "
-             f"{gauss_mrays:.1f} Mrays/s")
-        out["gaussian_decode_fwdbwd_mrays"] = round(gauss_mrays, 2)
-        emit(out)
-        hist_mrays = decode_config_hist16(nd, Wd, K, tf, origin)
-        note(f"fwd+bwd 16-bin-histogram-decode {Wd}^2 over {nd}^3: "
-             f"{hist_mrays:.1f} Mrays/s")
-        out["hist16_decode_fwdbwd_mrays"] = round(hist_mrays, 2)
-        emit(out)
-        hist_stream = decode_config_hist16_streamed(nd, Wd, K, tf, origin)
-        note(f"fwd+bwd STREAMED 16-bin-histogram-decode {Wd}^2 over {nd}^3: "
-             f"{hist_stream:.1f} Mrays/s")
-        out["hist16_streamed_fwdbwd_mrays"] = round(hist_stream, 2)
-        emit(out)
+      with sec("decode"):
+          # --- distribution decode INSIDE the timed fwd+bwd graph (BASELINE
+          # configs 3/4; the reference decodes during marching only for query
+          # 7, volumeRender_kernel.cu:722-872 precomputes the rest — here the
+          # decode is differentiable and fused into the render step) ---
+          nd, Wd = min(n, 256), min(W, 512)
+          gauss_mrays = decode_config_gaussian(nd, Wd, K, tf, origin)
+          note(f"fwd+bwd Gaussian-decode {Wd}^2 over {nd}^3: "
+               f"{gauss_mrays:.1f} Mrays/s")
+          out["gaussian_decode_fwdbwd_mrays"] = round(gauss_mrays, 2)
+          emit(out)
+          hist_mrays = decode_config_hist16(nd, Wd, K, tf, origin)
+          note(f"fwd+bwd 16-bin-histogram-decode {Wd}^2 over {nd}^3: "
+               f"{hist_mrays:.1f} Mrays/s")
+          out["hist16_decode_fwdbwd_mrays"] = round(hist_mrays, 2)
+          emit(out)
+          hist_stream = decode_config_hist16_streamed(nd, Wd, K, tf, origin)
+          note(f"fwd+bwd STREAMED 16-bin-histogram-decode {Wd}^2 over {nd}^3: "
+               f"{hist_stream:.1f} Mrays/s")
+          out["hist16_streamed_fwdbwd_mrays"] = round(hist_stream, 2)
+          emit(out)
 
     if "dist" in sections:
-        # --- distributed-vs-unsharded per-chip overhead (the scaling proxy
-        # measurable on one chip: real multi-chip efficiency = 1 /
-        # (overhead_ratio + true comm time, which a 1-device mesh
-        # undercounts)) ---
-        dist = dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff)
-        if dist is not None:
-            note(
-                f"distributed (1-chip mesh) fwd {dist['dist_fwd_ms']:.2f} ms "
-                f"vs unsharded {dist['unsharded_fwd_ms']:.2f} ms -> overhead "
-                f"ratio {dist['dist_overhead_ratio']:.3f}; dist fwd+bwd "
-                f"{dist['dist_fwdbwd_ms']:.2f} ms")
-            out.update({k: round(v, 3) for k, v in dist.items()})
-            emit(out)
-            if dt_fb is not None:
-                # the roofline's forward is the unsharded (W, W) fused
-                # kernel the distributed section already timed
-                out.update({
-                    k: round(v, 4) for k, v in roofline(
-                        n, W, n, int(tf.shape[0]),
-                        dist["unsharded_fwd_ms"] / 1e3, dt_fb,
-                    ).items()
-                })
-                emit(out)
+      with sec("dist"):
+          # --- distributed-vs-unsharded per-chip overhead (the scaling proxy
+          # measurable on one chip: real multi-chip efficiency = 1 /
+          # (overhead_ratio + true comm time, which a 1-device mesh
+          # undercounts)) ---
+          dist = dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff)
+          if dist is not None:
+              note(
+                  f"distributed (1-chip mesh) fwd {dist['dist_fwd_ms']:.2f} ms "
+                  f"vs unsharded {dist['unsharded_fwd_ms']:.2f} ms -> overhead "
+                  f"ratio {dist['dist_overhead_ratio']:.3f}; dist fwd+bwd "
+                  f"{dist['dist_fwdbwd_ms']:.2f} ms")
+              out.update({k: round(v, 3) for k, v in dist.items()})
+              emit(out)
+              if dt_fb is not None:
+                  # the roofline's forward is the unsharded (W, W) fused
+                  # kernel the distributed section already timed
+                  out.update({
+                      k: round(v, 4) for k, v in roofline(
+                          n, W, n, int(tf.shape[0]),
+                          dist["unsharded_fwd_ms"] / 1e3, dt_fb,
+                      ).items()
+                  })
+                  emit(out)
 
     if "view" in sections:
-        fps_unrot, fps_rot = viewer_fps_config(K)
-        note(f"viewer 512^2 Isabel config: {fps_unrot:.1f} fps unrotated, "
-             f"{fps_rot:.1f} fps under rotation drag (reference: 60 fps)")
-        out["viewer_fps_512"] = round(fps_unrot, 1)
-        out["viewer_fps_rotated_512"] = round(fps_rot, 1)
-        emit(out)
+      with sec("view"):
+          fps_unrot, fps_rot = viewer_fps_config(K)
+          note(f"viewer 512^2 Isabel config: {fps_unrot:.1f} fps unrotated, "
+               f"{fps_rot:.1f} fps under rotation drag (reference: 60 fps)")
+          out["viewer_fps_512"] = round(fps_unrot, 1)
+          out["viewer_fps_rotated_512"] = round(fps_rot, 1)
+          emit(out)
+
+    if "big" in sections and jax.default_backend() == "tpu":
+      with sec("big"):
+          big = bench_big(tf, note)
+          out.update(big)
+          emit(out)
+
+    if "scaling" in sections:
+      with sec("scaling"):
+          from vrdd_tpu.parallel.scaling import measure_scaling
+
+          sc = measure_scaling(iters=K)
+          note(f"scaling: {sc}")
+          out.update({k: v for k, v in sc.items()})
+          emit(out)
 
     if args.full or "extras" in sections:
-        out.update(bench_variants(n, W, K, vol, tf, origin, use_pallas_diff))
-        emit(out)
+      with sec("extras"):
+          out.update(bench_variants(n, W, K, vol, tf, origin, use_pallas_diff))
+          emit(out)
     if out["value"] is None:
         emit(out)  # no sections ran: still print the (empty) record
+
+
+def blob_volume_device(n: int, seed: int = 0) -> jnp.ndarray:
+    """blob_volume generated ON DEVICE (host params only): at 1024^3 the
+    host array would be 4 GB uploaded over the tunneled link (~minutes);
+    three separable gaussians are microseconds of device broadcasting."""
+    rng = np.random.default_rng(seed)
+    cs = [rng.uniform(0.3, 0.7, size=3).astype(np.float32) for _ in range(3)]
+    ss = [np.float32(rng.uniform(0.1, 0.25)) for _ in range(3)]
+
+    @jax.jit
+    def gen():
+        z = jnp.linspace(0, 1, n, dtype=jnp.float32)
+        vol = jnp.zeros((n, n, n), jnp.float32)
+        for c, s in zip(cs, ss):
+            gz = jnp.exp(-((z - c[0]) ** 2) / (2 * s * s))
+            gy = jnp.exp(-((z - c[1]) ** 2) / (2 * s * s))
+            gx = jnp.exp(-((z - c[2]) ** 2) / (2 * s * s))
+            vol = vol + (
+                gz[:, None, None] * gy[None, :, None] * gx[None, None, :]
+            )
+        return vol / vol.max()
+
+    return gen()
+
+
+def bench_big(tf, note, n: int = 1024, W: int = 1024):
+    """The above-512^3 datapoints: 1024^3 -> 1024^2 forward (fused sweep)
+    and forward+backward (STREAMED seeded-chunk sweep — at this size the
+    materialized path's plane stack + plane cotangents alone are 8 GB, so
+    streaming is not a fallback but the only differentiable route on a
+    16 GB chip; march/streaming.py, BASELINE.json north-star scaling axis).
+    Volume + its cotangent are resident (8 GB); chunk residuals stay
+    O(chunk). Grads reach the volume and the TF LUT."""
+    from vrdd_tpu.march.streaming import streaming_decode_render
+
+    out = {}
+    vol = jax.block_until_ready(blob_volume_device(n))
+    origin = jnp.asarray([0.0, 0.0, 4.0], dtype=jnp.float32)
+
+    @jax.jit
+    def fwd(v, lut, o):
+        def it(i, acc):
+            img = pallas_slice_render(
+                v * (1.0 + 1e-6 * i), o, lut, width=W, height=W, n_planes=n
+            )
+            return acc + jnp.sum(img)
+        return jax.lax.fori_loop(0, 2, it, 0.0)
+
+    dt_f, _ = time_amortized(fwd, vol, tf, origin, iters=2)
+    out["fwd_1024_ms"] = round(dt_f * 1e3, 2)
+    out["fwd_1024_mrays"] = round(W * W / dt_f / 1e6, 2)
+    note(f"forward 1024^2 over 1024^3: {dt_f * 1e3:.1f} ms -> "
+         f"{out['fwd_1024_mrays']:.1f} Mrays/s "
+         f"({W * W * n / dt_f / 1e9:.1f} Gsamples/s)")
+
+    @jax.jit
+    def fwdbwd(v, lut, o):
+        def loss(v, lut, i):
+            img = streaming_decode_render(
+                v * (1.0 + 1e-6 * i), lambda x: x, o, lut, width=W,
+                height=W, n_planes=n, chunk_planes=128, backend="auto",
+                wrt=("volume", "lut"),
+            )
+            return jnp.mean((img - 0.25) ** 2)
+
+        def it(i, acc):
+            l, (gv, gt) = jax.value_and_grad(loss, argnums=(0, 1))(v, lut, i)
+            return acc + l + jnp.sum(gt) + gv[0, 0, 0]
+        return jax.lax.fori_loop(0, 2, it, 0.0)
+
+    dt_fb, _ = time_amortized(fwdbwd, vol, tf, origin, iters=2)
+    out["fwdbwd_1024_ms"] = round(dt_fb * 1e3, 2)
+    out["fwdbwd_1024_mrays"] = round(W * W / dt_fb / 1e6, 2)
+    note(f"fwd+bwd (streamed) 1024^2 over 1024^3: {dt_fb * 1e3:.1f} ms -> "
+         f"{out['fwdbwd_1024_mrays']:.1f} Mrays/s")
+    del vol
+    return out
 
 
 def bench_variants(n, W, K, vol, tf, origin, use_pallas_diff):
