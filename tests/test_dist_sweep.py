@@ -335,3 +335,56 @@ def test_shard_map_pallas_composition_interpret():
     rv, rl = np.asarray(rv), np.asarray(rl)
     assert float(np.abs(gv - rv).max()) / (np.abs(rv).max() + 1e-12) < 1e-5
     assert float(np.abs(gl - rl).max()) / (np.abs(rl).max() + 1e-12) < 1e-5
+
+
+def test_distributed_replicated_flex_axis_scale_matches_single():
+    """Flexible-block queries under sharding: volume_mode='replicated'
+    (plane-schedule sharding; the coarse padded stats grid replicates) must
+    match the single-device sweep with the same padded-grid filter scales
+    — including a grid whose extents do NOT divide over the bricks axis."""
+    rng = np.random.default_rng(7)
+    nzb, nyb, nxb = 6, 9, 11  # deliberately brick-indivisible
+    padded = jnp.asarray(
+        np.pad(rng.random((nzb, nyb, nxb), dtype=np.float32),
+               ((0, 1), (0, 1), (0, 1)))
+    )
+    ascale = (nxb / (nxb + 1), nyb / (nyb + 1), nzb / (nzb + 1))
+    mesh = make_mesh(bricks=4, rays=2)
+    got = np.asarray(
+        distributed_sweep_render(
+            padded, O, TF, width=32, height=32, mesh=mesh, n_planes=32,
+            axis_scale=ascale,
+        )
+    )
+    ref = _ref(padded, 32, 32, n_planes=32, axis_scale=ascale)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_distributed_replicated_gradients():
+    rng = np.random.default_rng(8)
+    padded = jnp.asarray(
+        np.pad(rng.random((4, 5, 6), dtype=np.float32),
+               ((0, 1), (0, 1), (0, 1)))
+    )
+    ascale = (6 / 7, 5 / 6, 4 / 5)
+    mesh = make_mesh(bricks=4, rays=2)
+
+    def loss(v, lut, dist):
+        if dist:
+            img = distributed_sweep_render(
+                v, O, lut, width=16, height=16, mesh=mesh, n_planes=16,
+                axis_scale=ascale,
+            )
+        else:
+            img = slice_render_image(
+                v, O, 16, 16, lut, n_planes=16, axis_scale=ascale,
+                use_custom_vjp=False,
+            )
+        return jnp.sum(img ** 2)
+
+    gv_d, gl_d = jax.grad(loss, argnums=(0, 1))(padded, TF, True)
+    gv_s, gl_s = jax.grad(loss, argnums=(0, 1))(padded, TF, False)
+    np.testing.assert_allclose(np.asarray(gv_d), np.asarray(gv_s),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl_d), np.asarray(gl_s),
+                               atol=1e-4, rtol=1e-4)

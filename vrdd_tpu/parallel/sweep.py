@@ -71,6 +71,7 @@ def _local_sweep(
     tf_lut, density, toff, tscl,
     alpha_scale: jnp.ndarray,  # (Hl, W)
     box, threshold, plane_chunk: int, dz_sign: int = -1,
+    tex_offset: float = 0.5, axis_scale=(1.0, 1.0),
 ):
     """Front-to-back composite of pre-blended planes on a row strip.
 
@@ -93,12 +94,12 @@ def _local_sweep(
         z, pl = xs
         x_at = ox + (z[:, None] - oz) * mx_j[None, :]  # (C, W)
         y_at = oy + (z[:, None] - oz) * my[None, :]  # (C, Hl)
-        wx = _axis_weights(x_at.reshape(-1), nx, xlo, xhi).reshape(
-            chunk, width, nx
-        )
-        wy = _axis_weights(y_at.reshape(-1), ny, ylo, yhi).reshape(
-            chunk, height, ny
-        )
+        wx = _axis_weights(
+            x_at.reshape(-1), nx, xlo, xhi, tex_offset, axis_scale[0]
+        ).reshape(chunk, width, nx)
+        wy = _axis_weights(
+            y_at.reshape(-1), ny, ylo, yhi, tex_offset, axis_scale[1]
+        ).reshape(chunk, height, ny)
         tmp = jax.lax.dot_general(
             wy, pl, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -143,6 +144,7 @@ def _over(acc, part):
     static_argnames=(
         "mx_bytes", "my_bytes", "march", "mesh", "dz_sign", "n_planes",
         "length_correction", "plane_chunk", "backend", "wrt",
+        "tex_offset", "axis_scale", "volume_mode",
     ),
 )
 def _sweep_slope_space_call(
@@ -164,6 +166,9 @@ def _sweep_slope_space_call(
     plane_chunk: int,
     backend: str,
     wrt: tuple,
+    tex_offset: float = 0.5,
+    axis_scale: tuple = (1.0, 1.0, 1.0),
+    volume_mode: str = "slab",
 ) -> jnp.ndarray:
     """Distributed sweep over an arbitrary uniform slope grid (core).
 
@@ -182,10 +187,23 @@ def _sweep_slope_space_call(
         n_planes = 2 * nz
     nb = mesh.shape[BRICK_AXIS]
     nr = mesh.shape[RAY_AXIS]
-    assert nz % nb == 0, f"Z={nz} must divide over {nb} bricks"
+    if volume_mode == "slab":
+        # z-slab sharding needs the default filter grid: a scaled grid
+        # (axis_scale[2] != 1, the flexible-block padded-grid fetch) maps a
+        # plane's z-taps OUTSIDE its owning slab's +-1 ghost layer, so those
+        # taps are unreachable by the halo exchange. Flexible stats grids
+        # are tiny (tens of blocks per axis) — use volume_mode='replicated'
+        # (plane-schedule sharding) for them instead.
+        assert tex_offset == 0.5 and tuple(axis_scale) == (1.0, 1.0, 1.0), (
+            "volume_mode='slab' supports only the default filter grid; use "
+            "volume_mode='replicated' for tex_offset/axis_scale variants"
+        )
+        assert nz % nb == 0, f"Z={nz} must divide over {nb} bricks"
+    else:
+        assert volume_mode == "replicated", volume_mode
     assert n_planes % nb == 0, f"n_planes={n_planes} must divide over {nb}"
     assert height % nr == 0, f"H={height} must divide over {nr} ray shards"
-    zl = nz // nb
+    zl = nz // nb if volume_mode == "slab" else nz
     (xlo, ylo, zlo) = march.box_min
     (xhi, yhi, zhi) = march.box_max
     thr = march.opacity_threshold
@@ -260,13 +278,37 @@ def _sweep_slope_space_call(
         origin, tf_lut, density, brightness, toff, tscl,
     ):
         d = jax.lax.axis_index(BRICK_AXIS)
+        zs_ftb = (
+            jnp.flip(zs_local, axis=0) if dz_sign < 0 else zs_local
+        )  # front-to-back order
 
+        if volume_mode == "replicated":
+            # plane-schedule sharding: the volume is replicated (coarse
+            # stats grids are KBs — the flexible-block representation's
+            # whole point is compression), each brick pre-blends only ITS
+            # contiguous plane subrange, straight from the full volume with
+            # the exact single-device clamp-from-the-unclipped-floor taps
+            # (march/slice.py _preblend_planes semantics) — valid for ANY
+            # tex_offset/axis_scale, no halo needed. Sort-last compositing
+            # and the two-pass ET are unchanged: a contiguous plane range
+            # IS a z interval.
+            zf = (
+                (zs_ftb - zlo) / (zhi - zlo) * (nz * axis_scale[2])
+                - tex_offset
+            )
+            izf = jnp.floor(zf)
+            az_t = (zf - izf)[:, None, None]
+            iz0_t = jnp.clip(izf.astype(jnp.int32), 0, nz - 1)
+            iz1_t = jnp.clip(izf.astype(jnp.int32) + 1, 0, nz - 1)
+            planes = (
+                vol_local[iz0_t] * (1.0 - az_t) + vol_local[iz1_t] * az_t
+            )
         # pre-blend local planes with the host-static two-tap weights (see
         # the derivation above distributed_sweep_render's per_device call);
         # differentiable through XLA's gather transpose (scatter-add into
         # the haloed slab, then the ppermute adjoint returns ghost-layer
         # cotangents to their owners).
-        if pure_select:
+        elif pure_select:
             planes = vol_local[jnp.asarray(iz0_host - 1)]  # local frame
         else:
             padded = _halo_exchange(vol_local, nb)  # (zl + 2, Y, X)
@@ -274,13 +316,11 @@ def _sweep_slope_space_call(
                 padded[jnp.asarray(iz0_host)] * (1.0 - az_host)
                 + padded[jnp.asarray(iz0_host + 1)] * az_host
             )
-        zs_ftb = (
-            jnp.flip(zs_local, axis=0) if dz_sign < 0 else zs_local
-        )  # front-to-back order
 
         sweep = lambda threshold: _local_sweep(
             planes, zs_ftb, mx, my_local, origin, tf_lut, density,
             toff, tscl, alpha_local, box, threshold, plane_chunk, dz_sign,
+            tex_offset, axis_scale[:2],
         )
         no_cut = jnp.full((hl, width), 2.0, dtype=jnp.float32)
 
@@ -313,6 +353,7 @@ def _sweep_slope_space_call(
                 toff, tscl, dz_sign=dz_sign, width=width, height=hl,
                 march=march, length_correction=length_correction,
                 plane_chunk=plane_chunk, plane_spacing=spacing, wrt=wrt,
+                tex_offset=tex_offset, axis_scale=axis_scale[:2],
             )
         else:
             partial = sweep(no_cut)  # (Hl, W, 4)
@@ -368,6 +409,7 @@ def _sweep_slope_space_call(
                 march=march, length_correction=length_correction,
                 plane_chunk=plane_chunk, acc_init=seed_img,
                 plane_spacing=spacing, wrt=wrt,
+                tex_offset=tex_offset, axis_scale=axis_scale[:2],
             )
             exact = jax.lax.psum(
                 jnp.where(flag[..., None], out2, 0.0), BRICK_AXIS
@@ -387,7 +429,8 @@ def _sweep_slope_space_call(
         per_device,
         mesh=mesh,
         in_specs=(
-            P(BRICK_AXIS, None, None),
+            P(BRICK_AXIS, None, None) if volume_mode == "slab"
+            else P(None, None, None),
             P(BRICK_AXIS),
             P(RAY_AXIS),
             P(RAY_AXIS, None),
@@ -429,12 +472,29 @@ def distributed_sweep_slope_space(
     plane_chunk: int = 8,
     backend: str = "auto",
     wrt: tuple = ("volume", "lut", "params"),
+    tex_offset: float = 0.5,
+    axis_scale: tuple = (1.0, 1.0, 1.0),
+    volume_mode: str = "auto",
 ) -> jnp.ndarray:
     """Distributed sweep over HOST numpy slope grids ``mx (W,)`` / ``my (H,)``.
 
     The distributed twin of ``march/slice.py sweep_slope_space`` — any
     uniform m-grid, either sweep direction; image rows (the my grid) are
-    sharded on the rays axis, the volume's leading axis on bricks."""
+    sharded on the rays axis, the volume's leading axis on bricks.
+
+    ``volume_mode``: 'slab' shards the volume's leading axis over bricks
+    (halo exchange; default-filter-grid only), 'replicated' keeps the
+    volume whole on every brick and shards the PLANE SCHEDULE instead —
+    the right layout for coarse flexible-block stats grids, and required
+    for non-default ``tex_offset``/``axis_scale`` (the scaled filter grid
+    maps plane taps outside their slab). 'auto' picks 'replicated' exactly
+    when a non-default filter grid demands it."""
+    if volume_mode == "auto":
+        volume_mode = (
+            "slab"
+            if tex_offset == 0.5 and tuple(axis_scale) == (1.0, 1.0, 1.0)
+            else "replicated"
+        )
     mx = np.ascontiguousarray(np.asarray(mx, dtype=np.float32))
     my = np.ascontiguousarray(np.asarray(my, dtype=np.float32))
     return _sweep_slope_space_call(
@@ -455,6 +515,9 @@ def distributed_sweep_slope_space(
         plane_chunk=plane_chunk,
         backend=backend,
         wrt=wrt,
+        tex_offset=float(tex_offset),
+        axis_scale=tuple(float(s) for s in axis_scale),
+        volume_mode=volume_mode,
     )
 
 
@@ -477,6 +540,9 @@ def distributed_sweep_render(
     plane_chunk: int = 8,
     backend: str = "auto",
     wrt: tuple = ("volume", "lut", "params"),
+    tex_offset: float = 0.5,
+    axis_scale: tuple = (1.0, 1.0, 1.0),
+    volume_mode: str = "auto",
 ) -> jnp.ndarray:
     """Sweep-render with the volume sharded over bricks and rows over rays.
 
@@ -511,7 +577,8 @@ def distributed_sweep_render(
         density, brightness, transfer_offset, transfer_scale,
         march=march, mesh=mesh, dz_sign=-1, n_planes=n_planes,
         length_correction=length_correction, plane_chunk=plane_chunk,
-        backend=backend, wrt=wrt,
+        backend=backend, wrt=wrt, tex_offset=tex_offset,
+        axis_scale=axis_scale, volume_mode=volume_mode,
     )
 
 
@@ -535,6 +602,9 @@ def distributed_shearwarp_render(
     plane_chunk: int = 8,
     backend: str = "auto",
     wrt: tuple = ("volume", "lut", "params"),
+    tex_offset: float = 0.5,
+    axis_scale: tuple = (1.0, 1.0, 1.0),
+    volume_mode: str = "auto",
 ) -> jnp.ndarray:
     """ARBITRARY rotated views on the distributed sweep (shear-warp).
 
@@ -573,17 +643,33 @@ def distributed_shearwarp_render(
     nr = mesh.shape[RAY_AXIS]
 
     # permute so the principal world axis is the sweep/shard axis, then
-    # re-shard the permuted volume over bricks (all-to-all on ICI)
+    # re-shard the permuted volume over bricks (all-to-all on ICI); the
+    # per-world-axis filter-grid scales permute with it (rotated
+    # flexible-block queries, march/shearwarp.py axis_scale semantics)
+    ascale_p = (
+        float(axis_scale[px]), float(axis_scale[py]), float(axis_scale[pz])
+    )
+    if volume_mode == "auto":
+        volume_mode = (
+            "slab"
+            if tex_offset == 0.5 and ascale_p == (1.0, 1.0, 1.0)
+            else "replicated"
+        )
     volume = jnp.asarray(volume)
     vol_perm = jnp.transpose(volume, (2 - pz, 2 - py, 2 - px))
-    if vol_perm.shape[0] % nb:
-        raise ValueError(
-            f"principal axis extent {vol_perm.shape[0]} must divide over "
-            f"{nb} bricks"
+    if volume_mode == "slab":
+        if vol_perm.shape[0] % nb:
+            raise ValueError(
+                f"principal axis extent {vol_perm.shape[0]} must divide "
+                f"over {nb} bricks"
+            )
+        vol_perm = jax.device_put(
+            vol_perm, NamedSharding(mesh, P(BRICK_AXIS, None, None))
         )
-    vol_perm = jax.device_put(
-        vol_perm, NamedSharding(mesh, P(BRICK_AXIS, None, None))
-    )
+    else:
+        vol_perm = jax.device_put(
+            vol_perm, NamedSharding(mesh, P(None, None, None))
+        )
     origin_w = inv_view[:, 3]
     origin_p = np.array(
         [origin_w[px], origin_w[py], origin_w[pz]], dtype=np.float32
@@ -623,7 +709,8 @@ def distributed_shearwarp_render(
         transfer_offset, transfer_scale, march=march_p, mesh=mesh,
         dz_sign=dz_sign, n_planes=n_planes,
         length_correction=length_correction, plane_chunk=plane_chunk,
-        backend=backend, wrt=wrt,
+        backend=backend, wrt=wrt, tex_offset=tex_offset,
+        axis_scale=ascale_p, volume_mode=volume_mode,
     )
 
     # final homography warp m-space -> pixels (static fractional indices);
