@@ -353,10 +353,24 @@ def main() -> None:
           out["hist16_decode_fwdbwd_mrays"] = round(hist_mrays, 2)
           emit(out)
           hist_stream = decode_config_hist16_streamed(nd, Wd, K, tf, origin)
-          note(f"fwd+bwd STREAMED 16-bin-histogram-decode {Wd}^2 over {nd}^3: "
-               f"{hist_stream:.1f} Mrays/s")
-          out["hist16_streamed_fwdbwd_mrays"] = round(hist_stream, 2)
+          note(f"fwd+bwd CHUNK-STREAMED 16-bin-histogram-decode {Wd}^2 over "
+               f"{nd}^3: {hist_stream:.1f} Mrays/s")
+          out["hist16_chunked_stream_fwdbwd_mrays"] = round(hist_stream, 2)
           emit(out)
+          ik = decode_config_hist16_inkernel(nd, Wd, K, tf, origin)
+          if ik is not None:
+              note(f"fwd+bwd IN-KERNEL 16-bin-histogram-decode {Wd}^2 over "
+                   f"{nd}^3: f32 {ik['f32']:.1f} / bf16 {ik['bf16']:.1f} "
+                   f"Mrays/s (streamed decode never materializes: fwd temp "
+                   f"{ik['fwd_temp_mb']:.0f} MB vs materialized "
+                   f"{ik['mat_fwd_temp_mb']:.0f} MB)")
+              out["hist16_streamed_fwdbwd_mrays"] = round(ik["bf16"], 2)
+              out["hist16_streamed_f32_fwdbwd_mrays"] = round(ik["f32"], 2)
+              out["hist16_streamed_fwd_temp_mb"] = round(
+                  ik["fwd_temp_mb"], 1)
+              out["hist16_materialized_fwd_temp_mb"] = round(
+                  ik["mat_fwd_temp_mb"], 1)
+              emit(out)
 
     if "dist" in sections:
       with sec("dist"):
@@ -368,20 +382,28 @@ def main() -> None:
           if dist is not None:
               note(
                   f"distributed (1-chip mesh) fwd {dist['dist_fwd_ms']:.2f} ms "
-                  f"vs unsharded {dist['unsharded_fwd_ms']:.2f} ms -> overhead "
+                  f"vs unsharded {dist['unsharded_fwd_ms']:.2f} ms (ESS "
+                  f"{dist['unsharded_fwd_ess_ms']:.2f} ms) -> overhead "
                   f"ratio {dist['dist_overhead_ratio']:.3f}; dist fwd+bwd "
                   f"{dist['dist_fwdbwd_ms']:.2f} ms")
               out.update({k: round(v, 3) for k, v in dist.items()})
               emit(out)
               if dt_fb is not None:
                   # the roofline's forward is the unsharded (W, W) fused
-                  # kernel the distributed section already timed
-                  out.update({
-                      k: round(v, 4) for k, v in roofline(
-                          n, W, n, int(tf.shape[0]),
-                          dist["unsharded_fwd_ms"] / 1e3, dt_fb,
-                      ).items()
-                  })
+                  # kernel the distributed section already timed; the
+                  # ESS-on fraction is reported alongside (culling only
+                  # removes real work, so it can exceed the plain number
+                  # against the same no-culling bound — that is the point)
+                  roof = roofline(
+                      n, W, n, int(tf.shape[0]),
+                      dist["unsharded_fwd_ms"] / 1e3, dt_fb,
+                  )
+                  roof["roofline_fwd_sol_frac_ess"] = (
+                      roof["roofline_fwd_sol_frac"]
+                      * dist["unsharded_fwd_ms"]
+                      / dist["unsharded_fwd_ess_ms"]
+                  )
+                  out.update({k: round(v, 4) for k, v in roof.items()})
                   emit(out)
 
     if "view" in sections:
@@ -669,6 +691,84 @@ def decode_config_hist16(n, W, K, tf, origin):
     return W * W / dt / 1e6
 
 
+def decode_config_hist16_inkernel(n, W, K, tf, origin):
+    """BASELINE config 4 with the decode INSIDE the Pallas kernel: the
+    bins-major histogram volume streams straight from HBM into the sweep,
+    whose plane prologue contracts sum_b w[b] * hist[b] in VMEM — the
+    reference's query-7 in-march decode (volumeRender_kernel.cu:354-480)
+    fused into the MXU sweep for any linear bins->scalar statistic, in
+    BOTH directions (the backward replays the same prologue and chains
+    decoded-plane cotangents to d_hist by one broadcast). The decoded
+    scalar volume never exists in HBM; the fwd temp-bytes column proves it
+    against the materialized path. bf16 histogram storage (2x stream
+    bandwidth; decode accuracy == the materialized path's bf16 decode
+    matmul) is the throughput default — measured 2026-08: bf16 26.3 vs
+    materialized 24.9 Mrays/s at 256^3 -> 512^2, f32 (bitwise-exact
+    decode) 23.1."""
+    from vrdd_tpu.pallas.slice_kernel import (
+        hist_render_supported, pallas_hist_render,
+    )
+    from vrdd_tpu.pallas.slice_vjp import pallas_hist_render_diff
+
+    B = 16
+    if jax.default_backend() != "tpu" or not hist_render_supported(
+        (n, B, n, n), W, W, n_lut=int(tf.shape[0])
+    ):
+        return None
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (n, n, n, B), dtype=jnp.float32)
+    hist_bm = jnp.transpose(jax.nn.softmax(2.0 * logits, axis=-1),
+                            (0, 3, 1, 2))
+    hist16 = jax.block_until_ready(hist_bm.astype(jnp.bfloat16))
+    hist_bm = jax.block_until_ready(hist_bm)
+    dw = jnp.asarray((np.arange(B) + 0.5) / B, jnp.float32)
+
+    @jax.jit
+    def fwdbwd(h, tf, o):
+        def loss(h, tf, i):
+            img = pallas_hist_render_diff(
+                h, dw, o, tf, density=0.05 * (1.0 + 1e-6 * i),
+                width=W, height=W, wrt=("hist", "lut"),
+            )
+            return jnp.mean((img - 0.25) ** 2)
+
+        def it(i, acc):
+            l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(h, tf, i)
+            return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, K, it, 0.0)
+
+    out = {}
+    dt, _ = time_amortized(fwdbwd, hist_bm, tf, origin, iters=K)
+    out["f32"] = W * W / dt / 1e6
+    dt, _ = time_amortized(fwdbwd, hist16, tf, origin, iters=K)
+    out["bf16"] = W * W / dt / 1e6
+
+    # memory proof: forward-only temp bytes exclude any (n, n, n) decoded
+    # volume for the in-kernel path; the materialized path's include it
+    from vrdd_tpu.ops.histogram import flex_block_stats
+
+    @jax.jit
+    def fwd_ik(h, tf, o):
+        return jnp.sum(pallas_hist_render(h, dw, o, tf, width=W, height=W))
+
+    @jax.jit
+    def fwd_mat(h, tf, o):
+        vol = flex_block_stats(h, channels=(0,))[..., 0] / 255.0
+        return jnp.sum(pallas_slice_render(
+            vol, o, tf, width=W, height=W, n_planes=n))
+
+    hist_lm = jnp.transpose(hist_bm, (0, 2, 3, 1))
+    try:
+        m = fwd_ik.lower(hist16, tf, origin).compile().memory_analysis()
+        out["fwd_temp_mb"] = m.temp_size_in_bytes / 1e6
+        m = fwd_mat.lower(hist_lm, tf, origin).compile().memory_analysis()
+        out["mat_fwd_temp_mb"] = m.temp_size_in_bytes / 1e6
+    except Exception:
+        out["fwd_temp_mb"] = out["mat_fwd_temp_mb"] = float("nan")
+    return out
+
+
 def decode_config_hist16_streamed(n, W, K, tf, origin):
     """BASELINE config 4 with the decode STREAMED into the sweep: per-voxel
     16-bin histograms are decoded per plane-chunk inside seeded chunk sweeps
@@ -733,15 +833,19 @@ def viewer_fps_config(K):
     srv = ViewerServer(pipe, width=512, height=512, port=0)
     try:
         n_frames = max(8, 4 * K)
-        srv.render_frame({})  # compile the unrotated fast path
+        # the browser client's exact request: RGB payload + pipelined server
+        # (dispatch N+1 overlaps frame N's readback over the tunneled link)
+        srv.render_frame({"fmt": "rgb"})  # compile the unrotated fast path
         t0 = time.perf_counter()
         for i in range(n_frames):
-            srv.render_frame({"density": 0.05 + 1e-7 * i})
+            srv.render_frame({"density": 0.05 + 1e-7 * i, "fmt": "rgb"})
         fps_unrot = n_frames / (time.perf_counter() - t0)
-        srv.render_frame({"rx": 10.0, "ry": 5.0})  # compile shear-warp
+        srv.render_frame({"rx": 10.0, "ry": 5.0, "fmt": "rgb"})  # compile
         t0 = time.perf_counter()
         for i in range(n_frames):
-            srv.render_frame({"rx": 10.0 + 0.05 * i, "ry": 5.0})
+            srv.render_frame(
+                {"rx": 10.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb"}
+            )
         fps_rot = n_frames / (time.perf_counter() - t0)
     finally:
         srv.httpd.server_close()
@@ -755,6 +859,7 @@ def dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff):
     TPU-only (the fused kernel needs real hardware)."""
     if jax.default_backend() != "tpu" or not use_pallas_diff:
         return None
+    from vrdd_tpu.pallas.slice_kernel import precompute_ess_stats
     from vrdd_tpu.parallel.mesh import make_mesh
     from vrdd_tpu.parallel.sweep import (
         distributed_sweep_render,
@@ -763,12 +868,27 @@ def dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff):
 
     mesh = make_mesh(1, 1)
     vs = shard_scalar_volume(vol, mesh)
+    ess_stats = jax.block_until_ready(precompute_ess_stats(vol, n_planes=n))
 
     @jax.jit
     def un_fwd(v, tf, o):
         def it(i, acc):
             img = pallas_slice_render(
                 v * (1.0 + 1e-6 * i), o, tf, width=W, height=W, n_planes=n
+            )
+            return acc + jnp.sum(img)
+        return jax.lax.fori_loop(0, K, it, 0.0)
+
+    @jax.jit
+    def un_fwd_ess(v, tf, o, stats):
+        # ESS TF-interval culling with cached plane stats — exact for the
+        # rendered image and ON by default on the pipeline's plain
+        # forwards; recorded next to the plain kernel so the roofline
+        # fraction is reported both culled and uncplled
+        def it(i, acc):
+            img = pallas_slice_render(
+                v * (1.0 + 1e-6 * i), o, tf, width=W, height=W, n_planes=n,
+                empty_space_skip=True, ess_stats=stats,
             )
             return acc + jnp.sum(img)
         return jax.lax.fori_loop(0, K, it, 0.0)
@@ -799,10 +919,15 @@ def dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff):
         return jax.lax.fori_loop(0, K, it, 0.0)
 
     dt_un, _ = time_amortized(un_fwd, vol, tf, origin, iters=K)
+    dt_ess, _ = time_amortized(
+        lambda v, t, o: un_fwd_ess(v, t, o, ess_stats), vol, tf, origin,
+        iters=K,
+    )
     dt_d, _ = time_amortized(d_fwd, vs, tf, origin, iters=K)
     dt_db, _ = time_amortized(d_fwdbwd, vs, tf, origin, iters=K)
     return {
         "unsharded_fwd_ms": dt_un * 1e3,
+        "unsharded_fwd_ess_ms": dt_ess * 1e3,
         "dist_fwd_ms": dt_d * 1e3,
         "dist_overhead_ratio": dt_d / dt_un,
         "dist_fwdbwd_ms": dt_db * 1e3,

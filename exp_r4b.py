@@ -1,0 +1,188 @@
+"""Round-4 batch B (run: python - < exp_r4b.py).
+
+E: viewer fps with the _stats_channel cache fix (ess on/off, pipelined rgb)
+F: overlap microbench — serialized vs 1-deep pipeline vs copy_to_host_async
+   vs 2-in-flight, on the exact unrotated 512^2 frame fn
+G: in-kernel-decode hist16 fwd+bwd + fwd at 256^3 -> 512^2 vs materialized
+"""
+import time, sys
+import numpy as np
+import jax, jax.numpy as jnp
+
+from vrdd_tpu.utils.profiling import enable_compilation_cache
+enable_compilation_cache()
+
+def note(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+from vrdd_tpu.io.synthetic import random_histogram_volume
+from vrdd_tpu.models.pipeline import RenderPipeline
+from vrdd_tpu.models.volumes import RawHistogramVolume
+from vrdd_tpu.viewer import ViewerServer
+from vrdd_tpu.utils.config import RenderConfig, CameraConfig
+
+hist = random_histogram_volume((10, 50, 50), n_bins=32, seed=0)
+pipe = RenderPipeline(raw=RawHistogramVolume(jnp.asarray(hist)))
+
+def fps_loop(srv, params_fn, n=24):
+    srv.render_frame(params_fn(0))
+    srv.render_frame(params_fn(1))
+    t0 = time.perf_counter()
+    for i in range(n):
+        srv.render_frame(params_fn(2 + i))
+    return n / (time.perf_counter() - t0)
+
+# ---- E ----
+for ess in (True, False):
+    pipe.empty_space_skip = ess
+    srv = ViewerServer(pipe, width=512, height=512, port=0, pipelined=True)
+    try:
+        f_un = fps_loop(srv, lambda i: {"density": 0.05 + 1e-7 * i,
+                                        "fmt": "rgb"})
+        f_rot = fps_loop(srv, lambda i: {"rx": 10.0 + 0.05 * i, "ry": 5.0,
+                                         "fmt": "rgb"})
+        note(f"E ess={int(ess)} pipelined rgb: unrot {f_un:.1f} fps, "
+             f"rot {f_rot:.1f} fps")
+    finally:
+        srv.httpd.server_close()
+
+# ---- F ----
+pipe.empty_space_skip = False
+
+def frame(i):
+    cfg = RenderConfig(camera=CameraConfig(width=512, height=512),
+                       density=0.05 + 1e-7 * i)
+    return pipe.render(None, cfg, "auto", as_uint8=True, channels=3)
+
+np.asarray(frame(0))  # warm
+N = 24
+
+t0 = time.perf_counter()
+for i in range(N):
+    np.asarray(frame(i))
+note(f"F serialized: {(time.perf_counter()-t0)/N*1e3:.1f} ms/frame")
+
+prev = frame(0)
+t0 = time.perf_counter()
+for i in range(1, N + 1):
+    cur = frame(i)
+    np.asarray(prev)
+    prev = cur
+note(f"F 1-deep pipeline: {(time.perf_counter()-t0)/N*1e3:.1f} ms/frame")
+
+prev = frame(0); prev.copy_to_host_async()
+t0 = time.perf_counter()
+for i in range(1, N + 1):
+    cur = frame(i)
+    cur.copy_to_host_async()
+    np.asarray(prev)
+    prev = cur
+note(f"F 1-deep + copy_to_host_async: "
+     f"{(time.perf_counter()-t0)/N*1e3:.1f} ms/frame")
+
+a, b = frame(0), frame(1)
+a.copy_to_host_async(); b.copy_to_host_async()
+t0 = time.perf_counter()
+for i in range(2, 2 + N):
+    cur = frame(i)
+    cur.copy_to_host_async()
+    np.asarray(a)
+    a, b = b, cur
+note(f"F 2-deep + async: {(time.perf_counter()-t0)/N*1e3:.1f} ms/frame")
+
+# readback-only floor: repeated np.asarray of a fresh (completed) frame
+x = frame(0); jax.block_until_ready(x)
+t0 = time.perf_counter()
+for i in range(N):
+    x._npy_value = None  # defeat the host-copy cache
+    np.asarray(x)
+note(f"F readback-only floor: {(time.perf_counter()-t0)/N*1e3:.1f} ms")
+
+# dispatch+complete floor (no readback)
+t0 = time.perf_counter()
+for i in range(N):
+    jax.block_until_ready(frame(i))
+note(f"F dispatch+complete floor: {(time.perf_counter()-t0)/N*1e3:.1f} ms")
+
+# ---- G ----
+from vrdd_tpu.core.transfer import default_transfer_function
+from vrdd_tpu.ops.histogram import flex_block_stats
+from vrdd_tpu.pallas.slice_kernel import pallas_hist_render
+from vrdd_tpu.pallas.slice_vjp import (
+    pallas_hist_render_diff, pallas_slice_render_diff,
+)
+
+n, Wd, B, K = 256, 512, 16, 4
+key = jax.random.PRNGKey(0)
+logits = jax.random.normal(key, (n, n, n, B), dtype=jnp.float32)
+hist_lm = jax.nn.softmax(2.0 * logits, axis=-1)        # bins-minor (ref)
+hist_bm = jnp.transpose(hist_lm, (0, 3, 1, 2))         # bins-major
+hist_bm = jax.block_until_ready(hist_bm)
+# decode weights for the mean channel of flex_block_stats (bin centers
+# scaled /255): mean = sum h * (b + .5) * (255/B); /255 -> (b + .5)/B
+w = jnp.asarray((np.arange(B) + 0.5) / B, jnp.float32)
+tf = jnp.asarray(default_transfer_function())
+origin = jnp.asarray([0.0, 0.0, 4.0], jnp.float32)
+
+# correctness spot-check on hardware vs materialized
+img_k = pallas_hist_render(hist_bm, w, origin, tf, width=Wd, height=Wd)
+dec = flex_block_stats(hist_lm, channels=(0,))[..., 0] / 255.0
+img_m = pallas_slice_render_diff(dec, origin, tf, width=Wd, height=Wd,
+                                 n_planes=n, wrt=("volume",))
+err = float(jnp.max(jnp.abs(img_k - img_m)))
+note(f"G hw parity in-kernel vs materialized: max|err| = {err:.2e}")
+
+def timed(f, *a):
+    float(f(*a))
+    t0 = time.perf_counter(); float(f(*a))
+    return (time.perf_counter() - t0) / K
+
+@jax.jit
+def fwd_kernel_decode(h, lut, o):
+    def it(i, acc):
+        img = pallas_hist_render(h * (1.0 + 1e-6 * i), w, o, lut,
+                                 width=Wd, height=Wd)
+        return acc + jnp.sum(img)
+    return jax.lax.fori_loop(0, K, it, 0.0)
+
+dt = timed(fwd_kernel_decode, hist_bm, tf, origin)
+note(f"G fwd in-kernel-decode: {dt*1e3:.2f} ms -> {Wd*Wd/dt/1e6:.1f} Mrays/s")
+
+@jax.jit
+def fwdbwd_kernel_decode(h, lut, o):
+    def loss(h, lut, i):
+        img = pallas_hist_render_diff(
+            h * (1.0 + 1e-6 * i), w, o, lut, width=Wd, height=Wd,
+            wrt=("hist", "lut"))
+        return jnp.mean((img - 0.25) ** 2)
+    def it(i, acc):
+        l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(h, lut, i)
+        return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0]
+    return jax.lax.fori_loop(0, K, it, 0.0)
+
+dt = timed(fwdbwd_kernel_decode, hist_bm, tf, origin)
+note(f"G fwd+bwd in-kernel-decode: {dt*1e3:.2f} ms -> "
+     f"{Wd*Wd/dt/1e6:.1f} Mrays/s")
+
+@jax.jit
+def fwdbwd_materialized(h, lut, o):
+    def loss(h, lut, i):
+        vol = flex_block_stats(h * (1.0 + 1e-6 * i), channels=(0,))[..., 0] / 255.0
+        img = pallas_slice_render_diff(vol, o, lut, width=Wd, height=Wd,
+                                       n_planes=n, wrt=("volume", "lut"))
+        return jnp.mean((img - 0.25) ** 2)
+    def it(i, acc):
+        l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(h, lut, i)
+        return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0]
+    return jax.lax.fori_loop(0, K, it, 0.0)
+
+dt = timed(fwdbwd_materialized, hist_lm, tf, origin)
+note(f"G fwd+bwd materialized (same-day): {dt*1e3:.2f} ms -> "
+     f"{Wd*Wd/dt/1e6:.1f} Mrays/s")
+
+# peak-memory proof: the decoded volume never materializes
+m = fwdbwd_kernel_decode.lower(hist_bm, tf, origin).compile().memory_analysis()
+note(f"G in-kernel temp bytes: {m.temp_size_in_bytes/1e6:.1f} MB")
+m2 = fwdbwd_materialized.lower(hist_lm, tf, origin).compile().memory_analysis()
+note(f"G materialized temp bytes: {m2.temp_size_in_bytes/1e6:.1f} MB")
+note("done")

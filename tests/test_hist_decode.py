@@ -1,0 +1,148 @@
+"""In-kernel distribution decode: the fused sweep consuming bins-major
+histogram volumes directly (slice_kernel.py pallas_hist_render /
+slice_vjp.py pallas_hist_render_diff).
+
+The decoded scalar volume never exists in HBM in either direction — the
+plane prologue contracts sum_b w[b] * hist[b] in VMEM (the reference's
+query-7 in-march decode, volumeRender_kernel.cu:354-480, generalized to
+any LINEAR bins->scalar statistic on the fused MXU sweep). Pinned under
+the Mosaic interpreter against decode-everything-first."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vrdd_tpu.core.transfer import default_transfer_function
+from vrdd_tpu.march.slice import slice_render_image
+from vrdd_tpu.pallas.slice_kernel import (
+    hist_render_supported,
+    pallas_hist_render,
+)
+from vrdd_tpu.pallas.slice_vjp import pallas_hist_render_diff
+
+TF = jnp.asarray(default_transfer_function())
+O = jnp.asarray([0.0, 0.0, 4.0])
+W = H = 128
+
+
+def _hist(nz=16, B=8, seed=0):
+    rng = np.random.default_rng(seed)
+    h = rng.random((nz, B, nz, nz)).astype(np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    w = (np.arange(B, dtype=np.float32) + 0.5) / B
+    return jnp.asarray(h), jnp.asarray(w)
+
+
+def test_hist_render_supported():
+    assert hist_render_supported((16, 8, 16, 16), 128, 128)
+    assert not hist_render_supported((16, 8, 16, 16), 100, 128)  # tiling
+    assert not hist_render_supported((16, 4096, 1024, 1024), 128, 128)
+
+
+def test_forward_matches_materialized():
+    hist, w = _hist()
+    decoded = jnp.einsum("zbyx,b->zyx", hist, w)
+    ref = np.asarray(slice_render_image(decoded, O, W, H, TF, n_planes=16))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            pallas_hist_render(hist, w, O, TF, width=W, height=H)
+        )
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_grads_match_materialized():
+    hist, w = _hist(seed=3)
+
+    def loss_hist(h, w_, lut):
+        img = pallas_hist_render_diff(
+            h, w_, O, lut, width=W, height=H,
+            wrt=("hist", "weights", "lut", "params"), density=0.08,
+        )
+        return jnp.sum(img ** 2)
+
+    def loss_ref(h, w_, lut):
+        dec = jnp.einsum("zbyx,b->zyx", h, w_)
+        img = slice_render_image(
+            dec, O, W, H, lut, n_planes=16, density=0.08,
+            use_custom_vjp=False,
+        )
+        return jnp.sum(img ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        v_h, (gh, gw, gl) = jax.value_and_grad(
+            loss_hist, argnums=(0, 1, 2)
+        )(hist, w, TF)
+    v_r, (gh_r, gw_r, gl_r) = jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2)
+    )(hist, w, TF)
+
+    def mre(a, b):
+        s = float(jnp.max(jnp.abs(b))) or 1.0
+        return float(jnp.max(jnp.abs(a - b))) / s
+
+    assert abs(float(v_h - v_r)) / abs(float(v_r)) < 1e-5
+    assert mre(gh, gh_r) < 1e-4, "histogram cotangent"
+    assert mre(gw, gw_r) < 1e-4, "decode-weight (template) cotangent"
+    # LUT grads accumulate in the tent basis with a different float
+    # association than XLA's transpose; 2e-4 matches test_pallas_vjp's
+    # established tolerance for the same comparison
+    assert mre(gl, gl_r) < 5e-4, "LUT cotangent"
+
+
+def test_wrt_pruning_returns_zeros():
+    hist, w = _hist(seed=5)
+
+    def loss(h, w_):
+        img = pallas_hist_render_diff(
+            h, w_, O, TF, width=W, height=H, wrt=("lut",)
+        )
+        return jnp.sum(img ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gh, gw = jax.grad(loss, argnums=(0, 1))(hist, w)
+    assert float(jnp.max(jnp.abs(gh))) == 0.0
+    assert float(jnp.max(jnp.abs(gw))) == 0.0
+
+
+def test_early_termination_matches():
+    # saturating density: the kernel's tile ET must agree with the
+    # sequential reference through the in-kernel decode
+    hist, w = _hist(seed=7)
+    decoded = jnp.einsum("zbyx,b->zyx", hist, w)
+    ref = np.asarray(
+        slice_render_image(decoded, O, W, H, TF, density=5.0, n_planes=16)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            pallas_hist_render(hist, w, O, TF, density=5.0, width=W, height=H)
+        )
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_bf16_histogram_storage():
+    """bf16-stored distribution volume: 2x stream bandwidth; decode
+    accuracy equals the materialized path's bf16 decode matmul, and the
+    histogram cotangent comes back in the storage dtype."""
+    hist, w = _hist(seed=9)
+    h16 = hist.astype(jnp.bfloat16)
+    decoded = jnp.einsum("zbyx,b->zyx", hist, w)
+    ref = np.asarray(slice_render_image(decoded, O, W, H, TF, n_planes=16))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            pallas_hist_render(h16, w, O, TF, width=W, height=H)
+        )
+        def loss(h, lut):
+            img = pallas_hist_render_diff(
+                h, w, O, lut, width=W, height=H, wrt=("hist", "lut")
+            )
+            return jnp.sum(img ** 2)
+        gh = jax.grad(loss)(h16, TF)
+        g32 = jax.grad(loss)(hist, TF)
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=1e-2)
+    assert gh.dtype == jnp.bfloat16
+    num = float(jnp.sum(gh.astype(jnp.float32) * g32))
+    den = float(jnp.linalg.norm(gh.astype(jnp.float32))
+                * jnp.linalg.norm(g32))
+    assert num / den > 0.999, "bf16 grads must point with the f32 grads"

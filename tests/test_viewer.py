@@ -35,6 +35,18 @@ def _get(server, path):
         return r.status, r.read(), dict(r.headers)
 
 
+def _get_frame(server, path):
+    """Fetch a frame following the pipelined-flush protocol (as the JS
+    client does): while X-Frame-Lag is 1, re-request the same params to
+    flush the in-flight frame; the returned bytes then CORRESPOND to the
+    requested params."""
+    for _ in range(5):
+        status, body, headers = _get(server, path)
+        if headers.get("X-Frame-Lag") != "1":
+            break
+    return status, body, headers
+
+
 def test_page_serves(server):
     status, body, _ = _get(server, "/")
     assert status == 200
@@ -50,18 +62,47 @@ def test_frame_shape_and_params(server):
     assert img.max() > 0  # something rendered
 
     # density changes the image (the reference's +/- keys)
-    _, body2, _ = _get(server, "/frame?density=0.01&query=1")
+    _, body2, _ = _get_frame(server, "/frame?density=0.01&query=1")
     assert body2 != body
 
 
 def test_frame_rotation_and_filter(server):
-    _, a, _ = _get(server, "/frame?rx=30&ry=40&density=0.5")
-    _, b, _ = _get(server, "/frame?rx=0&ry=0&density=0.5")
+    _, a, _ = _get_frame(server, "/frame?rx=30&ry=40&density=0.5")
+    _, b, _ = _get_frame(server, "/frame?rx=0&ry=0&density=0.5")
     assert a != b  # mouse-drag rotation re-renders
     # 'f' key: point vs linear filtering differ on a smooth volume
-    _, lin, _ = _get(server, "/frame?density=0.5&filter=1")
-    _, pt, _ = _get(server, "/frame?density=0.5&filter=0")
+    _, lin, _ = _get_frame(server, "/frame?density=0.5&filter=1")
+    _, pt, _ = _get_frame(server, "/frame?density=0.5&filter=0")
     assert lin != pt
+
+
+def test_pipelined_lag_and_flush(server):
+    # prime with params A (first-after-idle: served from the filling queue)
+    _, a0, h0 = _get(server, "/frame?density=0.30&query=1")
+    # params B: the response is an in-flight A-era frame, flagged lagged
+    _, a1, h1 = _get(server, "/frame?density=0.31&query=1")
+    assert h1.get("X-Frame-Lag") == "1"
+    assert a1 == a0  # still the A frame (one-dispatch lag)
+    # repeat B until the queue drains (the client's flush loop): the final
+    # response is the B frame, unflagged
+    b, h2 = a1, h1
+    for _ in range(5):
+        _, b, h2 = _get(server, "/frame?density=0.31&query=1")
+        if h2.get("X-Frame-Lag") != "1":
+            break
+    assert h2.get("X-Frame-Lag") == "0"
+    assert b != a0
+
+
+def test_rgb_frame_format(server):
+    _, body, _ = _get_frame(server, "/frame?density=0.5&query=1&fmt=rgb")
+    assert len(body) == W * H * 3
+    img = np.frombuffer(body, dtype=np.uint8).reshape(H, W, 3)
+    assert img.max() > 0
+    # RGB bytes must equal the RGBA frame's first three channels
+    _, body4, _ = _get_frame(server, "/frame?density=0.5&query=1")
+    rgba = np.frombuffer(body4, dtype=np.uint8).reshape(H, W, 4)
+    np.testing.assert_array_equal(img, rgba[..., :3])
 
 
 def test_frame_bad_query_is_500(server):

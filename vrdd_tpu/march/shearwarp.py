@@ -92,11 +92,40 @@ def shearwarp_geometry(
     return axis, (px, py, pz), np.stack([mx, my], axis=-1), dz_sign, ok
 
 
+def _principal_axis_geometry(
+    inv_view: np.ndarray, width: int, height: int, focal: float = 2.0
+):
+    """O(1) host geometry: ``(axis, perm, dz_sign, ok)`` from the 3x3 alone.
+
+    ``d_z(u, v)`` is AFFINE in the pixel coords, so its sign over the whole
+    image is decided at the four corners of the actual pixel rectangle
+    (u in [-1, 1 - 2/W], v in [-1, 1 - 2/H]) — exactly equivalent to
+    :func:`shearwarp_geometry`'s all-pixels check without building (H, W)
+    grids on the host. The fused-kernel frame path calls this per frame
+    (the full per-pixel slopes/warp maps are computed ON DEVICE inside the
+    jit, see _pallas_frame): host work per rotated frame is 3x3 numpy."""
+    inv_view = np.asarray(inv_view, dtype=np.float32)
+    rot = inv_view[:, :3]
+    view_dir = rot @ np.array([0.0, 0.0, -1.0], dtype=np.float32)
+    axis = int(np.argmax(np.abs(view_dir)))
+    px, py, pz = _PERMS[axis]
+    u_ext = np.array([-1.0, 1.0 - 2.0 / width], dtype=np.float32)
+    v_ext = np.array([-1.0, 1.0 - 2.0 / height], dtype=np.float32)
+    dz = (
+        u_ext[None, :] * rot[pz, 0]
+        + v_ext[:, None] * rot[pz, 1]
+        - focal * rot[pz, 2]
+    )
+    ok = bool((dz > 1e-6).all() or (dz < -1e-6).all())
+    dz_sign = 1 if float(dz[0, 0]) > 0 else -1
+    return axis, (px, py, pz), dz_sign, ok
+
+
 def shearwarp_applicable(
     inv_view: np.ndarray, width: int = 64, height: int = 64, focal: float = 2.0
 ) -> bool:
     """True if d_z keeps one sign over the image for the best principal axis."""
-    *_, ok = shearwarp_geometry(inv_view, width, height, focal)
+    *_, ok = _principal_axis_geometry(inv_view, width, height, focal)
     return ok
 
 
@@ -129,26 +158,57 @@ def _bilinear_warp_2d_traced(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "wi", "hi", "march", "dz_sign", "n_planes", "length_correction",
-        "plane_chunk", "tex_offset", "wrt", "axis_scale", "perm_axes",
-        "pack_u8",
+        "width", "height", "wi", "hi", "focal", "march", "dz_sign",
+        "n_planes", "length_correction", "plane_chunk", "tex_offset", "wrt",
+        "axis_scale", "perm_axes", "perm_world", "pack_u8",
     ),
 )
 def _pallas_frame(
-    volume, origin_p, slopes, ix, iy, tf_lut, density, brightness,
-    transfer_offset, transfer_scale, *, wi, hi, march, dz_sign, n_planes,
-    length_correction, plane_chunk, tex_offset, wrt, axis_scale, perm_axes,
-    pack_u8,
+    volume, rot, origin, tf_lut, density, brightness,
+    transfer_offset, transfer_scale, *, width, height, wi, hi, focal, march,
+    dz_sign, n_planes, length_correction, plane_chunk, tex_offset, wrt,
+    axis_scale, perm_axes, perm_world, pack_u8,
 ):
-    """ONE jitted dispatch per rotated frame: axis permutation + fused
-    m-space sweep + homography warp (+ optional uint8 pack). Everything
-    view-dependent (origin, slope-grid params, warp index maps) is traced
-    data; only the principal-axis permutation and dz_sign key compiles —
-    interactive dragging re-renders through one cached executable instead
-    of ~15 eager dispatches (each a round trip on remote-attached TPUs)."""
+    """ONE jitted dispatch per rotated frame: per-pixel slope grids,
+    m-grid bounds, axis permutation, fused m-space sweep, homography warp
+    index maps, and the warp itself (+ optional uint8 pack) ALL inside the
+    jit, computed from the 3x3 rotation + origin (12 traced floats). Only
+    the principal-axis permutation and dz_sign key compiles — interactive
+    dragging re-renders through one cached executable. The previous
+    revision computed the (H, W) slope/warp maps on the HOST and uploaded
+    them per frame: 2 MB host->device per rotated frame, ~50 ms over the
+    tunneled link and the bulk of the rotated-drag fps gap (measured
+    round 4; cf. volumeRender.cpp:225-232, which uploads only
+    c_invViewMatrix per frame for the same reason)."""
     from vrdd_tpu.pallas.slice_vjp import _diff_call, _norm_wrt
 
+    px, py, pz = perm_world
     vol_perm = jnp.transpose(volume, perm_axes)
+
+    # pixel -> world direction components, permuted; d_world_i =
+    # u*rot[i,0] + v*rot[i,1] - focal*rot[i,2] (shearwarp_geometry math)
+    u = ((jnp.arange(width, dtype=jnp.float32) / width) * 2.0 - 1.0)[None, :]
+    v = ((jnp.arange(height, dtype=jnp.float32) / height) * 2.0 - 1.0)[:, None]
+
+    def d_world(i):
+        return u * rot[i, 0] + v * rot[i, 1] - focal * rot[i, 2]
+
+    dzc = d_world(pz)
+    mx_all = d_world(px) / dzc  # (H, W)
+    my_all = d_world(py) / dzc
+
+    # bounding m-grid (+ one-texel margin), traced reductions
+    mx_lo, mx_hi = jnp.min(mx_all), jnp.max(mx_all)
+    my_lo, my_hi = jnp.min(my_all), jnp.max(my_all)
+    mx_pad = jnp.maximum(jnp.float32(1e-6), (mx_hi - mx_lo) / wi)
+    my_pad = jnp.maximum(jnp.float32(1e-6), (my_hi - my_lo) / hi)
+    mx0 = mx_lo - mx_pad
+    my0 = my_lo - my_pad
+    dmx = (mx_hi - mx_lo + 2.0 * mx_pad) / (wi - 1)
+    dmy = (my_hi - my_lo + 2.0 * my_pad) / (hi - 1)
+    slopes = jnp.stack([mx0, dmx, my0, dmy])
+    origin_p = jnp.stack([origin[px], origin[py], origin[pz]])
+
     img_m = _diff_call(
         vol_perm, origin_p, slopes, tf_lut, density, brightness,
         transfer_offset, transfer_scale, dz_sign=dz_sign, width=wi,
@@ -157,11 +217,14 @@ def _pallas_frame(
         plane_chunk=plane_chunk, tex_offset=tex_offset, wrt=_norm_wrt(wrt),
         axis_scale=axis_scale,
     )
-    img = _bilinear_warp_2d_traced(img_m, ix, iy)
-    if pack_u8:
+    img = _bilinear_warp_2d_traced(
+        img_m, (mx_all - mx0) / dmx, (my_all - my0) / dmy
+    )
+    if pack_u8:  # True/4 = uint8 RGBA; 3 = uint8 RGB (smaller readback)
         from vrdd_tpu.core.image import rgba_to_uint8
 
-        return rgba_to_uint8(img)
+        out = rgba_to_uint8(img)
+        return out[..., :3] if pack_u8 == 3 else out
     return img
 
 
@@ -233,7 +296,7 @@ def shearwarp_render_image(
     when supported).
     """
     inv_view = np.asarray(inv_view, dtype=np.float32)
-    axis, (px, py, pz), slopes, dz_sign, ok = shearwarp_geometry(
+    axis, (px, py, pz), dz_sign, ok = _principal_axis_geometry(
         inv_view, width, height, focal
     )
     if not ok:
@@ -247,9 +310,6 @@ def shearwarp_render_image(
     # permutes INSIDE its one jitted frame call.)
     volume = jnp.asarray(volume)
     origin_w = inv_view[:, 3]
-    origin_p = np.array(
-        [origin_w[px], origin_w[py], origin_w[pz]], dtype=np.float32
-    )
     box_min = np.asarray(march.box_min, dtype=np.float32)
     box_max = np.asarray(march.box_max, dtype=np.float32)
     march_p = MarchConfig(
@@ -263,7 +323,8 @@ def shearwarp_render_image(
         float(axis_scale[px]), float(axis_scale[py]), float(axis_scale[pz])
     )
 
-    # bounding m-grid over the image's slopes (+ one-texel margin)
+    # bounding m-grid resolution (the grid itself is traced on the pallas
+    # path, host numpy on the xla path)
     wi = max(8, int(np.ceil(width * oversample)))
     hi = max(8, int(np.ceil(height * oversample)))
     if backend == "auto":
@@ -282,9 +343,31 @@ def shearwarp_render_image(
                                  n_lut=int(jnp.shape(tf_lut)[0]))
             else "xla"
         )
+
     if backend == "pallas":  # round the m-grid up to the kernel tiling
         wi = -(-wi // 128) * 128
         hi = -(-hi // 128) * 128
+        if n_planes <= 0:
+            n_planes = 2 * int(volume.shape[2 - pz])
+        return _pallas_frame(
+            volume, jnp.asarray(inv_view[:, :3]), jnp.asarray(origin_w),
+            tf_lut,
+            jnp.asarray(density, jnp.float32),
+            jnp.asarray(brightness, jnp.float32),
+            jnp.asarray(transfer_offset, jnp.float32),
+            jnp.asarray(transfer_scale, jnp.float32),
+            width=width, height=height, wi=wi, hi=hi, focal=focal,
+            march=march_p, dz_sign=dz_sign, n_planes=n_planes,
+            length_correction=length_correction,
+            # 0 = backend default (4: fastest measured for the fused bwd)
+            plane_chunk=plane_chunk or 4, tex_offset=tex_offset,
+            wrt=tuple(wrt), axis_scale=ascale_p,
+            perm_axes=(2 - pz, 2 - py, 2 - px), perm_world=(px, py, pz),
+            pack_u8=pack_u8,
+        )
+
+    # xla backend: host per-pixel slopes + host m-grid (view-static compile)
+    *_, slopes, _, _ = shearwarp_geometry(inv_view, width, height, focal)
     mx_all, my_all = slopes[..., 0], slopes[..., 1]
     mx_lo, mx_hi = float(mx_all.min()), float(mx_all.max())
     my_lo, my_hi = float(my_all.min()), float(my_all.max())
@@ -297,28 +380,10 @@ def shearwarp_render_image(
     ix = (mx_all - mx[0]) / (mx[-1] - mx[0]) * (wi - 1)
     iy = (my_all - my[0]) / (my[-1] - my[0]) * (hi - 1)
 
-    if backend == "pallas":
-        if n_planes <= 0:
-            n_planes = 2 * int(volume.shape[2 - pz])
-        slopes_vec = jnp.asarray(
-            [mx[0], (mx[-1] - mx[0]) / (wi - 1),
-             my[0], (my[-1] - my[0]) / (hi - 1)], jnp.float32,
-        )
-        return _pallas_frame(
-            jnp.asarray(volume), jnp.asarray(origin_p), slopes_vec,
-            jnp.asarray(ix), jnp.asarray(iy), tf_lut,
-            jnp.asarray(density, jnp.float32),
-            jnp.asarray(brightness, jnp.float32),
-            jnp.asarray(transfer_offset, jnp.float32),
-            jnp.asarray(transfer_scale, jnp.float32),
-            wi=wi, hi=hi, march=march_p, dz_sign=dz_sign, n_planes=n_planes,
-            length_correction=length_correction,
-            # 0 = backend default (4: fastest measured for the fused bwd)
-            plane_chunk=plane_chunk or 4, tex_offset=tex_offset,
-            wrt=tuple(wrt), axis_scale=ascale_p,
-            perm_axes=(2 - pz, 2 - py, 2 - px), pack_u8=pack_u8,
-        )
     vol_perm = jnp.transpose(volume, (2 - pz, 2 - py, 2 - px))
+    origin_p = np.array(
+        [origin_w[px], origin_w[py], origin_w[pz]], dtype=np.float32
+    )
     img_m = sweep_slope_space(
         vol_perm, origin_p, mx, my, tf_lut,
         density, brightness, transfer_offset, transfer_scale, march_p,
@@ -333,5 +398,6 @@ def shearwarp_render_image(
     if pack_u8:
         from vrdd_tpu.core.image import rgba_to_uint8
 
-        return rgba_to_uint8(img)
+        out = rgba_to_uint8(img)
+        return out[..., :3] if pack_u8 == 3 else out
     return img

@@ -88,6 +88,14 @@ class RenderPipeline:
         )
         self._interp_mean_vol = None  # query-7 field, built on first use
         self._flex_padded = None  # padded flex stats for object-order paths
+        # ESS TF-interval culling on plain (non-differentiated) forwards:
+        # exact for the rendered image (slice_kernel.py:370-391), so it is
+        # ON by default wherever it applies (the unrotated fused-kernel
+        # path); plane stats are camera/TF-independent and cached here per
+        # (volume, schedule) — precompute_ess_stats's cache-key contract
+        self.empty_space_skip = True
+        self._ess_cache: Dict[tuple, jnp.ndarray] = {}
+        self._channel_cache: Dict[QueryMethod, jnp.ndarray] = {}
 
     def sample_source(self, method: QueryMethod, linear: bool = True):
         """(source array, array -> SampleFn builder) for a query method.
@@ -135,8 +143,21 @@ class RenderPipeline:
         return build(src)
 
     def _stats_channel(self, method: QueryMethod):
-        """(Z, Y, X) scalar field + source for the object-order fast paths."""
+        """(Z, Y, X) scalar field + source for the object-order fast paths.
+
+        Memoized per method: callers key caches (jit donation, ESS plane
+        stats) on the ARRAY IDENTITY of the returned channel — a fresh
+        slice per call would silently defeat them (measured: the per-frame
+        ESS stats recompute cost the viewer ~5 fps before this cache)."""
         method = QueryMethod(method)
+        cached = self._channel_cache.get(method)
+        if cached is not None:
+            return cached
+        out = self._stats_channel_uncached(method)
+        self._channel_cache[method] = out
+        return out
+
+    def _stats_channel_uncached(self, method: QueryMethod):
         if method in (
             QueryMethod.RAW_MEAN,
             QueryMethod.RAW_VARIANCE,
@@ -249,6 +270,7 @@ class RenderPipeline:
         config: RenderConfig = RenderConfig(),
         renderer: str = "scan",
         as_uint8: bool = False,
+        channels: int = 4,
     ) -> jnp.ndarray:
         """Jitted render; returns (H, W, 4) float RGBA.
 
@@ -262,9 +284,12 @@ class RenderPipeline:
         ``as_uint8=True`` fuses the RGBA8 pack into the SAME jitted call —
         the interactive viewer's frame path stays one device dispatch
         (every extra eager op is a full round trip on remote-attached TPUs).
+        ``channels=3`` additionally drops alpha INSIDE the jit (uint8 only):
+        a (H, W, 3) readback is 25% fewer bytes over that same link.
         """
         if inv_view is None:
             inv_view = default_benchmark_inv_view()
+        pack_u8 = (channels if channels != 4 else True) if as_uint8 else False
         renderer = self.resolve_renderer(renderer, inv_view, config)
         params = (
             self.tf_lut,
@@ -287,16 +312,24 @@ class RenderPipeline:
                     *params, march=config.march, n_planes=n_planes,
                     tex_offset=self._tex_offset(config.query_method),
                     axis_scale=self._flex_axis_scale(config.query_method),
-                    backend="auto", pack_u8=as_uint8,
+                    backend="auto", pack_u8=pack_u8,
                 )
             # XLA backend: slope grids embed as literals, so the view stays
             # a compile key (cached per view matrix)
             fn = self._compiled(
                 config.query_method, config.camera.width,
                 config.camera.height, config.march, renderer,
-                iv_bytes=iv.tobytes(), pack_u8=as_uint8,
+                iv_bytes=iv.tobytes(), pack_u8=pack_u8,
             )
             return fn(vol, *params)
+        # ESS applies to the plain fused forward with linear filtering (the
+        # cached plane stats describe the LINEAR pre-blend; point sampling
+        # snaps the z taps, which would make them non-conservative)
+        ess = (
+            renderer == "pallas"
+            and self.empty_space_skip
+            and config.filter_linear
+        )
         fn = self._compiled(
             config.query_method,
             config.camera.width,
@@ -304,13 +337,41 @@ class RenderPipeline:
             config.march,
             renderer,
             linear=config.filter_linear,
-            pack_u8=as_uint8,
+            pack_u8=pack_u8,
+            ess=ess,
         )
         if renderer in ("slice", "pallas"):
             src = self._stats_channel(config.query_method)
         else:
             src, _ = self.sample_source(config.query_method)
+        if ess:
+            stats = self._ess_stats(src, config)
+            return fn(
+                src, jnp.asarray(inv_view, dtype=jnp.float32), *params, stats
+            )
         return fn(src, jnp.asarray(inv_view, dtype=jnp.float32), *params)
+
+    def _ess_stats(self, vol, config):
+        """Cached ESS plane stats for a stats-channel volume; keyed on the
+        full pre-blend signature (volume identity, plane schedule,
+        tex_offset, z_scale, box) per precompute_ess_stats's contract."""
+        from vrdd_tpu.pallas.slice_kernel import precompute_ess_stats
+
+        toff = self._tex_offset(config.query_method)
+        zscale = self._flex_axis_scale(config.query_method)[2]
+        n_planes = max(64, 2 * vol.shape[0])
+        key = (
+            id(vol), n_planes, toff, zscale,
+            config.march.box_min, config.march.box_max,
+        )
+        if key not in self._ess_cache:
+            self._ess_cache[key] = jax.block_until_ready(
+                precompute_ess_stats(
+                    vol, n_planes=n_planes, march=config.march,
+                    dz_sign=-1, tex_offset=toff, z_scale=zscale,
+                )
+            )
+        return self._ess_cache[key]
 
     def _shearwarp_uses_pallas(self, vol_shape, config) -> bool:
         """Mirror shearwarp_render_image's backend='auto' choice, using the
@@ -327,10 +388,17 @@ class RenderPipeline:
 
     @functools.lru_cache(maxsize=32)
     def _compiled(self, method, width, height, march, renderer="scan",
-                  iv_bytes=None, linear=True, pack_u8=False):
+                  iv_bytes=None, linear=True, pack_u8=False, ess=False):
         from vrdd_tpu.core.image import rgba_to_uint8
 
-        pack = rgba_to_uint8 if pack_u8 else (lambda x: x)
+        # pack_u8: False = float RGBA, True/4 = uint8 RGBA, 3 = uint8 RGB
+        # (alpha dropped inside the jit: 25% smaller device->host readback)
+        if pack_u8 == 3:
+            pack = lambda x: rgba_to_uint8(x)[..., :3]
+        elif pack_u8:
+            pack = rgba_to_uint8
+        else:
+            pack = lambda x: x
         # the sample source is a jit ARGUMENT (see sample_source docstring)
         if renderer == "shearwarp":
             inv_view = np.frombuffer(iv_bytes, dtype=np.float32).reshape(3, 4)
@@ -364,7 +432,7 @@ class RenderPipeline:
 
             @jax.jit
             def run_obj(volume, inv_view, tf_lut, density, brightness,
-                        offset, scale):
+                        offset, scale, ess_stats=None):
                 origin = inv_view[:, 3]
                 n_planes = max(64, 2 * volume.shape[0])
                 if renderer == "pallas":
@@ -372,7 +440,8 @@ class RenderPipeline:
                         volume, origin, tf_lut, density, brightness,
                         offset, scale, width=width, height=height, march=march,
                         n_planes=n_planes, tex_offset=toff, axis_scale=ascale,
-                        filter_linear=flin,
+                        filter_linear=flin, empty_space_skip=ess,
+                        ess_stats=ess_stats,
                     ))
                 return pack(slice_render_image(
                     volume, origin, width, height, tf_lut, density,

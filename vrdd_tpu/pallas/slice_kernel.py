@@ -99,6 +99,7 @@ _VMEM_PLANE_LIMIT = 4 * 1024 * 1024
 # keep the double-buffered plane block comfortably inside VMEM next to the
 # resident accumulator and scratch
 _VMEM_PLANE_BLOCK_BUDGET = 32 * 1024 * 1024
+_VMEM_HIST_BLOCK_BUDGET = 72 * 1024 * 1024
 # the resident accumulator block is (n_strips, n_rows, STRIP, W) =
 # n_rows * H * W * 4 bytes (n_rows = max(4, n_lut) factorized rows, +1 for
 # the checkpointing forward's T row — 10 at the reference's 9-entry LUT).
@@ -121,13 +122,19 @@ def _max_band_rows(width: int, n_lut: int = 9) -> int:
 
 
 def _fit_plane_chunk(pchunk: int, n_planes: int, ny: int, nx: int,
-                     width: int = 0) -> int:
+                     width: int = 0, bins: int = 0) -> int:
     """Largest chunk <= pchunk that divides n_planes and whose double-buffered
     plane block PLUS the per-chunk x-weight cache (pchunk, width, nx) fits
-    the VMEM budget."""
+    the VMEM budget. ``bins``: in-kernel decode streams (pchunk, bins, ny,
+    nx) histogram blocks plus a decoded-plane scratch."""
+    per_plane = 4 * ny * nx * max(1, bins) + (4 * ny * nx if bins else 0)
+    # the decode path budgets higher: its (pchunk, B, NY, NX) histogram
+    # blocks are the dominant VMEM tenant (no banding accumulator on top),
+    # and clamping it to the scalar budget forces pchunk=2 at 256^3 x 16
+    # bins — measured 3x slower than the amortized chunk (exp r4c/r4d)
+    budget = _VMEM_HIST_BLOCK_BUDGET if bins else _VMEM_PLANE_BLOCK_BUDGET
     while pchunk > 1 and (
-        2 * pchunk * 4 * ny * nx + pchunk * 4 * width * nx
-        > _VMEM_PLANE_BLOCK_BUDGET
+        2 * pchunk * per_plane + pchunk * 4 * width * nx > budget
     ):
         pchunk -= 1
     while n_planes % pchunk:
@@ -485,6 +492,7 @@ def _make_kernel(
     length_correction: bool, mm_dtype, pchunk: int, emit_ckpt: bool = False,
     tex_offset: float = 0.5, ess: bool = False, seed: bool = False,
     axis_scale=(1.0, 1.0), ck_stride: int = 0, filter_linear: bool = True,
+    decode_bins: int = 0,
 ):
     """``seed``: the accumulator initializes from a traced RGBA input image
     instead of zeros — "resume a sweep mid-flight". The distributed
@@ -561,6 +569,22 @@ def _make_kernel(
     t_row = n_rows - 1  # only meaningful when emit_ckpt
 
     def kernel(params_ref, zs_ref, coef_ref, planes_ref, *rest):
+        # IN-KERNEL DISTRIBUTION DECODE (decode_bins = B > 0): planes_ref is
+        # a (pchunk, B, NY, NX) bins-major HISTOGRAM block — z-layers of the
+        # distribution volume streamed directly from HBM, in z-ASCENDING
+        # storage order (the index map walks it backwards for dz < 0, and
+        # plane i of the chunk reads block row pchunk-1-i) — and the decoded
+        # scalar plane materializes only in VMEM, as the linear contraction
+        # sum_b w[b] * hist[b] in the y-resample prologue. This is the
+        # reference's in-march decode (volumeRender_kernel.cu:354-480)
+        # fused into the sweep for any LINEAR bins->scalar statistic;
+        # nonlinear stats (variance, entropy) use the chunked streaming
+        # path (march/streaming.py). Requires n_planes == nz (the
+        # pure-selection pre-blend: zf = (p+0.5)*nz/n_planes - 0.5 = p, so
+        # no z-lerp ever mixes two layers).
+        if decode_bins:
+            dw_ref = rest[0]  # (1, B) decode weights, SMEM
+            rest = rest[1:]
         if ess:
             ess_ref = rest[0]
             rest = rest[1:]
@@ -571,9 +595,12 @@ def _make_kernel(
         rest = rest[1:]
         if emit_ckpt:
             tck_ref, live_ref, flag_ref, tflag_ref, tmp_ref, wx_ref, ibx_ref \
-                = rest
+                = rest[:7]
+            rest = rest[7:]
         else:
-            flag_ref, tflag_ref, tmp_ref, wx_ref, ibx_ref = rest
+            flag_ref, tflag_ref, tmp_ref, wx_ref, ibx_ref = rest[:5]
+            rest = rest[5:]
+        dec_ref = rest[0] if decode_bins else None  # decoded plane scratch
         k = pl.program_id(0)   # chunk (outer)
         si = pl.program_id(1)  # strip (inner)
         ox = params_ref[0, 0]
@@ -670,6 +697,21 @@ def _make_kernel(
         else:
             stage_x_when = si == 0
 
+        if decode_bins:
+            # decode the chunk's planes ONCE (at the first strip) into VMEM
+            # scratch; every strip's y-resample reads the decoded planes.
+            # Linear bins contraction: B VPU FMAs per voxel, and the scalar
+            # plane never touches HBM. Block row pchunk-1-i: front-to-back
+            # plane i is the (pchunk-1-i)-th layer of the z-ascending block.
+            @pl.when(stage_x_when)
+            def _stage_decode():
+                for i in range(pchunk):
+                    bi = pchunk - 1 - i if dz_sign < 0 else i
+                    plane = dw_ref[0, 0] * planes_ref[bi, 0]
+                    for b in range(1, decode_bins):
+                        plane = plane + dw_ref[0, b] * planes_ref[bi, b]
+                    dec_ref[i] = plane
+
         @pl.when(stage_x_when)
         def _stage_x():
             # strip-invariant per-plane x weights: built once per chunk,
@@ -697,8 +739,9 @@ def _make_kernel(
                 y_at = oy + (z - oz) * my_col[:, 0]  # (STRIP,)
                 wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset, sys,
                                       linear=filter_linear)
+                plane = dec_ref[i] if decode_bins else planes_ref[i]
                 tmp_ref[i] = jnp.dot(
-                    wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
+                    wy.astype(mm_dtype), plane.astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                 )  # (STRIP, NX)
 
@@ -863,24 +906,40 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
 
 
 def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
-                 emit_ckpt=False, mm_dtype=jnp.float32, seed=False):
+                 emit_ckpt=False, mm_dtype=jnp.float32, seed=False,
+                 decode_bins=0, reverse_planes=False):
     """(in_specs, out_spec, scratch, grid) shared by forward and pass 1:
     grid = (chunks, strips), CHUNK-major; the accumulator is ONE
     (n_strips, n_rows, STRIP, W) output block with a constant index map —
     VMEM-resident for the whole sweep, flushed once (the caller reshapes it
-    back to (n_rows, H, W))."""
+    back to (n_rows, H, W)).
+
+    ``decode_bins = B > 0``: the plane input is the bins-major histogram
+    volume (nz, B, NY, NX) streamed a chunk of z-layers at a time, plus a
+    (1, B) decode-weight SMEM input and a decoded-plane VMEM scratch (see
+    _make_kernel's in-kernel decode). ``reverse_planes`` walks the layer
+    blocks back-to-front (dz < 0 front-to-back order without materializing
+    a flipped copy of the histogram volume in HBM)."""
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     n_strips = H // STRIP
     n_chunks = n_planes // pchunk
     n_rows = acc_rows(n_lut, emit_ckpt)
     n_xt = W // _xtile(W)
+    if reverse_planes:
+        plane_ix = lambda k, s: (n_chunks - 1 - k, 0, 0, 0)
+    else:
+        plane_ix = lambda k, s: (k, 0, 0, 0)
     in_specs = [
         smem((1, 12), lambda k, s: (0, 0)),
         smem((1, n_planes), lambda k, s: (0, 0)),
         smem((1, 4 * n_lut), lambda k, s: (0, 0)),
-        vmem((pchunk, NY, NX), lambda k, s: (k, 0, 0)),
+        vmem((pchunk, decode_bins, NY, NX), plane_ix)
+        if decode_bins
+        else vmem((pchunk, NY, NX), lambda k, s: plane_ix(k, s)[:1] + (0, 0)),
     ]
+    if decode_bins:
+        in_specs.append(smem((1, decode_bins), lambda k, s: (0, 0)))
     if ess:
         in_specs.append(smem((n_strips, n_chunks), lambda k, s: (0, 0)))
     if seed:
@@ -895,6 +954,8 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
         pltpu.VMEM((pchunk, W, NX), mm_dtype),         # hoisted x weights
         pltpu.VMEM((pchunk, 1, W), jnp.float32),       # x in-box masks
     ]
+    if decode_bins:
+        scratch.append(pltpu.VMEM((pchunk, NY, NX), jnp.float32))  # decoded
     grid = (n_chunks, n_strips)
     return in_specs, out_spec, scratch, grid
 
@@ -1154,3 +1215,121 @@ def pallas_slice_render(
         empty_space_skip=empty_space_skip, axis_scale=axis_scale,
         ess_stats=ess_stats, filter_linear=filter_linear,
     )
+
+
+def hist_render_supported(hist_shape, width: int, height: int,
+                          n_lut: int = 9) -> bool:
+    """True when the in-kernel-decode sweep can serve this config: bins-major
+    histogram volume (nz, B, ny, nx), kernel-tiled image, the histogram
+    chunk + decoded scratch + accumulator within VMEM budgets."""
+    nz, B, ny, nx = hist_shape
+    return (
+        width % 128 == 0
+        and height % STRIP == 0
+        and 4 * ny * nx * (B + 1) <= _VMEM_PLANE_BLOCK_BUDGET // 2
+        and acc_rows(n_lut, True) * height * width * 4 <= _VMEM_ACC_BUDGET
+    )
+
+
+def pallas_hist_render(
+    hist_bm: jnp.ndarray,
+    weights: jnp.ndarray,
+    origin: jnp.ndarray,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    width: int,
+    height: int,
+    march: MarchConfig = MarchConfig(),
+    length_correction: bool = True,
+    precision: str = "f32",
+    plane_chunk: int = 0,
+    focal: float = 2.0,
+) -> jnp.ndarray:
+    """Fused render STRAIGHT FROM A DISTRIBUTION VOLUME: the per-voxel
+    histogram decodes inside the sweep kernel.
+
+    ``hist_bm`` is the bins-MAJOR histogram volume ``(nz, B, ny, nx)`` (the
+    framework's native layout for in-kernel decode: B stays a sublane axis,
+    so a streamed chunk of z-layers tiles VMEM perfectly; the (..., B)
+    bins-minor layout would pad 16 bins onto 128 lanes). ``weights (B,)``
+    are the linear decode coefficients: density = sum_b w[b] * hist[b]
+    (e.g. bin centers / 255 for the mean statistic,
+    volumeRender_kernel.cu:1083-1115). The decoded scalar volume NEVER
+    exists in HBM — z-layer chunks stream into VMEM and the contraction
+    happens in the kernel's plane prologue, generalizing the reference's
+    query-7 in-march decode (volumeRender_kernel.cu:354-480) to the fused
+    MXU sweep. Nonlinear statistics use march/streaming.py instead.
+
+    Constraints: ``n_planes == nz`` (the pure-selection plane schedule — no
+    z-lerp mixes two layers, so planes ARE layers walked back-to-front) and
+    the kernel tiling (width % 128, height % STRIP); check
+    :func:`hist_render_supported`.
+    """
+    nz, B, ny, nx = hist_bm.shape
+    n_planes = nz
+    n_lut = int(jnp.shape(tf_lut)[0])
+    assert width % 128 == 0 and height % STRIP == 0, (width, height)
+    pchunk = _fit_plane_chunk(
+        plane_chunk or 8, n_planes, ny, nx, width, bins=B
+    )
+
+    (xlo, ylo, zlo) = march.box_min
+    (xhi, yhi, zhi) = march.box_max
+    spacing = (zhi - zlo) / n_planes
+    zs = (
+        zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)
+    ).astype(np.float32)[::-1]  # front-to-back for the -z camera
+
+    mxh, myh = _pixel_slopes(width, height, focal)
+    slopes = jnp.asarray(
+        [mxh[0], mxh[1] - mxh[0] if width > 1 else 0.0,
+         myh[0], myh[1] - myh[0] if height > 1 else 0.0], jnp.float32,
+    )
+    origin = jnp.asarray(origin, dtype=jnp.float32)
+    params = jnp.stack(
+        [
+            origin[0], origin[1], origin[2],
+            jnp.asarray(density, jnp.float32),
+            jnp.asarray(brightness, jnp.float32),
+            jnp.asarray(transfer_offset, jnp.float32),
+            jnp.asarray(transfer_scale, jnp.float32),
+            jnp.asarray(spacing, jnp.float32),
+            slopes[0], slopes[1], slopes[2], slopes[3],
+        ]
+    )[None, :]
+    coef_flat = tf_relu_coefficients(
+        jnp.asarray(tf_lut, dtype=jnp.float32)
+    ).reshape(1, -1)
+    zs_in = jnp.asarray(zs, jnp.float32)[None, :]
+    dw = jnp.asarray(weights, jnp.float32)[None, :]
+
+    mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    kernel = _make_kernel(
+        height, width, ny, nx, n_planes, n_lut, -1,
+        march.box_min, march.box_max, march.tstep, march.opacity_threshold,
+        length_correction, mm_dtype, pchunk, decode_bins=B,
+    )
+    in_specs, out_spec, scratch, grid = _sweep_specs(
+        height, width, ny, nx, n_planes, n_lut, pchunk,
+        mm_dtype=mm_dtype, decode_bins=B, reverse_planes=True,
+    )
+    n_strips = height // STRIP
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_strips, acc_rows(n_lut, False), STRIP, width), jnp.float32
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(params, zs_in, coef_flat, jnp.asarray(hist_bm), dw)
+    return jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(height, width, 4)

@@ -123,14 +123,20 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      box_max, tstep, threshold, length_correction, mm_dtype,
                      pchunk, tex_offset=0.5,
                      wrt=("volume", "lut", "params"),
-                     axis_scale=(1.0, 1.0)):
+                     axis_scale=(1.0, 1.0), decode_bins=0):
     """Reverse-order cotangent sweep; see module docstring.
 
     ``wrt`` statically prunes cotangent paths: "volume" (d_planes — the
     x-transpose matmuls and the plane-gradient accumulation), "lut" (the
     per-LUT-entry tent accumulation, the single largest VPU cost), "params"
     (density / TF offset / TF scale). Skipped outputs come back as exact
-    zeros (their accumulators are zero-initialized and never touched)."""
+    zeros (their accumulators are zero-initialized and never touched).
+
+    ``decode_bins = B > 0``: the replay decodes (pchunk, B, NY, NX)
+    bins-major histogram blocks in VMEM exactly like the forward
+    (slice_kernel.py _make_kernel), and ``d_planes`` stays the DECODED
+    plane cotangent — the linear chain to the histogram cotangent
+    (d_hist[L, b] = w[b] * d_dec[L]) is one XLA broadcast outside."""
     g_vol = "volume" in wrt
     g_lut = "lut" in wrt
     g_par = "params" in wrt
@@ -143,9 +149,15 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     xt = _xtile(W)
     n_xt = W // xt
 
-    def kernel(params_ref, zs_ref, coef_ref, planes_ref, g_ref, tck_ref,
-               live_ref, dplanes_ref, small_ref, S_ref, cg_ref,
-               sg_ref, tmp_ref, dtmp_ref, tloc_ref, resloc_ref, caloc_ref):
+    def kernel(params_ref, zs_ref, coef_ref, planes_ref, *rest):
+        if decode_bins:
+            dw_ref = rest[0]
+            rest = rest[1:]
+        (g_ref, tck_ref, live_ref, dplanes_ref, small_ref, S_ref, cg_ref,
+         sg_ref, tmp_ref, dtmp_ref, tloc_ref, resloc_ref, caloc_ref) = \
+            rest[:13]
+        rest = rest[13:]
+        dec_ref = rest[0] if decode_bins else None
         k = pl.program_id(0)      # reversed: chunk kk = n_chunks - 1 - k
         si = pl.program_id(1)
         kk = n_chunks - 1 - k
@@ -187,6 +199,19 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         bits = live_ref[si, kk]
         chunk_live = bits != 0
 
+        if decode_bins:
+            # decode the chunk's histogram layers ONCE into VMEM scratch
+            # (strip-invariant; mirrors the forward's _stage_decode). Block
+            # row pchunk-1-i = front-to-back plane i of this chunk.
+            @pl.when(si == 0)
+            def _stage_decode():
+                for i in range(pchunk):
+                    bi = pchunk - 1 - i if dz_sign < 0 else i
+                    plane = dw_ref[0, 0] * planes_ref[bi, 0]
+                    for b in range(1, decode_bins):
+                        plane = plane + dw_ref[0, b] * planes_ref[bi, b]
+                    dec_ref[i] = plane
+
         @pl.when(chunk_live)
         def _stage_y():
             # forward y-resample (shared by every x-tile) + d_tmp zeroing
@@ -197,8 +222,9 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 z = zs_ref[0, kk * pchunk + i]
                 y_at = oy + (z - oz) * my_col[:, 0]
                 wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset, sys)
+                plane = dec_ref[i] if decode_bins else planes_ref[i]
                 tmp_ref[i] = jnp.dot(
-                    wy.astype(mm_dtype), planes_ref[i].astype(mm_dtype),
+                    wy.astype(mm_dtype), plane.astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                 )
                 if g_vol:
@@ -422,7 +448,12 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                     y_at = oy + (z - oz) * my_col[:, 0]
                     wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset,
                                           sys)
-                    dplanes_ref[i] += jax.lax.dot_general(
+                    # decode variant: write LAYER order (row pchunk-1-i for
+                    # dz<0) so the d_hist chain outside needs no flip copy
+                    oi = (
+                        pchunk - 1 - i if decode_bins and dz_sign < 0 else i
+                    )
+                    dplanes_ref[oi] += jax.lax.dot_general(
                         wy.astype(mm_dtype), dtmp_ref[i].astype(mm_dtype),
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -459,7 +490,8 @@ def _pack_params(origin, density, toff, tscl, slopes, spacing):
 def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      box_max, tstep, threshold, length_correction, precision,
                      pchunk, tex_offset=0.5, wrt=("volume", "lut", "params"),
-                     ess=False, seed=False, axis_scale=(1.0, 1.0)):
+                     ess=False, seed=False, axis_scale=(1.0, 1.0),
+                     decode_bins=0):
     """Build the custom-VJP sweep for one static configuration.
 
     The returned ``sweep(planes, zs, acc0, origin, slopes, lut, density,
@@ -492,9 +524,12 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     """
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     assert not (ess and seed), "ESS bitmap + seeded resume not wired together"
+    assert not (ess and decode_bins), "ESS stats describe decoded planes"
+    rev = bool(decode_bins) and dz_sign < 0
 
     fwd_pchunk = _fit_plane_chunk(
-        max(8 // pchunk * pchunk, pchunk), n_planes, NY, NX, W
+        max(8 // pchunk * pchunk, pchunk), n_planes, NY, NX, W,
+        bins=decode_bins,
     )
     while fwd_pchunk % pchunk or n_planes % fwd_pchunk:
         fwd_pchunk -= 1
@@ -504,17 +539,24 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, fwd_pchunk,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
+        decode_bins=decode_bins,
     )
     fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, fwd_pchunk, emit_ckpt=True,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
-        ck_stride=pchunk,
+        ck_stride=pchunk, decode_bins=decode_bins,
     )
+    # the kernel's d_planes path serves BOTH the histogram cotangent and
+    # the decode-weight cotangent (each is a linear function of d_dec)
+    kernel_wrt = tuple(dict.fromkeys(
+        ("volume" if w == "weights" else w) for w in wrt
+    )) if decode_bins else wrt
     bwd_kernel, n_chunks, n_strips = _make_bwd_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
-        tex_offset=tex_offset, wrt=wrt, axis_scale=axis_scale,
+        tex_offset=tex_offset, wrt=kernel_wrt, axis_scale=axis_scale,
+        decode_bins=decode_bins,
     )
     n_chunks_fwd = n_planes // fwd_pchunk
 
@@ -522,11 +564,13 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     in_specs, out_spec, scratch, grid = _sweep_specs(
         H, W, NY, NX, n_planes, n_lut, fwd_pchunk, ess=ess,
-        mm_dtype=mm_dtype, seed=seed,
+        mm_dtype=mm_dtype, seed=seed, decode_bins=decode_bins,
+        reverse_planes=rev,
     )
     in_specs_ck, out_spec_ck, scratch_ck, grid_ck = _sweep_specs(
         H, W, NY, NX, n_planes, n_lut, fwd_pchunk, ess=ess, emit_ckpt=True,
-        mm_dtype=mm_dtype, seed=seed,
+        mm_dtype=mm_dtype, seed=seed, decode_bins=decode_bins,
+        reverse_planes=rev,
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
@@ -553,7 +597,10 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             return ()
         return (jnp.transpose(acc0, (2, 0, 1)),)
 
-    def _fwd_call(planes_all, zs_in, acc0, params, coef_flat, lut):
+    def _dw_args(dw):
+        return (dw[None, :],) if decode_bins else ()
+
+    def _fwd_call(planes_all, zs_in, acc0, params, coef_flat, lut, dw=None):
         out = pl.pallas_call(
             fwd_kernel,
             out_shape=jax.ShapeDtypeStruct(
@@ -564,11 +611,12 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             out_specs=out_spec,
             scratch_shapes=scratch,
             compiler_params=cparams,
-        )(params, zs_in, coef_flat, planes_all,
+        )(params, zs_in, coef_flat, planes_all, *_dw_args(dw),
           *_ess_args(planes_all, zs_in, params, lut), *_seed_args(acc0))
         return jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(H, W, 4)
 
-    def _fwd_ckpt_call(planes_all, zs_in, acc0, params, coef_flat, lut):
+    def _fwd_ckpt_call(planes_all, zs_in, acc0, params, coef_flat, lut,
+                       dw=None):
         out, tck, live_map = pl.pallas_call(
             fwd_ckpt_kernel,
             out_shape=(
@@ -589,7 +637,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             ),
             scratch_shapes=scratch_ck,
             compiler_params=cparams,
-        )(params, zs_in, coef_flat, planes_all,
+        )(params, zs_in, coef_flat, planes_all, *_dw_args(dw),
           *_ess_args(planes_all, zs_in, params, lut), *_seed_args(acc0))
         img = jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(H, W, 4)
         # duplicate the per-forward-chunk live bits over backward sub-chunks
@@ -597,13 +645,28 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             live_map = jnp.repeat(live_map, ck_per_chunk, axis=1)
         return img, tck, live_map
 
-    def _bwd_call(planes_all, zs_in, params, coef_flat, tck, live_map, g):
+    def _bwd_call(planes_all, zs_in, params, coef_flat, tck, live_map, g,
+                  dw=None):
         g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
+        if decode_bins:
+            # bwd chunk k processes front-to-back chunk kk = n_chunks-1-k;
+            # the z-ascending layer block for kk is n_chunks-1-kk = k
+            plane_spec = vmem(
+                (pchunk, decode_bins, NY, NX),
+                (lambda k, s: (k, 0, 0, 0)) if rev
+                else (lambda k, s: (n_chunks - 1 - k, 0, 0, 0)),
+            )
+        else:
+            plane_spec = vmem(
+                (pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)
+            )
         in_specs_bwd = [
             smem((1, 12), lambda k, s: (0, 0)),
             smem((1, n_planes), lambda k, s: (0, 0)),
             smem((1, 4 * n_lut), lambda k, s: (0, 0)),
-            vmem((pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)),
+            plane_spec,
+            *([smem((1, decode_bins), lambda k, s: (0, 0))]
+              if decode_bins else []),
             vmem((4, STRIP, W), lambda k, s: (0, s, 0)),
             vmem((1, STRIP, W), lambda k, s: (n_chunks - 1 - k, s, 0)),
             smem((n_strips, n_chunks), lambda k, s: (0, 0)),
@@ -618,7 +681,11 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             grid=(n_chunks, n_strips),
             in_specs=in_specs_bwd,
             out_specs=(
-                vmem((pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)),
+                # decode variant emits d_dec in z-LAYER order (block k =
+                # the chunk's layer block; rows flipped in-kernel)
+                vmem((pchunk, NY, NX),
+                     (lambda k, s: (k, 0, 0)) if rev
+                     else (lambda k, s: (n_chunks - 1 - k, 0, 0))),
                 smem((1, 4 * n_lut + 3), lambda k, s: (0, 0)),
                 vmem((H, W), lambda k, s: (0, 0)),
             ),
@@ -630,14 +697,89 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # T replay
                 pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # res cache
                 pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # col_a cache
-            ],
+            ] + ([pltpu.VMEM((pchunk, NY, NX), jnp.float32)]
+                 if decode_bins else []),
             compiler_params=cparams_bwd,
-        )(params, zs_in, coef_flat, planes_all, g4, tck, live_map)
+        )(params, zs_in, coef_flat, planes_all, *_dw_args(dw), g4, tck,
+          live_map)
         g_lut = small[0, : 4 * n_lut].reshape(n_lut, 4)
         g_density = small[0, 4 * n_lut + 0]
         g_toff = small[0, 4 * n_lut + 1]
         g_tscl = small[0, 4 * n_lut + 2]
         return d_planes, g_lut, g_density, g_toff, g_tscl, S_img
+
+    if decode_bins:
+        # histogram variant: planes_all is the bins-major (nz, B, NY, NX)
+        # histogram volume, dw the (B,) linear decode weights. d_hist is
+        # the linear chain d_hist[L, b] = dw[b] * d_dec[plane of layer L];
+        # d_dw = <hist layer L, d_dec> summed over layers (the template-
+        # coefficient cotangent), pruned unless wrt includes "weights".
+        g_dw = "weights" in wrt
+
+        @jax.custom_vjp
+        def sweep_h(hist_bm, dw, zs, acc0, origin, slopes, lut, density,
+                    toff, tscl, spacing):
+            params = _pack_params(origin, density, toff, tscl, slopes,
+                                  spacing)
+            coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
+            return _fwd_call(hist_bm, zs[None, :], acc0, params, coef_flat,
+                             lut, dw)
+
+        def sweep_h_fwd(hist_bm, dw, zs, acc0, origin, slopes, lut, density,
+                        toff, tscl, spacing):
+            params = _pack_params(origin, density, toff, tscl, slopes,
+                                  spacing)
+            coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
+            out, tck, live_map = _fwd_ckpt_call(
+                hist_bm, zs[None, :], acc0, params, coef_flat, lut, dw
+            )
+            return out, (hist_bm, dw, zs, acc0, origin, slopes, lut,
+                         density, toff, tscl, spacing, tck, live_map)
+
+        def sweep_h_bwd(res, g):
+            (hist_bm, dw, zs, acc0, origin, slopes, lut, density, toff,
+             tscl, spacing, tck, live_map) = res
+            params = _pack_params(origin, density, toff, tscl, slopes,
+                                  spacing)
+            coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
+            d_dec, g_lut, g_density, g_toff, g_tscl, _ = _bwd_call(
+                hist_bm, zs[None, :], params, coef_flat, tck, live_map, g,
+                dw
+            )
+            # d_dec arrives in z-LAYER order (the bwd kernel writes layer
+            # blocks directly when rev); the rank-1 chain is one broadcast
+            d_dec_z = d_dec
+            # cotangent dtype follows the histogram's storage dtype: a
+            # bf16-stored distribution volume (2x stream bandwidth, decode
+            # accuracy == the materialized path's bf16 decode matmul) gets
+            # bf16 cotangents
+            d_hist = (
+                (d_dec_z[:, None, :, :] * dw[None, :, None, None]).astype(
+                    hist_bm.dtype
+                )
+                if "volume" in wrt
+                else jnp.zeros_like(hist_bm)
+            )
+            d_dw = (
+                jnp.einsum("zbyx,zyx->b", hist_bm, d_dec_z)
+                if g_dw
+                else jnp.zeros_like(dw)
+            )
+            return (
+                d_hist, d_dw,
+                jnp.zeros_like(zs),
+                jnp.zeros_like(acc0),
+                jnp.zeros((3,), dtype=jnp.float32),
+                jnp.zeros((4,), dtype=jnp.float32),
+                g_lut.astype(lut.dtype),
+                g_density.astype(jnp.float32),
+                g_toff.astype(jnp.float32),
+                g_tscl.astype(jnp.float32),
+                jnp.zeros((), dtype=jnp.float32),
+            )
+
+        sweep_h.defvjp(sweep_h_fwd, sweep_h_bwd)
+        return sweep_h
 
     @jax.custom_vjp
     def sweep(planes_all, zs, acc0, origin, slopes, lut, density, toff,
@@ -910,3 +1052,80 @@ def pallas_slice_render_diff(
         precision=precision, plane_chunk=plane_chunk, tex_offset=tex_offset,
         wrt=wrt, empty_space_skip=empty_space_skip, axis_scale=axis_scale,
     )
+
+
+def pallas_hist_render_diff(
+    hist_bm: jnp.ndarray,
+    weights: jnp.ndarray,
+    origin: jnp.ndarray,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    width: int,
+    height: int,
+    march: MarchConfig = MarchConfig(),
+    length_correction: bool = True,
+    precision: str = "f32",
+    plane_chunk: int = 4,
+    focal: float = 2.0,
+    wrt: tuple = ("hist", "lut"),
+) -> jnp.ndarray:
+    """DIFFERENTIABLE fused render straight from a bins-major histogram
+    volume — the in-kernel-decode twin of ``pallas_slice_render_diff``.
+
+    Forward: pallas_slice_render-style fused sweep whose plane prologue
+    decodes ``density = sum_b weights[b] * hist_bm[:, b]`` in VMEM (see
+    slice_kernel.py pallas_hist_render) — the decoded scalar volume never
+    exists in HBM, in EITHER direction: the backward's replay re-decodes
+    each chunk in VMEM and emits decoded-plane cotangents, which chain to
+    ``d_hist[L, b] = weights[b] * d_dec[L]`` (one XLA broadcast) and
+    optionally ``d_weights[b] = <hist[:, b], d_dec>``.
+
+    ``wrt`` entries: "hist" (histogram cotangent), "weights" (decode
+    coefficients — the template/bin-center analogue), "lut", "params".
+    Constraints as pallas_hist_render: n_planes == nz, width % 128 == 0,
+    height % STRIP == 0.
+    """
+    nz, B, ny, nx = hist_bm.shape
+    n_planes = nz
+    assert width % 128 == 0 and height % STRIP == 0, (width, height)
+    kw = tuple(("volume" if w == "hist" else w) for w in wrt)
+    allowed = ("volume", "weights", "lut", "params")
+    assert all(w in allowed for w in kw), (wrt, allowed)
+    kw = tuple(w for w in allowed if w in kw)
+
+    sweep = _make_diff_sweep(
+        height, width, ny, nx, n_planes, int(jnp.shape(tf_lut)[0]), -1,
+        march.box_min, march.box_max, march.tstep, march.opacity_threshold,
+        length_correction, precision,
+        _fit_plane_chunk(plane_chunk or 4, n_planes, ny, nx, width, bins=B),
+        wrt=kw, decode_bins=B,
+    )
+
+    (xlo, ylo, zlo) = march.box_min
+    (xhi, yhi, zhi) = march.box_max
+    spacing = (zhi - zlo) / n_planes
+    zs = (
+        zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)
+    ).astype(np.float32)[::-1]
+    mxh, myh = _pixel_slopes(width, height, focal)
+    slopes = jnp.asarray(
+        [mxh[0], mxh[1] - mxh[0] if width > 1 else 0.0,
+         myh[0], myh[1] - myh[0] if height > 1 else 0.0], jnp.float32,
+    )
+    acc0 = jnp.zeros((height, width, 4), dtype=jnp.float32)
+    out = sweep(
+        jnp.asarray(hist_bm),  # dtype preserved: bf16 storage streams 2x
+        jnp.asarray(weights, jnp.float32),
+        jnp.asarray(zs), acc0,
+        jnp.asarray(origin, jnp.float32), slopes,
+        jnp.asarray(tf_lut, jnp.float32),
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+        jnp.asarray(spacing, jnp.float32),
+    )
+    return out * jnp.asarray(brightness, jnp.float32)
