@@ -1,14 +1,15 @@
-"""Worker script for the real 2-process distributed render test.
+"""Worker script for the real N-process distributed render test.
 
 Launched by tests/test_multihost.py with argv:
     multihost_worker.py <coordinator> <num_procs> <proc_id> <out.npz>
 
-Each process owns 4 virtual CPU devices; the global mesh is
-(bricks=4, rays=2) across 8 devices, so the BRICKS axis spans the process
-boundary: bricks 0-1 live on process 0 and bricks 2-3 on process 1, and the
-halo ``ppermute`` between brick 1 and brick 2 crosses processes (asserted
-structurally below from the mesh's device placement). Process 0 writes the
-gathered results to <out.npz>:
+Each process owns 8/num_procs virtual CPU devices; the global mesh is
+(bricks=4, rays=2) across 8 devices, so the BRICKS axis spans every
+process boundary: with 2 processes bricks 0-1|2-3 split across them, with
+4 processes every brick row lives on its own process and all three halo
+``ppermute`` edges cross boundaries (asserted structurally below from the
+mesh's device placement). Process 0 writes the gathered results to
+<out.npz>:
 
 - ``scan``: the scan-marcher bricks render (parallel/bricks.py),
 - ``sweep``: the distributed object-order sweep (parallel/sweep.py, XLA
@@ -25,8 +26,10 @@ import sys
 coordinator, num_procs, proc_id, out_path = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
+devices_per_proc = 8 // num_procs
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={devices_per_proc}"
 )
 
 import jax  # noqa: E402
@@ -61,7 +64,8 @@ mesh = multihost.global_mesh(bricks=4, rays=2)
 brick_procs = [
     sorted({d.process_index for d in row}) for row in mesh.devices
 ]
-assert brick_procs == [[0], [0], [1], [1]], brick_procs
+expected = [[i * num_procs // 4] for i in range(4)]
+assert brick_procs == expected, (brick_procs, expected)
 
 vol = gaussian_blob_volume((8, 8, 8), seed=11)
 stats = np.stack([vol, vol * 0.5, 1.0 - vol], axis=-1).astype(np.float32)

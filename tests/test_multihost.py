@@ -1,12 +1,12 @@
-"""Real 2-process distributed rendering test (CPU, local TCP coordinator).
+"""Real multi-process distributed rendering tests (CPU, TCP coordinator).
 
-Each worker process owns 4 virtual CPU devices; the (bricks=4, rays=2) mesh
-spans both processes with the BRICKS axis crossing the process boundary
-(asserted structurally inside the worker), so the halo ``ppermute``, the
-sort-last ``all_gather``, and the gradient transposes all ride the
-inter-process transport. The worker renders with both distributed paths and
-differentiates through the sweep; this test compares everything against
-single-process single-device references.
+Parametrized over 2 AND 4 processes on the same 8-device (bricks=4,
+rays=2) mesh: with 2 processes the bricks axis crosses one process
+boundary, with 4 every brick row owns its own process and all three halo
+``ppermute`` edges cross boundaries (asserted structurally inside the
+worker). The halo exchange, the sort-last ``all_gather``, and the
+gradient transposes all ride the inter-process transport; results and
+gradients are compared against single-process single-device references.
 """
 
 import os
@@ -27,7 +27,8 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_render(tmp_path):
+@pytest.mark.parametrize("num_procs", [2, 4])
+def test_multi_process_distributed_render(tmp_path, num_procs):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     out = str(tmp_path / "result.npz")
     coord = f"127.0.0.1:{_free_port()}"
@@ -37,13 +38,13 @@ def test_two_process_distributed_render(tmp_path):
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coord, "2", str(i), out],
+            [sys.executable, worker, coord, str(num_procs), str(i), out],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             cwd=os.path.dirname(os.path.dirname(worker)),
         )
-        for i in range(2)
+        for i in range(num_procs)
     ]
     outputs = []
     for p in procs:
