@@ -832,15 +832,22 @@ def viewer_fps_config(K):
     pipe = RenderPipeline(raw=RawHistogramVolume(jnp.asarray(hist)))
     srv = ViewerServer(pipe, width=512, height=512, port=0)
     try:
-        n_frames = max(8, 4 * K)
+        n_frames = max(16, 8 * K)
         # the browser client's exact request: RGB payload + pipelined server
-        # (dispatch N+1 overlaps frame N's readback over the tunneled link)
-        srv.render_frame({"fmt": "rgb"})  # compile the unrotated fast path
+        # (frame N+2 dispatch + async host copies overlap frame N's
+        # readback over the tunneled link). Warm 3 frames per regime:
+        # compile + fill the 2-deep pipeline, as a real drag does within
+        # its first ~100 ms
+        for i in range(3):  # compile + pipeline fill, unrotated
+            srv.render_frame({"density": 0.04 + 1e-7 * i, "fmt": "rgb"})
         t0 = time.perf_counter()
         for i in range(n_frames):
             srv.render_frame({"density": 0.05 + 1e-7 * i, "fmt": "rgb"})
         fps_unrot = n_frames / (time.perf_counter() - t0)
-        srv.render_frame({"rx": 10.0, "ry": 5.0, "fmt": "rgb"})  # compile
+        for i in range(3):  # compile + pipeline fill, shear-warp
+            srv.render_frame(
+                {"rx": 9.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb"}
+            )
         t0 = time.perf_counter()
         for i in range(n_frames):
             srv.render_frame(

@@ -135,3 +135,22 @@ def test_fit_voxels_cli_streamed(tmp_path):
     out = load_checkpoint(ck)
     assert out["mu"].shape == (8, 8, 8)
     assert float(out["loss"]) < 0.05
+
+
+def test_fit_hist_cli(tmp_path):
+    """BASELINE config 4 smoke: histogram-volume recovery differentiated
+    through the decode (in-kernel fused on TPU, materialized here)."""
+    from vrdd_tpu.cli import main
+    from vrdd_tpu.io.checkpoint import load_checkpoint
+
+    ck = str(tmp_path / "hist.npz")
+    rc = main([
+        "fit-hist", "--size", "8", "--image", "24", "--bins", "8",
+        "--iters", "40", "--lr", "0.1", "--checkpoint", ck,
+    ])
+    assert rc == 0
+    out = load_checkpoint(ck)
+    assert out["hist"].shape == (8, 8, 8, 8)
+    import numpy as np
+    np.testing.assert_allclose(out["hist"].sum(axis=1), 1.0, atol=1e-5)
+    assert float(out["loss"]) < 0.05

@@ -433,6 +433,92 @@ def cmd_fit_voxels(args) -> int:
     return 0
 
 
+def cmd_fit_hist(args) -> int:
+    """BASELINE config 4 end-to-end: recover a per-voxel HISTOGRAM volume
+    from renders of its mean statistic, differentiating straight through
+    the IN-KERNEL decode (pallas_hist_render_diff) — the sweep consumes
+    the bins-major histogram volume from HBM, the decode happens in VMEM,
+    and the histogram cotangents come back from the same fused kernel
+    pair. Histograms are softmax-parameterized so they stay on the simplex
+    (the reference's sum == 1 invariant, volumeRender.cpp:583-597). Falls
+    back to decode-then-render off-TPU so the command runs anywhere."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vrdd_tpu.core.transfer import grayscale_ramp
+    from vrdd_tpu.io.checkpoint import save_checkpoint
+    from vrdd_tpu.io.synthetic import gaussian_blob_volume
+    from vrdd_tpu.march.slice import slice_render_image
+    from vrdd_tpu.pallas.slice_kernel import hist_render_supported
+    from vrdd_tpu.pallas.slice_vjp import pallas_hist_render_diff
+
+    n, W, B = args.size, args.image, args.bins
+    H = W
+    lut = jnp.asarray(grayscale_ramp(9))
+    origin = jnp.asarray([0.0, 0.0, 4.0])
+    dw = jnp.asarray((np.arange(B) + 0.5) / B, jnp.float32)
+    use_kernel = jax.default_backend() == "tpu" and hist_render_supported(
+        (n, B, n, n), W, H, n_lut=9
+    )
+    print(f"fit-hist decode path: "
+          f"{'in-kernel (fused)' if use_kernel else 'materialized (xla)'}")
+
+    # ground truth: smooth logits -> simplex histograms, bins-major
+    base = jnp.asarray(gaussian_blob_volume((n, n, n), seed=args.seed))
+    centers = dw[:, None, None, None]
+    logits_true = -((centers - base[None]) ** 2) / 0.02
+    hist_true = jax.nn.softmax(logits_true, axis=0)
+
+    def render_mean(hist_bm):
+        if use_kernel:
+            return pallas_hist_render_diff(
+                hist_bm, dw, origin, lut, width=W, height=H,
+                wrt=("hist",),
+            )
+        vol = jnp.einsum("zbyx,b->zyx", hist_bm, dw)
+        return slice_render_image(vol, origin, W, H, lut, n_planes=n)
+
+    def to_hist(logits):  # (B, Z, Y, X) simplex over bins, z-major layout
+        return jnp.transpose(jax.nn.softmax(logits, axis=0), (1, 0, 2, 3))
+
+    target = jax.lax.stop_gradient(
+        jax.jit(lambda l: render_mean(to_hist(l)))(logits_true)
+    )
+
+    def loss_fn(logits):
+        img = render_mean(to_hist(logits))
+        return jnp.mean((img - target) ** 2)
+
+    optimizer = optax.adam(args.lr)
+    params = jnp.zeros((B, n, n, n), jnp.float32)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = float("nan")
+    for i in range(args.iters):
+        params, opt_state, loss = step(params, opt_state)
+        if (i + 1) % max(1, args.iters // 10) == 0:
+            print(f"step {i + 1}: loss {float(loss):.6f}")
+    hist = np.asarray(to_hist(params))
+    mean_err = float(np.sqrt(np.mean(
+        (np.einsum("zbyx,b->zyx", hist, np.asarray(dw))
+         - np.einsum("bzyx,b->zyx", np.asarray(hist_true), np.asarray(dw)))
+        ** 2
+    )))
+    save_checkpoint(
+        args.checkpoint, {"hist": hist, "loss": np.float32(loss)}
+    )
+    print(f"saved {args.checkpoint} (final loss {float(loss):.6f}, "
+          f"decoded-mean RMSE {mean_err:.4f})")
+    return 0
+
+
 def cmd_view(args) -> int:
     """Interactive browser viewer — the GLUT main-loop replacement.
 
@@ -544,6 +630,19 @@ def main(argv=None) -> int:
         "unrotated views (peak-memory mode; march/streaming.py)",
     )
     pv.set_defaults(fn=cmd_fit_voxels)
+
+    ph = sub.add_parser(
+        "fit-hist",
+        help="fit a per-voxel histogram volume through the in-kernel decode",
+    )
+    ph.add_argument("--size", type=int, default=32, help="volume dimension")
+    ph.add_argument("--image", type=int, default=128)
+    ph.add_argument("--bins", type=int, default=16)
+    ph.add_argument("--iters", type=int, default=50)
+    ph.add_argument("--lr", type=float, default=0.05)
+    ph.add_argument("--seed", type=int, default=0)
+    ph.add_argument("--checkpoint", default="fit_hist.npz")
+    ph.set_defaults(fn=cmd_fit_hist)
 
     pw = sub.add_parser(
         "view",
