@@ -365,6 +365,11 @@ def main() -> None:
                    f"{ik['fwd_temp_mb']:.0f} MB vs materialized "
                    f"{ik['mat_fwd_temp_mb']:.0f} MB)")
               out["hist16_streamed_fwdbwd_mrays"] = round(ik["bf16"], 2)
+              # the key has always meant "streamed-decode fwd+bwd"; its
+              # implementation changed round 4 (chunked XLA -> in-kernel
+              # bf16) — recorded explicitly so cross-round comparisons
+              # attribute the jump to the implementation, not the config
+              out["hist16_streamed_impl"] = "in-kernel-bf16 (r3: chunked-xla)"
               out["hist16_streamed_f32_fwdbwd_mrays"] = round(ik["f32"], 2)
               out["hist16_streamed_fwd_temp_mb"] = round(
                   ik["fwd_temp_mb"], 1)
@@ -839,19 +844,21 @@ def viewer_fps_config(K):
         # compile + fill the 2-deep pipeline, as a real drag does within
         # its first ~100 ms
         for i in range(3):  # compile + pipeline fill, unrotated
-            srv.render_frame({"density": 0.04 + 1e-7 * i, "fmt": "rgb"})
+            srv.render_frame(
+                {"density": 0.04 + 1e-7 * i, "fmt": "rgb", "pipe": "1"})
         t0 = time.perf_counter()
         for i in range(n_frames):
-            srv.render_frame({"density": 0.05 + 1e-7 * i, "fmt": "rgb"})
+            srv.render_frame(
+                {"density": 0.05 + 1e-7 * i, "fmt": "rgb", "pipe": "1"})
         fps_unrot = n_frames / (time.perf_counter() - t0)
         for i in range(3):  # compile + pipeline fill, shear-warp
             srv.render_frame(
-                {"rx": 9.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb"}
+                {"rx": 9.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb", "pipe": "1"}
             )
         t0 = time.perf_counter()
         for i in range(n_frames):
             srv.render_frame(
-                {"rx": 10.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb"}
+                {"rx": 10.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb", "pipe": "1"}
             )
         fps_rot = n_frames / (time.perf_counter() - t0)
     finally:

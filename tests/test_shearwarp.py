@@ -194,3 +194,28 @@ def test_rotated_flex_query_rides_shearwarp():
         )
     )
     assert np.quantile(np.abs(bad - ref), 0.98) > 0.3
+
+
+def test_principal_axis_geometry_matches_full_grid():
+    """The O(1) corner form must agree with the full-grid geometry for
+    axis, dz_sign and applicability — _pallas_frame renders with the
+    corner decision, so drift between the two formulas would compile the
+    kernel for the wrong sweep direction."""
+    import numpy as np
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    from vrdd_tpu.march.shearwarp import (
+        _principal_axis_geometry,
+        shearwarp_geometry,
+    )
+
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        rx, ry = rng.uniform(-180, 180, size=2)
+        t = rng.uniform(-1, 1, size=3)
+        t[2] -= 3.0
+        iv = inv_view_from_rotation_translation(rx, ry, tuple(t))
+        a1, p1, s1, ok1 = _principal_axis_geometry(iv, 40, 24)
+        a2, p2, _, s2, ok2 = shearwarp_geometry(iv, 40, 24)
+        assert (a1, p1, ok1) == (a2, p2, ok2), (rx, ry)
+        if ok1:
+            assert s1 == s2, (rx, ry)

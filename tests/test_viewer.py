@@ -66,6 +66,15 @@ def test_frame_shape_and_params(server):
     assert body2 != body
 
 
+def test_plain_requests_keep_strict_contract(server):
+    # a client NOT opting into pipelining (no pipe=1 — curl, screenshot
+    # tools) always gets the frame for ITS params, never a lagged one
+    _, a, ha = _get(server, "/frame?density=0.1&query=1")
+    _, b, hb = _get(server, "/frame?density=0.9&query=1")
+    assert ha.get("X-Frame-Lag") == "0" and hb.get("X-Frame-Lag") == "0"
+    assert a != b
+
+
 def test_frame_rotation_and_filter(server):
     _, a, _ = _get_frame(server, "/frame?rx=30&ry=40&density=0.5")
     _, b, _ = _get_frame(server, "/frame?rx=0&ry=0&density=0.5")
@@ -78,16 +87,16 @@ def test_frame_rotation_and_filter(server):
 
 def test_pipelined_lag_and_flush(server):
     # prime with params A (first-after-idle: served from the filling queue)
-    _, a0, h0 = _get(server, "/frame?density=0.30&query=1")
+    _, a0, h0 = _get(server, "/frame?density=0.30&query=1&pipe=1")
     # params B: the response is an in-flight A-era frame, flagged lagged
-    _, a1, h1 = _get(server, "/frame?density=0.31&query=1")
+    _, a1, h1 = _get(server, "/frame?density=0.31&query=1&pipe=1")
     assert h1.get("X-Frame-Lag") == "1"
     assert a1 == a0  # still the A frame (one-dispatch lag)
     # repeat B until the queue drains (the client's flush loop): the final
     # response is the B frame, unflagged
     b, h2 = a1, h1
     for _ in range(5):
-        _, b, h2 = _get(server, "/frame?density=0.31&query=1")
+        _, b, h2 = _get(server, "/frame?density=0.31&query=1&pipe=1")
         if h2.get("X-Frame-Lag") != "1":
             break
     assert h2.get("X-Frame-Lag") == "0"

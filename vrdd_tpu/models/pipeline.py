@@ -289,6 +289,11 @@ class RenderPipeline:
         """
         if inv_view is None:
             inv_view = default_benchmark_inv_view()
+        if channels not in (3, 4):
+            raise ValueError(f"channels must be 3 or 4, got {channels}")
+        if channels == 3 and not as_uint8:
+            raise ValueError("channels=3 requires as_uint8=True (the RGB "
+                             "drop is fused into the uint8 pack)")
         pack_u8 = (channels if channels != 4 else True) if as_uint8 else False
         renderer = self.resolve_renderer(renderer, inv_view, config)
         params = (
@@ -364,14 +369,22 @@ class RenderPipeline:
             id(vol), n_planes, toff, zscale,
             config.march.box_min, config.march.box_max,
         )
-        if key not in self._ess_cache:
-            self._ess_cache[key] = jax.block_until_ready(
-                precompute_ess_stats(
-                    vol, n_planes=n_planes, march=config.march,
-                    dz_sign=-1, tex_offset=toff, z_scale=zscale,
-                )
+        # the entry holds a STRONG reference to the keyed volume and the
+        # hit path verifies identity: id() alone could be reused by a
+        # different array after the original is freed, silently serving
+        # another volume's plane stats (non-conservative culling = wrong
+        # pixels, no shape mismatch to catch it)
+        entry = self._ess_cache.get(key)
+        if entry is not None and entry[0] is vol:
+            return entry[1]
+        stats = jax.block_until_ready(
+            precompute_ess_stats(
+                vol, n_planes=n_planes, march=config.march,
+                dz_sign=-1, tex_offset=toff, z_scale=zscale,
             )
-        return self._ess_cache[key]
+        )
+        self._ess_cache[key] = (vol, stats)
+        return stats
 
     def _shearwarp_uses_pallas(self, vol_shape, config) -> bool:
         """Mirror shearwarp_render_image's backend='auto' choice, using the

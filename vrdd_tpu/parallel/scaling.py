@@ -66,10 +66,18 @@ def measure_scaling(
         size = 512 if on_tpu else 32
     if image <= 0:
         image = 1024 if on_tpu else 128
-    if n_planes <= 0:
-        n_planes = size
     if backend == "auto":
         backend = "pallas" if on_tpu else "xla"
+    # round the problem up to the mesh's divisibility contract so the
+    # harness runs on ANY device count (12 devices -> bricks=3 x rays=4
+    # would otherwise hit the sweep's nz % bricks / height % rays asserts)
+    bricks, rays = _factor_mesh(n_dev)
+    size += -size % bricks
+    row_mult = rays * (8 if backend == "pallas" else 1)  # STRIP per shard
+    image += -image % max(row_mult, 128 if backend == "pallas" else 1)
+    if n_planes <= 0:
+        n_planes = size
+    n_planes += -n_planes % bricks
 
     from vrdd_tpu.parallel.mesh import make_mesh
     from vrdd_tpu.parallel.sweep import (
@@ -117,7 +125,6 @@ def measure_scaling(
             "BASELINE.md) — run on a pod to measure"
         )
         return out
-    bricks, rays = _factor_mesh(n_dev)
     tn = timed(make_mesh(bricks, rays, devices=devices))
     out.update(
         scaling_mesh=f"bricks={bricks} x rays={rays}",

@@ -63,7 +63,7 @@ let busy = false, dirty = true, fps = 0;
 async function frame() {
   if (busy || !dirty) { requestAnimationFrame(frame); return; }
   busy = true; dirty = false;
-  const q = new URLSearchParams(S).toString() + '&fmt=rgb';
+  const q = new URLSearchParams(S).toString() + '&fmt=rgb&pipe=1';
   try {
     const r = await fetch('/frame?' + q);
     // RGB over the wire (25% fewer bytes from the device); expand to RGBA
@@ -203,7 +203,7 @@ class ViewerServer:
                     q = {k: v[0] for k, v in parse_qs(url.query).items()}
                     try:
                         t0 = time.perf_counter()
-                        rgba = outer.render_frame(q)
+                        rgba, lagged = outer.render_frame_ex(q)
                         dt = time.perf_counter() - t0
                         self.send_response(200)
                         self.send_header(
@@ -214,8 +214,7 @@ class ViewerServer:
                             "X-Render-Seconds", f"{dt:.4f}"
                         )
                         self.send_header(
-                            "X-Frame-Lag",
-                            "1" if outer.last_frame_lagged else "0",
+                            "X-Frame-Lag", "1" if lagged else "0"
                         )
                         self.end_headers()
                         self.wfile.write(rgba)
@@ -269,18 +268,24 @@ class ViewerServer:
             channels=3 if q.get("fmt") == "rgb" else 4,
         )
 
-    def render_frame(self, q: dict) -> bytes:
-        """One frame from query-string params; uint8 RGBA (or RGB) bytes.
+    def render_frame_ex(self, q: dict):
+        """One frame from query-string params -> (bytes, lagged).
 
-        Pipelined mode returns the OLDEST in-flight frame after enqueueing
-        this one (device compute overlaps the link transfers); a repeat
-        request with identical params drains one in-flight frame instead
-        of dispatching — see __init__."""
+        Pipelining engages ONLY when the request opts in with ``pipe=1``
+        (the bundled page does; a plain GET /frame — curl, screenshot
+        tools — keeps the strict contract that the response matches the
+        requested params). A pipelined response returns the OLDEST
+        in-flight frame after enqueueing this one (device compute overlaps
+        the link transfers), flagged ``lagged`` so the client can flush; a
+        repeat request with identical params drains one in-flight frame
+        instead of dispatching — see __init__."""
         with self._render_lock:  # one device render at a time
-            if not self.pipelined:
+            if not (self.pipelined and q.get("pipe") == "1"):
                 img = self._dispatch(q)
                 img.copy_to_host_async()
-                return np.ascontiguousarray(np.asarray(img)).tobytes()
+                return (
+                    np.ascontiguousarray(np.asarray(img)).tobytes(), False
+                )
             key = tuple(sorted(q.items()))
             if self._pending and self._pending[-1][1] == key:
                 img = self._pending.popleft()[0]  # flush/static: drain one
@@ -298,10 +303,15 @@ class ViewerServer:
                     # oldest in-flight frame (completed or nearly so)
                     # without draining, so the queue reaches full depth
                     img = self._pending[0][0]
-            self.last_frame_lagged = len(self._pending) > 0
+            lagged = len(self._pending) > 0
+            self.last_frame_lagged = lagged
             # np.asarray collects the (already streaming) host copy while
             # the device renders the frames behind it
-            return np.ascontiguousarray(np.asarray(img)).tobytes()
+            return np.ascontiguousarray(np.asarray(img)).tobytes(), lagged
+
+    def render_frame(self, q: dict) -> bytes:
+        """Compatibility form of :meth:`render_frame_ex` (bytes only)."""
+        return self.render_frame_ex(q)[0]
 
     def serve_forever(self):
         print(f"vrdd_tpu viewer at {self.address}  (Ctrl-C to stop)")
