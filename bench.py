@@ -518,6 +518,78 @@ def bench_big(tf, note, n: int = 1024, W: int = 1024):
     note(f"fwd+bwd (streamed) 1024^2 over 1024^3: {dt_fb * 1e3:.1f} ms -> "
          f"{out['fwdbwd_1024_mrays']:.1f} Mrays/s")
     del vol
+    out.update(bench_big_hist(tf, note))
+    return out
+
+
+def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
+    """Distribution-NATIVE rendering at the headline scale: a 512^3 x
+    16-bin bf16 histogram volume (4.3 GB — 16x the scalar headline
+    volume's data) rendered and differentiated straight through the
+    in-kernel decode; the decoded scalar volume never exists in HBM.
+    Measured 2026-08: fwd 30.3 ms (34.6 Mrays/s, 142 GB/s histogram
+    stream), fwd+bwd 60.3 ms — 1.6x the scalar-volume headline cost for
+    16x the per-voxel data (volumeRender_kernel.cu:354-480 generalized)."""
+    from vrdd_tpu.pallas.slice_kernel import (
+        hist_render_supported, pallas_hist_render,
+    )
+    from vrdd_tpu.pallas.slice_vjp import pallas_hist_render_diff
+
+    if not hist_render_supported((n, B, n, n), W, W, n_lut=int(tf.shape[0])):
+        return {}
+
+    @jax.jit
+    def gen():
+        z = jnp.linspace(0, 1, n, dtype=jnp.float32)
+        base = (jnp.exp(-((z - 0.45) ** 2) / 0.05)[:, None, None]
+                * jnp.exp(-((z - 0.55) ** 2) / 0.08)[None, :, None]
+                * jnp.exp(-((z - 0.5) ** 2) / 0.06)[None, None, :])
+        centers = ((jnp.arange(B) + 0.5) / B)[None, :, None, None]
+        logits = -((centers - base[:, None]) ** 2) / 0.02
+        return jax.nn.softmax(logits, axis=1).astype(jnp.bfloat16)
+
+    hist = jax.block_until_ready(gen())
+    dw = jnp.asarray((np.arange(B) + 0.5) / B, jnp.float32)
+    origin = jnp.asarray([0.0, 0.0, 4.0], jnp.float32)
+    out = {}
+
+    @jax.jit
+    def fwd(h, lut, o):
+        def it(i, acc):
+            img = pallas_hist_render(
+                h, dw, o, lut, density=0.05 * (1.0 + 1e-6 * i),
+                width=W, height=W,
+            )
+            return acc + jnp.sum(img)
+        return jax.lax.fori_loop(0, 2, it, 0.0)
+
+    dt, _ = time_amortized(fwd, hist, tf, origin, iters=2)
+    out["hist512_inkernel_fwd_ms"] = round(dt * 1e3, 2)
+    out["hist512_inkernel_fwd_mrays"] = round(W * W / dt / 1e6, 2)
+    note(f"512^3x16 bf16 distribution-native fwd 1024^2: {dt*1e3:.1f} ms "
+         f"-> {out['hist512_inkernel_fwd_mrays']:.1f} Mrays/s "
+         f"({n * B * n * n * 2 / dt / 1e9:.0f} GB/s histogram stream)")
+
+    @jax.jit
+    def fwdbwd(h, lut, o):
+        def loss(h, lut, i):
+            img = pallas_hist_render_diff(
+                h, dw, o, lut, density=0.05 * (1.0 + 1e-6 * i),
+                width=W, height=W, wrt=("hist", "lut"),
+            )
+            return jnp.mean((img - 0.25) ** 2)
+
+        def it(i, acc):
+            l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(h, lut, i)
+            return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, 2, it, 0.0)
+
+    dt, _ = time_amortized(fwdbwd, hist, tf, origin, iters=2)
+    out["hist512_inkernel_fwdbwd_ms"] = round(dt * 1e3, 2)
+    out["hist512_inkernel_fwdbwd_mrays"] = round(W * W / dt / 1e6, 2)
+    note(f"512^3x16 bf16 distribution-native fwd+bwd 1024^2: "
+         f"{dt*1e3:.1f} ms -> "
+         f"{out['hist512_inkernel_fwdbwd_mrays']:.1f} Mrays/s")
     return out
 
 

@@ -127,3 +127,42 @@ def _get_raise_ok(server, path):
         return _get(server, path)
     except urllib.error.HTTPError as e:
         return e.code, e.read(), dict(e.headers)
+
+
+def test_concurrent_clients(server):
+    """Two clients (pipelined tab + plain poller) hammer the server
+    concurrently: every response must be well-formed and the plain
+    client's responses must never be lagged (per-call header, shared
+    render lock)."""
+    import threading
+
+    errors = []
+
+    def pipelined_tab():
+        try:
+            for i in range(6):
+                s, body, h = _get(
+                    server, f"/frame?density={0.2 + 0.01 * i:.2f}&pipe=1"
+                )
+                assert s == 200 and len(body) == W * H * 4
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def plain_poller():
+        try:
+            for i in range(6):
+                s, body, h = _get(
+                    server, f"/frame?density={0.6 + 0.01 * i:.2f}"
+                )
+                assert s == 200 and len(body) == W * H * 4
+                assert h.get("X-Frame-Lag") == "0"
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=pipelined_tab),
+               threading.Thread(target=plain_poller)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors

@@ -122,12 +122,17 @@ def _max_band_rows(width: int, n_lut: int = 9) -> int:
 
 
 def _fit_plane_chunk(pchunk: int, n_planes: int, ny: int, nx: int,
-                     width: int = 0, bins: int = 0) -> int:
+                     width: int = 0, bins: int = 0,
+                     plane_bytes: int = 4) -> int:
     """Largest chunk <= pchunk that divides n_planes and whose double-buffered
     plane block PLUS the per-chunk x-weight cache (pchunk, width, nx) fits
     the VMEM budget. ``bins``: in-kernel decode streams (pchunk, bins, ny,
-    nx) histogram blocks plus a decoded-plane scratch."""
-    per_plane = 4 * ny * nx * max(1, bins) + (4 * ny * nx if bins else 0)
+    nx) histogram blocks plus an f32 decoded-plane scratch;
+    ``plane_bytes`` is the stream's element size (2 for bf16 histograms —
+    half the VMEM, so twice the chunk at large NY*NX)."""
+    per_plane = (
+        plane_bytes * ny * nx * max(1, bins) + (4 * ny * nx if bins else 0)
+    )
     # the decode path budgets higher: its (pchunk, B, NY, NX) histogram
     # blocks are the dominant VMEM tenant (no banding accumulator on top),
     # and clamping it to the scalar budget forces pchunk=2 at 256^3 x 16
@@ -1226,7 +1231,7 @@ def hist_render_supported(hist_shape, width: int, height: int,
     return (
         width % 128 == 0
         and height % STRIP == 0
-        and 4 * ny * nx * (B + 1) <= _VMEM_PLANE_BLOCK_BUDGET // 2
+        and 4 * ny * nx * (B + 1) <= _VMEM_HIST_BLOCK_BUDGET // 2
         and acc_rows(n_lut, True) * height * width * 4 <= _VMEM_ACC_BUDGET
     )
 
@@ -1274,7 +1279,8 @@ def pallas_hist_render(
     n_lut = int(jnp.shape(tf_lut)[0])
     assert width % 128 == 0 and height % STRIP == 0, (width, height)
     pchunk = _fit_plane_chunk(
-        plane_chunk or 8, n_planes, ny, nx, width, bins=B
+        plane_chunk or 8, n_planes, ny, nx, width, bins=B,
+        plane_bytes=jnp.dtype(hist_bm.dtype).itemsize,
     )
 
     (xlo, ylo, zlo) = march.box_min

@@ -491,7 +491,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      box_max, tstep, threshold, length_correction, precision,
                      pchunk, tex_offset=0.5, wrt=("volume", "lut", "params"),
                      ess=False, seed=False, axis_scale=(1.0, 1.0),
-                     decode_bins=0):
+                     decode_bins=0, plane_bytes=4):
     """Build the custom-VJP sweep for one static configuration.
 
     The returned ``sweep(planes, zs, acc0, origin, slopes, lut, density,
@@ -529,7 +529,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
 
     fwd_pchunk = _fit_plane_chunk(
         max(8 // pchunk * pchunk, pchunk), n_planes, NY, NX, W,
-        bins=decode_bins,
+        bins=decode_bins, plane_bytes=plane_bytes,
     )
     while fwd_pchunk % pchunk or n_planes % fwd_pchunk:
         fwd_pchunk -= 1
@@ -1097,12 +1097,14 @@ def pallas_hist_render_diff(
     assert all(w in allowed for w in kw), (wrt, allowed)
     kw = tuple(w for w in allowed if w in kw)
 
+    pbytes = jnp.dtype(hist_bm.dtype).itemsize
     sweep = _make_diff_sweep(
         height, width, ny, nx, n_planes, int(jnp.shape(tf_lut)[0]), -1,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, precision,
-        _fit_plane_chunk(plane_chunk or 4, n_planes, ny, nx, width, bins=B),
-        wrt=kw, decode_bins=B,
+        _fit_plane_chunk(plane_chunk or 4, n_planes, ny, nx, width, bins=B,
+                         plane_bytes=pbytes),
+        wrt=kw, decode_bins=B, plane_bytes=pbytes,
     )
 
     (xlo, ylo, zlo) = march.box_min
