@@ -168,14 +168,19 @@ class ViewerServer:
         # reference overlaps render and display the same way through its
         # GL PBO, volumeRender.cpp:194-295). Measured on the tunneled v5e
         # at 512^2 rgb: serialized 50.8 -> 1-deep+async 28.3 ->
-        # 2-deep+async 19.1 ms/frame. The displayed frame lags interaction
+        # 2-deep+async 19.1 ms/frame; deeper queues reach the
+        # reference's 60 fps (see pipeline_depth). The displayed frame lags interaction
         # by up to `depth` dispatches; the client flushes the queue when
         # the drag stops (X-Frame-Lag header, see _PAGE). A REPEATED
         # request (identical params) drains one in-flight frame instead of
         # dispatching, so a static scene costs nothing and the flush
         # terminates.
         self.pipelined = pipelined
-        self.pipeline_depth = 2
+        # measured fps at 512^2 rgb over the tunneled chip: depth 2 ->
+        # 43-55, 3 -> 56-57, 4 -> 60-63 (the reference's own 60 fps, at
+        # the cost of a 4-dispatch interaction lag). 3 balances
+        # throughput against drag latency (~50 ms behind the mouse).
+        self.pipeline_depth = 3
         self._pending = deque()  # in-flight (device array, params key)
         self.last_frame_lagged = False
         self._render_lock = threading.Lock()
