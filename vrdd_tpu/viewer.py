@@ -177,10 +177,12 @@ class ViewerServer:
         # terminates.
         self.pipelined = pipelined
         # measured fps at 512^2 rgb over the tunneled chip: depth 2 ->
-        # 43-55, 3 -> 56-57, 4 -> 60-63 (the reference's own 60 fps, at
-        # the cost of a 4-dispatch interaction lag). 3 balances
-        # throughput against drag latency (~50 ms behind the mouse).
-        self.pipeline_depth = 3
+        # 43-55, 3 -> 56-57, 4 -> 60-63 — the reference's own 60 fps.
+        # The queue only lags DURING a continuous drag (~4 dispatches,
+        # ~70 ms behind the mouse — triple-buffered-vsync territory); the
+        # client's X-Frame-Lag flush drains it the moment interaction
+        # stops, so a static view is always exact.
+        self.pipeline_depth = 4
         self._pending = deque()  # in-flight (device array, params key)
         self.last_frame_lagged = False
         self._render_lock = threading.Lock()
