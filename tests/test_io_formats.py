@@ -264,3 +264,49 @@ def test_native_ppm_matches_python(tmp_path):
         fp.write(b"P6\n# a comment\n23 17\n255\n")
         fp.write(np.ascontiguousarray(img[..., :3]).tobytes())
     np.testing.assert_array_equal(native.read_ppm(pc), img[..., :3])
+
+
+def test_bins_major_histogram_load(tmp_path):
+    """Bins-major load (the in-kernel decode's device layout): Python spec
+    and native C++ loader agree, in f32 and bf16, against a hand-built
+    voxel-major blob."""
+    import ml_dtypes
+
+    from vrdd_tpu.io import native
+    from vrdd_tpu.io.formats import (
+        read_histograms_bins_major,
+        read_raw_histograms,
+    )
+
+    rng = np.random.default_rng(3)
+    nz, ny, nx, B = 3, 4, 5, 8
+    flat = rng.random((nz * ny * nx, B)).astype(np.float32)
+    path = str(tmp_path / "hist.bin")
+    flat.tofile(path)
+
+    want = flat.reshape(nz, ny, nx, B).transpose(0, 3, 1, 2)
+    got = read_histograms_bins_major(path, (nz, ny, nx), B, dtype="float32")
+    assert got.shape == (nz, B, ny, nx)
+    np.testing.assert_array_equal(got, want)
+    got16 = read_histograms_bins_major(path, (nz, ny, nx), B)
+    assert got16.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        got16, want.astype(ml_dtypes.bfloat16)
+    )
+
+    if native.available():
+        ngot = native.read_histograms_bins_major(
+            path, (nz, ny, nx), B, dtype="float32"
+        )
+        np.testing.assert_array_equal(ngot, want)
+        ngot16 = native.read_histograms_bins_major(path, (nz, ny, nx), B)
+        assert ngot16.dtype == ml_dtypes.bfloat16
+        # C++ rounds to nearest even exactly like numpy's cast
+        np.testing.assert_array_equal(
+            ngot16.view(np.uint16),
+            want.astype(ml_dtypes.bfloat16).view(np.uint16),
+        )
+    # round-trip sanity vs the flat reader
+    np.testing.assert_array_equal(
+        read_raw_histograms(path, nz * ny * nx, B), flat
+    )

@@ -56,6 +56,33 @@ def read_raw_histograms(path: str, n_blocks: int, n_bins: int) -> np.ndarray:
     return data.reshape(n_blocks, n_bins)
 
 
+def read_histograms_bins_major(
+    path: str, dims: tuple, n_bins: int, dtype="bfloat16"
+) -> np.ndarray:
+    """Block-histogram blob -> the framework's bins-MAJOR device layout.
+
+    The reference stores histograms voxel-major / bins-minor (Z*Y*X
+    records of n_bins floats, volumeRender.cpp:583-597); the fused
+    in-kernel decode streams them bins-major ``(nz, n_bins, ny, nx)``
+    (pallas_hist_render — bins stay a sublane axis so z-layer chunks tile
+    VMEM). ``dtype='bfloat16'`` emits the kernel's throughput-default
+    storage (half the HBM stream; decode accuracy == the materialized
+    path's bf16 decode matmul). Pure-numpy specification; the native C++
+    loader (io/native.py, vrdd_io.cpp) transposes during the sequential
+    file read instead of materializing a second full-size array.
+    """
+    import ml_dtypes
+
+    nz, ny, nx = dims
+    flat = read_raw_histograms(path, nz * ny * nx, n_bins)
+    out = np.ascontiguousarray(
+        flat.reshape(nz, ny, nx, n_bins).transpose(0, 3, 1, 2)
+    )
+    if str(dtype) in ("bfloat16", "bf16"):
+        return out.astype(ml_dtypes.bfloat16)
+    return out.astype(dtype)
+
+
 # ------------------------------------------------------------- codebooks (2, 5)
 
 

@@ -80,8 +80,17 @@ def _load() -> Optional[ctypes.CDLL]:
             _u8p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
         ]
         lib.vrdd_compare_ppm.restype = ctypes.c_long
+        _sig_bins_major(lib)
         _lib = lib
         return _lib
+
+
+def _sig_bins_major(lib):
+    lib.vrdd_read_histograms_bins_major.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.vrdd_read_histograms_bins_major.restype = ctypes.c_int
 
 
 def available() -> bool:
@@ -99,6 +108,36 @@ def read_raw_histograms(path: str, n_blocks: int, n_bins: int) -> np.ndarray:
     out = np.empty(n_blocks * n_bins, dtype=np.float32)
     _check(lib.vrdd_read_raw(path.encode(), out.size, out), "raw")
     return out.reshape(n_blocks, n_bins)
+
+
+def read_histograms_bins_major(
+    path: str, dims, n_bins: int, dtype="bfloat16"
+) -> np.ndarray:
+    """Native bins-major histogram load (see io/formats.py counterpart —
+    the C++ loader transposes to (nz, n_bins, ny, nx) DURING the
+    sequential read and can emit bf16 directly, so neither a second
+    full-size f32 array nor a Python transpose ever materializes)."""
+    import ml_dtypes
+
+    lib = _load()
+    nz, ny, nx = (int(d) for d in dims)
+    bf16 = str(dtype) in ("bfloat16", "bf16")
+    out = np.empty(
+        (nz, n_bins, ny, nx),
+        dtype=np.uint16 if bf16 else np.float32,
+    )
+    _check(
+        lib.vrdd_read_histograms_bins_major(
+            path.encode(), nz, ny, nx, n_bins, 1 if bf16 else 0,
+            out.ctypes.data_as(ctypes.c_void_p),
+        ),
+        "bins-major histograms",
+    )
+    if bf16:
+        return out.view(ml_dtypes.bfloat16)
+    if str(dtype) not in ("float32", "f4", "<f4"):
+        return out.astype(dtype)
+    return out
 
 
 def read_codebook(

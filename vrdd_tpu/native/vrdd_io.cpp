@@ -313,5 +313,52 @@ long vrdd_compare_ppm(const uint8_t* rgb, const char* ref_path, int w, int h,
   return outliers;
 }
 
-}  // extern "C"
 
+
+// --------------------------------- bins-major histogram load (TPU layout)
+
+// Read a voxel-major / bins-minor histogram blob (the reference's on-disk
+// layout for block histograms: Z*Y*X records of n_bins floats,
+// volumeRender.cpp:583-597) and emit it TRANSPOSED to the framework's
+// bins-MAJOR device layout (nz, n_bins, ny, nx) — the layout the fused
+// in-kernel decode streams (pallas/slice_kernel.py pallas_hist_render:
+// bins stay a sublane axis so a chunk of z-layers tiles VMEM). Doing the
+// transpose during the sequential file read costs one strided store per
+// element and avoids materializing a second full-size array in Python.
+// out_bf16 != 0: emit IEEE bfloat16 (round-to-nearest-even) into `out`
+// reinterpreted as uint16 — bf16 histogram storage is the kernel's
+// throughput default (half the HBM stream).
+
+int vrdd_read_histograms_bins_major(const char* path, long nz, long ny,
+                                    long nx, long n_bins, int out_bf16,
+                                    void* out) {
+  File f(path);
+  if (!f.ok()) return kErrOpen;
+  std::vector<float> row(static_cast<size_t>(nx) * n_bins);
+  float* out_f = static_cast<float*>(out);
+  uint16_t* out_h = static_cast<uint16_t*>(out);
+  for (long z = 0; z < nz; ++z) {
+    for (long y = 0; y < ny; ++y) {
+      if (!f.read(row.data(), row.size())) return kErrTruncated;
+      for (long x = 0; x < nx; ++x) {
+        for (long b = 0; b < n_bins; ++b) {
+          const float v = row[static_cast<size_t>(x) * n_bins + b];
+          const long idx = ((z * n_bins + b) * ny + y) * nx + x;
+          if (out_bf16) {
+            uint32_t bits;
+            std::memcpy(&bits, &v, 4);
+            // round to nearest even on the dropped 16 bits
+            const uint32_t rounded =
+                bits + 0x7FFFu + ((bits >> 16) & 1u);
+            out_h[idx] = static_cast<uint16_t>(rounded >> 16);
+          } else {
+            out_f[idx] = v;
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
