@@ -154,3 +154,29 @@ def test_fit_hist_cli(tmp_path):
     import numpy as np
     np.testing.assert_allclose(out["hist"].sum(axis=1), 1.0, atol=1e-5)
     assert float(out["loss"]) < 0.05
+
+
+def test_render_hist_cli(tmp_path):
+    """File -> bins-major load -> decode -> render -> PPM end to end."""
+    import numpy as np
+
+    from vrdd_tpu.cli import main
+    from vrdd_tpu.io.formats import read_ppm
+
+    rng = np.random.default_rng(1)
+    nz = ny = nx = 8
+    B = 8
+    flat = rng.random((nz * ny * nx, B)).astype(np.float32)
+    flat /= flat.sum(axis=1, keepdims=True)
+    hist_path = str(tmp_path / "hist.bin")
+    flat.tofile(hist_path)
+    out = str(tmp_path / "r.ppm")
+    rc = main([
+        "render-hist", "--hist-file", hist_path, "--dims", "8", "8", "8",
+        "--bins", "8", "--width", "32", "--height", "32", "--density",
+        "0.5", "-o", out,
+    ])
+    assert rc == 0
+    img = read_ppm(out)
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0

@@ -519,6 +519,62 @@ def cmd_fit_hist(args) -> int:
     return 0
 
 
+def cmd_render_hist(args) -> int:
+    """Render STRAIGHT from a block-histogram file: native bins-major load
+    (io/native.py — transposed to the device layout during the sequential
+    read, bf16 by default) -> the fused in-kernel decode
+    (pallas_hist_render) on TPU, materialized decode elsewhere. The whole
+    path from the reference's on-disk format to pixels without the
+    decoded scalar volume ever existing in HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    from vrdd_tpu.core.image import rgba_to_uint8
+    from vrdd_tpu.core.transfer import default_transfer_function
+    from vrdd_tpu.io import formats, native
+    from vrdd_tpu.march.slice import slice_render_image
+    from vrdd_tpu.pallas.slice_kernel import (
+        hist_render_supported,
+        pallas_hist_render,
+    )
+
+    nz, ny, nx = args.dims
+    B = args.bins
+    loader = (
+        native.read_histograms_bins_major
+        if native.available()
+        else formats.read_histograms_bins_major
+    )
+    hist = loader(args.hist_file, (nz, ny, nx), B, dtype=args.dtype)
+    print(f"loaded {args.hist_file}: {hist.shape} {hist.dtype} "
+          f"({'native' if native.available() else 'python'} loader)")
+    w = jnp.asarray((np.arange(B) + 0.5) / B, jnp.float32)  # mean stat
+    tf = jnp.asarray(default_transfer_function())
+    origin = jnp.asarray([0.0, 0.0, args.translate_z * -1.0], jnp.float32)
+    W, H = args.width, args.height
+    use_kernel = jax.default_backend() == "tpu" and hist_render_supported(
+        (nz, B, ny, nx), W, H, n_lut=9
+    )
+    if use_kernel:
+        img = pallas_hist_render(
+            jnp.asarray(hist), w, origin, tf, density=args.density,
+            width=W, height=H,
+        )
+        path = "in-kernel fused decode"
+    else:
+        vol = jnp.einsum(
+            "zbyx,b->zyx", jnp.asarray(hist, jnp.float32), w
+        )
+        img = slice_render_image(
+            vol, origin, W, H, tf, density=args.density, n_planes=nz
+        )
+        path = "materialized decode"
+    out = np.asarray(rgba_to_uint8(img))
+    formats.write_ppm(args.output, out)
+    print(f"wrote {args.output} ({path})")
+    return 0
+
+
 def cmd_view(args) -> int:
     """Interactive browser viewer — the GLUT main-loop replacement.
 
@@ -643,6 +699,23 @@ def main(argv=None) -> int:
     ph.add_argument("--seed", type=int, default=0)
     ph.add_argument("--checkpoint", default="fit_hist.npz")
     ph.set_defaults(fn=cmd_fit_hist)
+
+    prh = sub.add_parser(
+        "render-hist",
+        help="render straight from a histogram file (in-kernel decode)",
+    )
+    prh.add_argument("--hist-file", required=True)
+    prh.add_argument("--dims", type=int, nargs=3, required=True,
+                     metavar=("NZ", "NY", "NX"))
+    prh.add_argument("--bins", type=int, default=16)
+    prh.add_argument("--dtype", default="bfloat16",
+                     choices=["bfloat16", "bf16", "float32"])
+    prh.add_argument("--width", type=int, default=512)
+    prh.add_argument("--height", type=int, default=512)
+    prh.add_argument("--density", type=float, default=0.05)
+    prh.add_argument("--translate-z", type=float, default=-4.0)
+    prh.add_argument("-o", "--output", default="hist_render.ppm")
+    prh.set_defaults(fn=cmd_render_hist)
 
     pw = sub.add_parser(
         "view",
