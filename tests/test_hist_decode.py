@@ -146,3 +146,23 @@ def test_bf16_histogram_storage():
     den = float(jnp.linalg.norm(gh.astype(jnp.float32))
                 * jnp.linalg.norm(g32))
     assert num / den > 0.999, "bf16 grads must point with the f32 grads"
+
+
+def test_non_pow2_volume_dims():
+    """The in-kernel decode only constrains the IMAGE tiling; volume and
+    bin extents are free (matmul contraction dims)."""
+    rng = np.random.default_rng(11)
+    nz, B, ny, nx = 12, 5, 20, 24
+    h = rng.random((nz, B, ny, nx)).astype(np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    hist = jnp.asarray(h)
+    w = jnp.asarray((np.arange(B, dtype=np.float32) + 0.5) / B)
+    decoded = jnp.einsum("zbyx,b->zyx", hist, w)
+    ref = np.asarray(
+        slice_render_image(decoded, O, W, H, TF, n_planes=nz)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            pallas_hist_render(hist, w, O, TF, width=W, height=H)
+        )
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
