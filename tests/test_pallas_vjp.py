@@ -206,3 +206,58 @@ def test_ess_volume_grad_exact():
             jnp.asarray(vol), o, tf, width=W, height=H, n_planes=P,
             wrt=("volume", "lut"), empty_space_skip=True,
         )
+
+
+def test_pure_selection_direct_stream_matches():
+    """n_planes == nz: the kernel streams the volume directly (reversed
+    block index map — no flipped HBM copy, measured ~38 ms of the 95 ms
+    1024^3 forward) and the backward emits d_volume in layer order. Value
+    AND gradients must match the XLA path exactly."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vrdd_tpu.core.transfer import default_transfer_function
+    from vrdd_tpu.march.slice import slice_render_image
+    from vrdd_tpu.pallas.slice_kernel import pallas_slice_render
+    from vrdd_tpu.pallas.slice_vjp import pallas_slice_render_diff
+
+    rng = np.random.default_rng(21)
+    nz = 16
+    vol = jnp.asarray(rng.random((nz, 16, 16)).astype(np.float32))
+    tf = jnp.asarray(default_transfer_function())
+    o = jnp.asarray([0.0, 0.0, 4.0])
+    W = H = 128
+
+    ref = np.asarray(
+        slice_render_image(vol, o, W, H, tf, n_planes=nz)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        fwd = np.asarray(
+            pallas_slice_render(vol, o, tf, width=W, height=H, n_planes=nz)
+        )
+    np.testing.assert_allclose(fwd, ref, atol=2e-5, rtol=1e-5)
+
+    def loss_p(v, lut):
+        img = pallas_slice_render_diff(
+            v, o, lut, width=W, height=H, n_planes=nz,
+            wrt=("volume", "lut", "params"),
+        )
+        return jnp.sum(img ** 2)
+
+    def loss_x(v, lut):
+        img = slice_render_image(
+            v, o, W, H, lut, n_planes=nz, use_custom_vjp=False
+        )
+        return jnp.sum(img ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        vp, (gv_p, gl_p) = jax.value_and_grad(loss_p, argnums=(0, 1))(vol, tf)
+    vx, (gv_x, gl_x) = jax.value_and_grad(loss_x, argnums=(0, 1))(vol, tf)
+
+    def mre(a, b):
+        s = float(jnp.max(jnp.abs(b))) or 1.0
+        return float(jnp.max(jnp.abs(a - b))) / s
+
+    assert abs(float(vp - vx)) / abs(float(vx)) < 1e-5
+    assert mre(gv_p, gv_x) < 1e-4, "volume cotangent (layer order)"
+    assert mre(gl_p, gl_x) < 5e-4, "LUT cotangent"

@@ -123,7 +123,8 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      box_max, tstep, threshold, length_correction, mm_dtype,
                      pchunk, tex_offset=0.5,
                      wrt=("volume", "lut", "params"),
-                     axis_scale=(1.0, 1.0), decode_bins=0):
+                     axis_scale=(1.0, 1.0), decode_bins=0,
+                     reverse_planes=False):
     """Reverse-order cotangent sweep; see module docstring.
 
     ``wrt`` statically prunes cotangent paths: "volume" (d_planes — the
@@ -206,7 +207,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             @pl.when(si == 0)
             def _stage_decode():
                 for i in range(pchunk):
-                    bi = pchunk - 1 - i if dz_sign < 0 else i
+                    bi = pchunk - 1 - i if reverse_planes else i
                     plane = dw_ref[0, 0] * planes_ref[bi, 0]
                     for b in range(1, decode_bins):
                         plane = plane + dw_ref[0, b] * planes_ref[bi, b]
@@ -222,7 +223,12 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 z = zs_ref[0, kk * pchunk + i]
                 y_at = oy + (z - oz) * my_col[:, 0]
                 wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset, sys)
-                plane = dec_ref[i] if decode_bins else planes_ref[i]
+                if decode_bins:
+                    plane = dec_ref[i]
+                elif reverse_planes:
+                    plane = planes_ref[pchunk - 1 - i]
+                else:
+                    plane = planes_ref[i]
                 tmp_ref[i] = jnp.dot(
                     wy.astype(mm_dtype), plane.astype(mm_dtype),
                     preferred_element_type=jnp.float32,
@@ -448,11 +454,9 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                     y_at = oy + (z - oz) * my_col[:, 0]
                     wy, _ = _tent_weights(y_at, NY, ylo, yhi, tex_offset,
                                           sys)
-                    # decode variant: write LAYER order (row pchunk-1-i for
-                    # dz<0) so the d_hist chain outside needs no flip copy
-                    oi = (
-                        pchunk - 1 - i if decode_bins and dz_sign < 0 else i
-                    )
+                    # reverse_planes: write LAYER order (row pchunk-1-i)
+                    # so d_volume / the d_hist chain needs no flip copy
+                    oi = pchunk - 1 - i if reverse_planes else i
                     dplanes_ref[oi] += jax.lax.dot_general(
                         wy.astype(mm_dtype), dtmp_ref[i].astype(mm_dtype),
                         (((0,), (0,)), ((), ())),
@@ -491,7 +495,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      box_max, tstep, threshold, length_correction, precision,
                      pchunk, tex_offset=0.5, wrt=("volume", "lut", "params"),
                      ess=False, seed=False, axis_scale=(1.0, 1.0),
-                     decode_bins=0, plane_bytes=4):
+                     decode_bins=0, plane_bytes=4, reverse_planes=False):
     """Build the custom-VJP sweep for one static configuration.
 
     The returned ``sweep(planes, zs, acc0, origin, slopes, lut, density,
@@ -525,7 +529,15 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     assert not (ess and seed), "ESS bitmap + seeded resume not wired together"
     assert not (ess and decode_bins), "ESS stats describe decoded planes"
-    rev = bool(decode_bins) and dz_sign < 0
+    assert not (ess and reverse_planes), "inline ESS needs the plane stack"
+    assert not (seed and reverse_planes), (
+        "seeded resume passes explicit plane stacks"
+    )
+    # rev: the plane input is z-ascending storage walked back-to-front by
+    # the index maps (raw volume or bins-major histograms for dz < 0); the
+    # backward also EMITS d_planes in z-layer order, so no flip copy
+    # exists on either side of either pass
+    rev = reverse_planes
 
     fwd_pchunk = _fit_plane_chunk(
         max(8 // pchunk * pchunk, pchunk), n_planes, NY, NX, W,
@@ -539,13 +551,13 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, fwd_pchunk,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
-        decode_bins=decode_bins,
+        decode_bins=decode_bins, reverse_planes=rev,
     )
     fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, fwd_pchunk, emit_ckpt=True,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
-        ck_stride=pchunk, decode_bins=decode_bins,
+        ck_stride=pchunk, decode_bins=decode_bins, reverse_planes=rev,
     )
     # the kernel's d_planes path serves BOTH the histogram cotangent and
     # the decode-weight cotangent (each is a linear function of d_dec)
@@ -556,7 +568,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, pchunk,
         tex_offset=tex_offset, wrt=kernel_wrt, axis_scale=axis_scale,
-        decode_bins=decode_bins,
+        decode_bins=decode_bins, reverse_planes=rev,
     )
     n_chunks_fwd = n_planes // fwd_pchunk
 
@@ -658,7 +670,9 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             )
         else:
             plane_spec = vmem(
-                (pchunk, NY, NX), lambda k, s: (n_chunks - 1 - k, 0, 0)
+                (pchunk, NY, NX),
+                (lambda k, s: (k, 0, 0)) if rev
+                else (lambda k, s: (n_chunks - 1 - k, 0, 0)),
             )
         in_specs_bwd = [
             smem((1, 12), lambda k, s: (0, 0)),
@@ -911,16 +925,38 @@ def _diff_call(
             "density / TF-offset / TF-scale cotangents are nonzero in empty "
             "space (raising a LUT alpha entry would make it visible)"
         )
+    # PURE-SELECTION fast path (see slice_kernel.py _sweep_call): with
+    # n_planes == nz and the default z filter grid, stream the volume
+    # directly (reversed block index map for dz < 0) instead of
+    # materializing a flipped copy — and the backward writes its plane
+    # cotangents in z-LAYER order, so d_volume needs no un-flip either.
+    # Inline ESS computes per-plane stats from the stack, so it keeps the
+    # materialized pre-blend.
+    pure_sel = (
+        n_planes == nz and tex_offset == 0.5 and axis_scale[2] == 1.0
+        and not empty_space_skip
+    )
     sweep = _make_diff_sweep(
         height, width, ny, nx, n_planes, int(tf_lut.shape[0]), dz_sign,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, precision, pchunk, tex_offset, wrt,
         ess=empty_space_skip, axis_scale=tuple(axis_scale[:2]),
+        reverse_planes=pure_sel and dz_sign < 0,
     )
-    planes_all, zs = _preblend_planes(
-        volume, n_planes, march.box_min, march.box_max, dz_sign, tex_offset,
-        z_scale=axis_scale[2],
-    )
+    if pure_sel:
+        zlo, zhi = march.box_min[2], march.box_max[2]
+        spacing_h = (zhi - zlo) / n_planes
+        zs = (
+            zlo + spacing_h * (np.arange(n_planes, dtype=np.float32) + 0.5)
+        ).astype(np.float32)
+        if dz_sign < 0:
+            zs = zs[::-1].copy()
+        planes_all = volume
+    else:
+        planes_all, zs = _preblend_planes(
+            volume, n_planes, march.box_min, march.box_max, dz_sign,
+            tex_offset, z_scale=axis_scale[2],
+        )
     if "volume" not in wrt:
         # also kills the pre-blend transpose matmul in the outer XLA graph
         planes_all = jax.lax.stop_gradient(planes_all)
@@ -1104,7 +1140,7 @@ def pallas_hist_render_diff(
         length_correction, precision,
         _fit_plane_chunk(plane_chunk or 4, n_planes, ny, nx, width, bins=B,
                          plane_bytes=pbytes),
-        wrt=kw, decode_bins=B, plane_bytes=pbytes,
+        wrt=kw, decode_bins=B, plane_bytes=pbytes, reverse_planes=True,
     )
 
     (xlo, ylo, zlo) = march.box_min
