@@ -530,9 +530,6 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     assert not (ess and seed), "ESS bitmap + seeded resume not wired together"
     assert not (ess and decode_bins), "ESS stats describe decoded planes"
     assert not (ess and reverse_planes), "inline ESS needs the plane stack"
-    assert not (seed and reverse_planes), (
-        "seeded resume passes explicit plane stacks"
-    )
     # rev: the plane input is z-ascending storage walked back-to-front by
     # the index maps (raw volume or bins-major histograms for dz < 0); the
     # backward also EMITS d_planes in z-layer order, so no flip copy
@@ -999,8 +996,15 @@ def sweep_preblended_planes_diff(
     acc_init=None,
     plane_spacing=None,
     axis_scale=(1.0, 1.0),
+    reverse_planes=False,
 ):
     """Differentiable twin of ``sweep_preblended_planes`` (slice_kernel.py).
+
+    ``reverse_planes``: ``planes_all`` is stored z-ASCENDING and walked
+    back-to-front by the kernel's index maps (and ``d_planes`` comes back
+    in the same storage order) — the distributed sweep's pure-selection
+    fast path streams each slab shard directly instead of materializing a
+    flipped copy.
 
     Same value, same traced-data contract — plane stack, plane depths, slope
     grid, seed and spacing are all data, so ONE compile serves every device's
@@ -1026,6 +1030,7 @@ def sweep_preblended_planes_diff(
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, precision, pchunk, float(tex_offset),
         _norm_wrt(wrt), ess=False, seed=seed, axis_scale=tuple(axis_scale),
+        reverse_planes=reverse_planes,
     )
     acc0 = (
         jnp.asarray(acc_init, jnp.float32) if seed

@@ -308,6 +308,13 @@ def _sweep_slope_space_call(
         # differentiable through XLA's gather transpose (scatter-add into
         # the haloed slab, then the ppermute adjoint returns ghost-layer
         # cotangents to their owners).
+        elif pure_select and use_pallas:
+            # pure selection on the fused kernel: stream the slab shard
+            # DIRECTLY (reversed block index map for dz < 0; d_planes come
+            # back in slab-layer order) — no flipped copy of the slab in
+            # HBM on either side of either pass (slice_kernel.py
+            # reverse_planes)
+            planes = vol_local
         elif pure_select:
             planes = vol_local[jnp.asarray(iz0_host - 1)]  # local frame
         else:
@@ -348,12 +355,14 @@ def _sweep_slope_space_call(
                     dmy_l,
                 ]
             )
+            rev = pure_select and dz_sign < 0
             partial = sweep_preblended_planes_diff(
                 planes, zs_ftb, origin, slopes, tf_lut, density, 1.0,
                 toff, tscl, dz_sign=dz_sign, width=width, height=hl,
                 march=march, length_correction=length_correction,
                 plane_chunk=plane_chunk, plane_spacing=spacing, wrt=wrt,
                 tex_offset=tex_offset, axis_scale=axis_scale[:2],
+                reverse_planes=rev,
             )
         else:
             partial = sweep(no_cut)  # (Hl, W, 4)
@@ -410,6 +419,7 @@ def _sweep_slope_space_call(
                 plane_chunk=plane_chunk, acc_init=seed_img,
                 plane_spacing=spacing, wrt=wrt,
                 tex_offset=tex_offset, axis_scale=axis_scale[:2],
+                reverse_planes=pure_select and dz_sign < 0,
             )
             exact = jax.lax.psum(
                 jnp.where(flag[..., None], out2, 0.0), BRICK_AXIS
