@@ -590,6 +590,56 @@ def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
     note(f"512^3x16 bf16 distribution-native fwd+bwd 1024^2: "
          f"{dt*1e3:.1f} ms -> "
          f"{out['hist512_inkernel_fwdbwd_mrays']:.1f} Mrays/s")
+
+    # NONLINEAR in-kernel stats (reference queries 2/3,
+    # volumeRender_kernel.cu:749-769): variance = 4-contraction combine,
+    # entropy = per-bin log2 sum, both in the same VMEM prologue — no
+    # decoded volume, no chunked fallback path
+    from vrdd_tpu.pallas.slice_kernel import decode_weight_rows
+
+    for stat, tscl in (("var", 30.0), ("entropy", 1.0)):
+        rows, mode = decode_weight_rows(stat, B, family="unit")
+        rows = jnp.asarray(rows)
+
+        @jax.jit
+        def fwd_s(h, lut, o, rows=rows, mode=mode, tscl=tscl):
+            def it(i, acc):
+                img = pallas_hist_render(
+                    h, rows, o, lut, density=0.05 * (1.0 + 1e-6 * i),
+                    transfer_scale=tscl, width=W, height=W, stat=mode,
+                )
+                return acc + jnp.sum(img)
+            return jax.lax.fori_loop(0, 2, it, 0.0)
+
+        dt, _ = time_amortized(fwd_s, hist, tf, origin, iters=2)
+        out[f"hist512_inkernel_{stat}_fwd_ms"] = round(dt * 1e3, 2)
+        out[f"hist512_inkernel_{stat}_fwd_mrays"] = round(W * W / dt / 1e6, 2)
+        note(f"512^3x16 bf16 in-kernel {stat} fwd 1024^2: {dt*1e3:.1f} ms "
+             f"-> {out[f'hist512_inkernel_{stat}_fwd_mrays']:.1f} Mrays/s")
+
+    vrows, _ = decode_weight_rows("var", B, family="unit")
+    vrows = jnp.asarray(vrows)
+
+    @jax.jit
+    def fwdbwd_var(h, lut, o):
+        def loss(h, lut, i):
+            img = pallas_hist_render_diff(
+                h, vrows, o, lut, density=0.05 * (1.0 + 1e-6 * i),
+                transfer_scale=30.0, width=W, height=W,
+                wrt=("hist", "lut"), stat="var",
+            )
+            return jnp.mean((img - 0.25) ** 2)
+
+        def it(i, acc):
+            l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(h, lut, i)
+            return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, 2, it, 0.0)
+
+    dt, _ = time_amortized(fwdbwd_var, hist, tf, origin, iters=2)
+    out["hist512_inkernel_var_fwdbwd_ms"] = round(dt * 1e3, 2)
+    out["hist512_inkernel_var_fwdbwd_mrays"] = round(W * W / dt / 1e6, 2)
+    note(f"512^3x16 bf16 in-kernel var fwd+bwd 1024^2: {dt*1e3:.1f} ms -> "
+         f"{out['hist512_inkernel_var_fwdbwd_mrays']:.1f} Mrays/s")
     return out
 
 

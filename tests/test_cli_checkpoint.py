@@ -180,3 +180,16 @@ def test_render_hist_cli(tmp_path):
     img = read_ppm(out)
     assert img.shape == (32, 32, 3)
     assert img.max() > 0
+    # nonlinear decoded statistics (reference queries 2/3) on the same file
+    for stat, tscl in (("var", "8.0"), ("entropy", "1.0")):
+        out_s = str(tmp_path / f"r_{stat}.ppm")
+        rc = main([
+            "render-hist", "--hist-file", hist_path, "--dims", "8", "8",
+            "8", "--bins", "8", "--width", "32", "--height", "32",
+            "--density", "0.5", "--stat", stat, "--tf-scale", tscl,
+            "-o", out_s,
+        ])
+        assert rc == 0
+        img = read_ppm(out_s)
+        assert img.shape == (32, 32, 3)
+        assert img.max() > 0, stat

@@ -166,3 +166,111 @@ def test_non_pow2_volume_dims():
             pallas_hist_render(hist, w, O, TF, width=W, height=H)
         )
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+# ---- nonlinear in-kernel stats (reference queries 2/3 semantics) ----
+
+from vrdd_tpu.ops.histogram import raw_block_stats
+from vrdd_tpu.pallas.slice_kernel import decode_weight_rows
+from vrdd_tpu.utils.config import N_BINS
+
+
+def _hist32(nz=16, seed=0):
+    rng = np.random.default_rng(seed)
+    h = rng.random((nz, N_BINS, nz, nz)).astype(np.float32)
+    h /= h.sum(axis=1, keepdims=True)
+    return jnp.asarray(h)
+
+
+# var decodes to ~2 after /VARIANCE_NORM — window the TF (transfer_scale)
+# so the statistic lands mid-ramp instead of clipping to the black end knot
+@pytest.mark.parametrize("stat,chan,tscl", [("mean", 0, 1.0),
+                                            ("var", 1, 0.3),
+                                            ("entropy", 2, 1.0)])
+def test_nonlinear_stats_match_materialized(stat, chan, tscl):
+    """In-kernel var/entropy decode == raw_block_stats through the sweep:
+    the reference's query 1/2/3 statistics (volumeRender_kernel.cu:742-769)
+    computed inside the kernel prologue, pinned against the materialized
+    decode-everything-first path."""
+    hist = _hist32(seed=13)
+    rows, mode = decode_weight_rows(stat, N_BINS, family="raw")
+    # materialized reference: decode the (z, y, x, B) volume, select channel
+    decoded = raw_block_stats(
+        jnp.moveaxis(hist, 1, -1), channels=(chan,)
+    )[..., 0]
+    ref = np.asarray(
+        slice_render_image(decoded, O, W, H, TF, n_planes=16, density=0.3,
+                           transfer_scale=tscl)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            pallas_hist_render(hist, rows, O, TF, width=W, height=H,
+                               density=0.3, transfer_scale=tscl, stat=mode)
+        )
+    assert np.abs(ref).max() > 1e-3, "vacuous comparison: image is black"
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("stat,chan,tscl", [("var", 1, 0.3),
+                                            ("entropy", 2, 1.0)])
+def test_nonlinear_grads_match_materialized(stat, chan, tscl):
+    """Histogram + LUT cotangents through the nonlinear in-kernel decode
+    (backward replays the prologue; the jacobian chain runs fused outside)
+    vs autodiff through the materialized raw_block_stats pipeline."""
+    hist = _hist32(seed=17)
+    rows, mode = decode_weight_rows(stat, N_BINS, family="raw")
+
+    def loss_hist(h, lut):
+        img = pallas_hist_render_diff(
+            h, rows, O, lut, width=W, height=H, wrt=("hist", "lut"),
+            density=0.3, transfer_scale=tscl, stat=mode,
+        )
+        return jnp.sum(img ** 2)
+
+    def loss_ref(h, lut):
+        dec = raw_block_stats(jnp.moveaxis(h, 1, -1),
+                              channels=(chan,))[..., 0]
+        img = slice_render_image(
+            dec, O, W, H, lut, n_planes=16, density=0.3,
+            transfer_scale=tscl, use_custom_vjp=False,
+        )
+        return jnp.sum(img ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        v_h, (gh, gl) = jax.value_and_grad(
+            loss_hist, argnums=(0, 1)
+        )(hist, TF)
+    v_r, (gh_r, gl_r) = jax.value_and_grad(loss_ref, argnums=(0, 1))(hist, TF)
+
+    def mre(a, b):
+        s = float(jnp.max(jnp.abs(b))) or 1.0
+        return float(jnp.max(jnp.abs(a - b))) / s
+
+    assert abs(float(v_h - v_r)) / abs(float(v_r)) < 1e-5
+    assert mre(gh, gh_r) < 5e-4, "histogram cotangent"
+    assert mre(gl, gl_r) < 5e-4, "LUT cotangent"
+
+
+def test_entropy_zero_bins_gradient():
+    """Exact-zero bins: forward term is 0 and the cotangent is 0 (matching
+    histogram_entropy's safe-log), never inf/nan."""
+    nz = 16
+    rng = np.random.default_rng(23)
+    h = rng.random((nz, 8, nz, nz)).astype(np.float32)
+    h[:, 3] = 0.0  # a bin that is exactly zero everywhere
+    h /= h.sum(axis=1, keepdims=True)
+    hist = jnp.asarray(h)
+    rows, mode = decode_weight_rows("entropy", 8)
+
+    def loss(hh):
+        img = pallas_hist_render_diff(
+            hh, rows, O, TF, width=W, height=H, wrt=("hist",), density=0.3,
+            stat=mode,
+        )
+        return jnp.sum(img ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gh = jax.grad(loss)(hist)
+    gh = np.asarray(gh)
+    assert np.all(np.isfinite(gh))
+    assert np.all(gh[:, 3] == 0.0), "zero bins must get zero cotangent"

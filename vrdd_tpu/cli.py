@@ -534,6 +534,8 @@ def cmd_render_hist(args) -> int:
     from vrdd_tpu.io import formats, native
     from vrdd_tpu.march.slice import slice_render_image
     from vrdd_tpu.pallas.slice_kernel import (
+        decode_weight_rows,
+        decode_with_rows,
         hist_render_supported,
         pallas_hist_render,
     )
@@ -548,7 +550,9 @@ def cmd_render_hist(args) -> int:
     hist = loader(args.hist_file, (nz, ny, nx), B, dtype=args.dtype)
     print(f"loaded {args.hist_file}: {hist.shape} {hist.dtype} "
           f"({'native' if native.available() else 'python'} loader)")
-    w = jnp.asarray((np.arange(B) + 0.5) / B, jnp.float32)  # mean stat
+    # decode statistic (reference queries 1/2/3); 'unit' family = centers
+    # on [0, 1], the natural range for standalone histogram files
+    rows, mode = decode_weight_rows(args.stat, B, family="unit")
     tf = jnp.asarray(default_transfer_function())
     origin = jnp.asarray([0.0, 0.0, args.translate_z * -1.0], jnp.float32)
     W, H = args.width, args.height
@@ -557,18 +561,18 @@ def cmd_render_hist(args) -> int:
     )
     if use_kernel:
         img = pallas_hist_render(
-            jnp.asarray(hist), w, origin, tf, density=args.density,
-            width=W, height=H,
+            jnp.asarray(hist), jnp.asarray(rows), origin, tf,
+            density=args.density, transfer_scale=args.tf_scale,
+            width=W, height=H, stat=mode,
         )
-        path = "in-kernel fused decode"
+        path = f"in-kernel fused decode ({args.stat})"
     else:
-        vol = jnp.einsum(
-            "zbyx,b->zyx", jnp.asarray(hist, jnp.float32), w
-        )
+        vol = decode_with_rows(jnp.asarray(hist), rows, mode)
         img = slice_render_image(
-            vol, origin, W, H, tf, density=args.density, n_planes=nz
+            vol, origin, W, H, tf, density=args.density,
+            transfer_scale=args.tf_scale, n_planes=nz
         )
-        path = "materialized decode"
+        path = f"materialized decode ({args.stat})"
     out = np.asarray(rgba_to_uint8(img))
     formats.write_ppm(args.output, out)
     print(f"wrote {args.output} ({path})")
@@ -714,6 +718,10 @@ def main(argv=None) -> int:
     prh.add_argument("--height", type=int, default=512)
     prh.add_argument("--density", type=float, default=0.05)
     prh.add_argument("--translate-z", type=float, default=-4.0)
+    prh.add_argument("--stat", default="mean",
+                     choices=["mean", "var", "entropy"],
+                     help="decoded statistic (reference queries 1/2/3)")
+    prh.add_argument("--tf-scale", type=float, default=1.0, dest="tf_scale")
     prh.add_argument("-o", "--output", default="hist_render.ppm")
     prh.set_defaults(fn=cmd_render_hist)
 

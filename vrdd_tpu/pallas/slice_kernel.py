@@ -491,6 +491,133 @@ def _ess_bitmap(planes_all, zs, origin, tf_lut, tf_off, tf_scale,
     ).astype(jnp.int32)  # (S, C)
 
 
+#: smallest positive value fed to log2 in the in-kernel entropy decode —
+#: only multiplied by an exactly-zero bin, so any tiny positive works
+_ENT_TINY = 1e-30
+
+
+def decode_weight_rows(stat: str, n_bins: int, *, family: str = "raw"):
+    """Decode-weight rows + kernel combine mode for one histogram statistic.
+
+    Returns ``(rows, mode)`` where ``rows`` is the ``(n_w, B)`` float32
+    matrix the in-kernel decode contracts against and ``mode`` selects the
+    prologue combine (see ``_decode_block``):
+
+    - ``stat='mean'`` → ``mode='linear'``, 1 row: bin centers (scaled by
+      the family's mean normalizer). dec = w·h.
+    - ``stat='var'`` → ``mode='var'``, 4 rows ``[m, s·e, s·e², s·1]``:
+      dec = C2 − 2·m·C1 + m²·C0 = s·Σ h (e − m)² — algebraically the
+      reference's deviation-around-the-mean sum with NO Σh=1 assumption.
+      The raw family deviates around bin *edges* while the mean uses
+      *centers* (volumeRender_kernel.cu:742-755); fractal/flex use centers
+      for both.
+    - ``stat='entropy'`` → ``mode='entropy'``, 1 row whose [0, 0] is the
+      1/log2(B) normalizer (Shannon entropy, :761-769).
+
+    ``family``: 'raw' (MEAN_NORM / VARIANCE_NORM scaling, edge deviation),
+    'fractal' (same normalizers, center deviation, :841-867), 'flex'
+    ([0, 255] range, unnormalized, :1083-1115), or 'unit' (centers on
+    [0, 1], no normalization — the framework's synthetic-volume default).
+    """
+    from vrdd_tpu.utils.config import (
+        FLEX_MAX_HISTOGRAM, MAX_HISTOGRAM, MEAN_NORM, VARIANCE_NORM,
+    )
+
+    vmax, mnorm, vnorm = {
+        "raw": (MAX_HISTOGRAM, MEAN_NORM, VARIANCE_NORM),
+        "fractal": (MAX_HISTOGRAM, MEAN_NORM, VARIANCE_NORM),
+        "flex": (FLEX_MAX_HISTOGRAM, 1.0, 1.0),
+        "unit": (1.0, 1.0, 1.0),
+    }[family]
+    bw = vmax / n_bins
+    i = np.arange(n_bins, dtype=np.float64)
+    centers = bw * i + bw / 2.0
+    edges = (i / n_bins) * vmax
+    if stat == "mean":
+        return (centers / mnorm).astype(np.float32)[None, :], "linear"
+    if stat == "var":
+        e = edges if family == "raw" else centers
+        s = 1.0 / vnorm
+        rows = np.stack([
+            centers, s * e, s * e * e, s * np.ones_like(e),
+        ])
+        return rows.astype(np.float32), "var"
+    if stat == "entropy":
+        rows = np.zeros((1, n_bins), dtype=np.float32)
+        rows[0, 0] = 1.0 / np.log2(n_bins)
+        return rows, "entropy"
+    raise ValueError(f"unknown stat {stat!r}; use mean / var / entropy")
+
+
+def decode_with_rows(hist_bm, rows, mode):
+    """Materialized (XLA) twin of the in-kernel decode: bins-major
+    ``(nz, B, ny, nx)`` histogram volume → decoded ``(nz, ny, nx)`` scalar
+    volume, same rows/mode as :func:`decode_weight_rows`. The off-TPU
+    fallback path and the parity oracle for the fused kernel."""
+    hf = jnp.asarray(hist_bm, jnp.float32)
+    rows = jnp.asarray(rows, jnp.float32)
+    if mode == "linear":
+        return jnp.einsum("zbyx,b->zyx", hf, rows[0])
+    if mode == "var":
+        m = jnp.einsum("zbyx,b->zyx", hf, rows[0])
+        c1 = jnp.einsum("zbyx,b->zyx", hf, rows[1])
+        c2 = jnp.einsum("zbyx,b->zyx", hf, rows[2])
+        c0 = jnp.einsum("zbyx,b->zyx", hf, rows[3])
+        return c2 - 2.0 * m * c1 + m * m * c0
+    safe = jnp.where(hf > 0.0, hf, 1.0)
+    return rows[0, 0] * jnp.sum(-hf * jnp.log2(safe), axis=1)
+
+
+def _decode_block(planes_ref, dw_ref, dec_ref, pchunk, B, mode, bi):
+    """In-VMEM bins→scalar decode of one streamed histogram chunk.
+
+    ``planes_ref`` is the (pchunk, B, NY, NX) bins-major block (block row
+    ``bi(i)`` = front-to-back plane i), ``dw_ref`` the (n_w, B) SMEM weight
+    rows from :func:`decode_weight_rows`, ``dec_ref`` the (pchunk, NY, NX)
+    f32 scratch. Shared by the forward prologue and the backward's replay.
+
+    - 'linear': dec = Σ_b w0·h — B VPU FMAs/voxel.
+    - 'var': four contractions (m, C1, C2, C0), dec = C2 − 2mC1 + m²C0.
+      Measured exact vs an f64 oracle through the full sweep (9.6e-7 in
+      image space at 64³×16 → 256²).
+    - 'entropy': dec = w00 · Σ_b −h·log2(max(h, tiny)) — exactly 0 at
+      h == 0 (matches ops/histogram.py histogram_entropy's safe-log).
+      Accuracy: the TPU's log2 is a ~1.5e-4-abs-error approximation in
+      BOTH Mosaic and XLA (measured identical to 1.2e-6 pointwise between
+      them), the analogue of the reference's device log2f; the remaining
+      ~1e-3 image-space deviation from the materialized path is that
+      pointwise difference amplified by the TF slope × composited planes,
+      well under the 8-bit display quantum.
+    """
+    for i in range(pchunk):
+        b0 = bi(i)
+        if mode == "entropy":
+            acc = None
+            for b in range(B):
+                h = planes_ref[b0, b].astype(jnp.float32)
+                t = -h * jnp.log2(jnp.maximum(h, _ENT_TINY))
+                acc = t if acc is None else acc + t
+            dec_ref[i] = dw_ref[0, 0] * acc
+        elif mode == "var":
+            h = planes_ref[b0, 0]
+            m = dw_ref[0, 0] * h
+            c1 = dw_ref[1, 0] * h
+            c2 = dw_ref[2, 0] * h
+            c0 = dw_ref[3, 0] * h
+            for b in range(1, B):
+                h = planes_ref[b0, b]
+                m = m + dw_ref[0, b] * h
+                c1 = c1 + dw_ref[1, b] * h
+                c2 = c2 + dw_ref[2, b] * h
+                c0 = c0 + dw_ref[3, b] * h
+            dec_ref[i] = c2 - 2.0 * m * c1 + m * m * c0
+        else:
+            plane = dw_ref[0, 0] * planes_ref[b0, 0]
+            for b in range(1, B):
+                plane = plane + dw_ref[0, b] * planes_ref[b0, b]
+            dec_ref[i] = plane
+
+
 def _make_kernel(
     H: int, W: int, NY: int, NX: int, n_planes: int, n_lut: int,
     dz_sign, box_min, box_max, tstep: float, threshold: float,
@@ -498,6 +625,7 @@ def _make_kernel(
     tex_offset: float = 0.5, ess: bool = False, seed: bool = False,
     axis_scale=(1.0, 1.0), ck_stride: int = 0, filter_linear: bool = True,
     decode_bins: int = 0, reverse_planes: bool = False,
+    decode_mode: str = "linear",
 ):
     """``seed``: the accumulator initializes from a traced RGBA input image
     instead of zeros — "resume a sweep mid-flight". The distributed
@@ -579,12 +707,12 @@ def _make_kernel(
         # distribution volume streamed directly from HBM, in z-ASCENDING
         # storage order (the index map walks it backwards for dz < 0, and
         # plane i of the chunk reads block row pchunk-1-i) — and the decoded
-        # scalar plane materializes only in VMEM, as the linear contraction
-        # sum_b w[b] * hist[b] in the y-resample prologue. This is the
-        # reference's in-march decode (volumeRender_kernel.cu:354-480)
-        # fused into the sweep for any LINEAR bins->scalar statistic;
-        # nonlinear stats (variance, entropy) use the chunked streaming
-        # path (march/streaming.py). Requires n_planes == nz (the
+        # scalar plane materializes only in VMEM, via _decode_block in the
+        # y-resample prologue: the linear contraction sum_b w[b] * hist[b]
+        # (mean and any linear statistic), the 4-contraction variance
+        # combine, or the log2 entropy sum. This is the reference's
+        # in-march decode (volumeRender_kernel.cu:354-480) fused into the
+        # sweep for EVERY histogram statistic. Requires n_planes == nz (the
         # pure-selection pre-blend: zf = (p+0.5)*nz/n_planes - 0.5 = p, so
         # no z-lerp ever mixes two layers).
         if decode_bins:
@@ -715,16 +843,12 @@ def _make_kernel(
         if decode_bins:
             # decode the chunk's planes ONCE (at the first strip) into VMEM
             # scratch; every strip's y-resample reads the decoded planes.
-            # Linear bins contraction: B VPU FMAs per voxel, and the scalar
-            # plane never touches HBM.
+            # The bins contraction / nonlinear combine (_decode_block) runs
+            # on the VPU and the scalar plane never touches HBM.
             @pl.when(stage_x_when)
             def _stage_decode():
-                for i in range(pchunk):
-                    bi = _bi(i)
-                    plane = dw_ref[0, 0] * planes_ref[bi, 0]
-                    for b in range(1, decode_bins):
-                        plane = plane + dw_ref[0, b] * planes_ref[bi, b]
-                    dec_ref[i] = plane
+                _decode_block(planes_ref, dw_ref, dec_ref, pchunk,
+                              decode_bins, decode_mode, _bi)
 
         @pl.when(stage_x_when)
         def _stage_x():
@@ -921,7 +1045,7 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
 
 def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
                  emit_ckpt=False, mm_dtype=jnp.float32, seed=False,
-                 decode_bins=0, reverse_planes=False):
+                 decode_bins=0, reverse_planes=False, decode_rows=1):
     """(in_specs, out_spec, scratch, grid) shared by forward and pass 1:
     grid = (chunks, strips), CHUNK-major; the accumulator is ONE
     (n_strips, n_rows, STRIP, W) output block with a constant index map —
@@ -930,7 +1054,8 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
 
     ``decode_bins = B > 0``: the plane input is the bins-major histogram
     volume (nz, B, NY, NX) streamed a chunk of z-layers at a time, plus a
-    (1, B) decode-weight SMEM input and a decoded-plane VMEM scratch (see
+    (decode_rows, B) decode-weight SMEM input and a decoded-plane VMEM
+    scratch (see
     _make_kernel's in-kernel decode). ``reverse_planes`` walks the layer
     blocks back-to-front (dz < 0 front-to-back order without materializing
     a flipped copy of the histogram volume in HBM)."""
@@ -953,7 +1078,7 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
         else vmem((pchunk, NY, NX), lambda k, s: plane_ix(k, s)[:1] + (0, 0)),
     ]
     if decode_bins:
-        in_specs.append(smem((1, decode_bins), lambda k, s: (0, 0)))
+        in_specs.append(smem((decode_rows, decode_bins), lambda k, s: (0, 0)))
     if ess:
         in_specs.append(smem((n_strips, n_chunks), lambda k, s: (0, 0)))
     if seed:
@@ -1286,6 +1411,7 @@ def pallas_hist_render(
     precision: str = "f32",
     plane_chunk: int = 0,
     focal: float = 2.0,
+    stat: str = "linear",
 ) -> jnp.ndarray:
     """Fused render STRAIGHT FROM A DISTRIBUTION VOLUME: the per-voxel
     histogram decodes inside the sweep kernel.
@@ -1293,14 +1419,18 @@ def pallas_hist_render(
     ``hist_bm`` is the bins-MAJOR histogram volume ``(nz, B, ny, nx)`` (the
     framework's native layout for in-kernel decode: B stays a sublane axis,
     so a streamed chunk of z-layers tiles VMEM perfectly; the (..., B)
-    bins-minor layout would pad 16 bins onto 128 lanes). ``weights (B,)``
-    are the linear decode coefficients: density = sum_b w[b] * hist[b]
-    (e.g. bin centers / 255 for the mean statistic,
-    volumeRender_kernel.cu:1083-1115). The decoded scalar volume NEVER
-    exists in HBM — z-layer chunks stream into VMEM and the contraction
-    happens in the kernel's plane prologue, generalizing the reference's
-    query-7 in-march decode (volumeRender_kernel.cu:354-480) to the fused
-    MXU sweep. Nonlinear statistics use march/streaming.py instead.
+    bins-minor layout would pad 16 bins onto 128 lanes). With the default
+    ``stat='linear'``, ``weights (B,)`` are the linear decode coefficients:
+    density = sum_b w[b] * hist[b] (e.g. bin centers / 255 for the mean
+    statistic, volumeRender_kernel.cu:1083-1115). ``stat='var'`` /
+    ``stat='entropy'`` select the nonlinear prologue combines (reference
+    queries 2/3, volumeRender_kernel.cu:749-769); pass the matching weight
+    rows from :func:`decode_weight_rows` (var: the (4, B) matrix; entropy:
+    its (1, B) normalizer row). The decoded scalar volume NEVER exists in
+    HBM — z-layer chunks stream into VMEM and the decode happens in the
+    kernel's plane prologue, generalizing the reference's query-7 in-march
+    decode (volumeRender_kernel.cu:354-480) to the fused MXU sweep for
+    every histogram statistic.
 
     Constraints: ``n_planes == nz`` (the pure-selection plane schedule — no
     z-lerp mixes two layers, so planes ARE layers walked back-to-front) and
@@ -1344,18 +1474,23 @@ def pallas_hist_render(
         jnp.asarray(tf_lut, dtype=jnp.float32)
     ).reshape(1, -1)
     zs_in = jnp.asarray(zs, jnp.float32)[None, :]
-    dw = jnp.asarray(weights, jnp.float32)[None, :]
+    dw = jnp.asarray(weights, jnp.float32)
+    if dw.ndim == 1:
+        dw = dw[None, :]
+    n_w = {"linear": 1, "var": 4, "entropy": 1}[stat]
+    assert dw.shape == (n_w, B), (dw.shape, stat, B)
 
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = _make_kernel(
         height, width, ny, nx, n_planes, n_lut, -1,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, mm_dtype, pchunk, decode_bins=B,
-        reverse_planes=True,
+        reverse_planes=True, decode_mode=stat,
     )
     in_specs, out_spec, scratch, grid = _sweep_specs(
         height, width, ny, nx, n_planes, n_lut, pchunk,
         mm_dtype=mm_dtype, decode_bins=B, reverse_planes=True,
+        decode_rows=n_w,
     )
     n_strips = height // STRIP
     out = pl.pallas_call(

@@ -67,6 +67,8 @@ from jax.experimental.pallas import tpu as pltpu
 from vrdd_tpu.utils.config import MarchConfig
 from vrdd_tpu.pallas.slice_kernel import (
     STRIP,
+    _ENT_TINY,
+    _decode_block,
     _ess_bitmap,
     _fit_plane_chunk,
     _make_kernel,
@@ -124,7 +126,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      pchunk, tex_offset=0.5,
                      wrt=("volume", "lut", "params"),
                      axis_scale=(1.0, 1.0), decode_bins=0,
-                     reverse_planes=False):
+                     reverse_planes=False, decode_mode="linear"):
     """Reverse-order cotangent sweep; see module docstring.
 
     ``wrt`` statically prunes cotangent paths: "volume" (d_planes — the
@@ -206,12 +208,11 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             # row pchunk-1-i = front-to-back plane i of this chunk.
             @pl.when(si == 0)
             def _stage_decode():
-                for i in range(pchunk):
-                    bi = pchunk - 1 - i if reverse_planes else i
-                    plane = dw_ref[0, 0] * planes_ref[bi, 0]
-                    for b in range(1, decode_bins):
-                        plane = plane + dw_ref[0, b] * planes_ref[bi, b]
-                    dec_ref[i] = plane
+                _decode_block(
+                    planes_ref, dw_ref, dec_ref, pchunk, decode_bins,
+                    decode_mode,
+                    lambda i: pchunk - 1 - i if reverse_planes else i,
+                )
 
         @pl.when(chunk_live)
         def _stage_y():
@@ -495,7 +496,8 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      box_max, tstep, threshold, length_correction, precision,
                      pchunk, tex_offset=0.5, wrt=("volume", "lut", "params"),
                      ess=False, seed=False, axis_scale=(1.0, 1.0),
-                     decode_bins=0, plane_bytes=4, reverse_planes=False):
+                     decode_bins=0, plane_bytes=4, reverse_planes=False,
+                     decode_mode="linear"):
     """Build the custom-VJP sweep for one static configuration.
 
     The returned ``sweep(planes, zs, acc0, origin, slopes, lut, density,
@@ -535,6 +537,11 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     # backward also EMITS d_planes in z-layer order, so no flip copy
     # exists on either side of either pass
     rev = reverse_planes
+    n_w = {"linear": 1, "var": 4, "entropy": 1}[decode_mode]
+    assert decode_mode == "linear" or "weights" not in wrt, (
+        "decode-weight cotangents are linear-mode only (nonlinear modes "
+        "take fixed reference-semantics rows from decode_weight_rows)"
+    )
 
     fwd_pchunk = _fit_plane_chunk(
         max(8 // pchunk * pchunk, pchunk), n_planes, NY, NX, W,
@@ -549,12 +556,14 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         threshold, length_correction, mm_dtype, fwd_pchunk,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
         decode_bins=decode_bins, reverse_planes=rev,
+        decode_mode=decode_mode,
     )
     fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, fwd_pchunk, emit_ckpt=True,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
         ck_stride=pchunk, decode_bins=decode_bins, reverse_planes=rev,
+        decode_mode=decode_mode,
     )
     # the kernel's d_planes path serves BOTH the histogram cotangent and
     # the decode-weight cotangent (each is a linear function of d_dec)
@@ -566,6 +575,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         threshold, length_correction, mm_dtype, pchunk,
         tex_offset=tex_offset, wrt=kernel_wrt, axis_scale=axis_scale,
         decode_bins=decode_bins, reverse_planes=rev,
+        decode_mode=decode_mode,
     )
     n_chunks_fwd = n_planes // fwd_pchunk
 
@@ -574,12 +584,12 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     in_specs, out_spec, scratch, grid = _sweep_specs(
         H, W, NY, NX, n_planes, n_lut, fwd_pchunk, ess=ess,
         mm_dtype=mm_dtype, seed=seed, decode_bins=decode_bins,
-        reverse_planes=rev,
+        reverse_planes=rev, decode_rows=n_w,
     )
     in_specs_ck, out_spec_ck, scratch_ck, grid_ck = _sweep_specs(
         H, W, NY, NX, n_planes, n_lut, fwd_pchunk, ess=ess, emit_ckpt=True,
         mm_dtype=mm_dtype, seed=seed, decode_bins=decode_bins,
-        reverse_planes=rev,
+        reverse_planes=rev, decode_rows=n_w,
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
@@ -607,7 +617,8 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         return (jnp.transpose(acc0, (2, 0, 1)),)
 
     def _dw_args(dw):
-        return (dw[None, :],) if decode_bins else ()
+        # dw arrives (n_w, B) — row layout per decode_weight_rows
+        return (dw,) if decode_bins else ()
 
     def _fwd_call(planes_all, zs_in, acc0, params, coef_flat, lut, dw=None):
         out = pl.pallas_call(
@@ -676,7 +687,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             smem((1, n_planes), lambda k, s: (0, 0)),
             smem((1, 4 * n_lut), lambda k, s: (0, 0)),
             plane_spec,
-            *([smem((1, decode_bins), lambda k, s: (0, 0))]
+            *([smem((n_w, decode_bins), lambda k, s: (0, 0))]
               if decode_bins else []),
             vmem((4, STRIP, W), lambda k, s: (0, s, 0)),
             vmem((1, STRIP, W), lambda k, s: (n_chunks - 1 - k, s, 0)),
@@ -721,10 +732,12 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
 
     if decode_bins:
         # histogram variant: planes_all is the bins-major (nz, B, NY, NX)
-        # histogram volume, dw the (B,) linear decode weights. d_hist is
-        # the linear chain d_hist[L, b] = dw[b] * d_dec[plane of layer L];
-        # d_dw = <hist layer L, d_dec> summed over layers (the template-
-        # coefficient cotangent), pruned unless wrt includes "weights".
+        # histogram volume, dw the (n_w, B) decode-weight rows
+        # (decode_weight_rows). d_hist chains d_dec through the decode's
+        # jacobian per decode_mode (linear: one broadcast; var/entropy:
+        # fused with one extra histogram-stream read); d_dw = <hist layer
+        # L, d_dec> summed over layers (the template-coefficient
+        # cotangent), linear mode only, pruned unless wrt has "weights".
         g_dw = "weights" in wrt
 
         @jax.custom_vjp
@@ -758,21 +771,52 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 dw
             )
             # d_dec arrives in z-LAYER order (the bwd kernel writes layer
-            # blocks directly when rev); the rank-1 chain is one broadcast
+            # blocks directly when rev). Cotangent dtype follows the
+            # histogram's storage dtype: a bf16-stored distribution volume
+            # (2x stream bandwidth, decode accuracy == the materialized
+            # path's bf16 decode matmul) gets bf16 cotangents.
             d_dec_z = d_dec
-            # cotangent dtype follows the histogram's storage dtype: a
-            # bf16-stored distribution volume (2x stream bandwidth, decode
-            # accuracy == the materialized path's bf16 decode matmul) gets
-            # bf16 cotangents
-            d_hist = (
-                (d_dec_z[:, None, :, :] * dw[None, :, None, None]).astype(
-                    hist_bm.dtype
+            if "volume" not in wrt:
+                d_hist = jnp.zeros_like(hist_bm)
+            elif decode_mode == "linear":
+                # rank-1 chain: one broadcast
+                d_hist = (
+                    d_dec_z[:, None, :, :] * dw[0][None, :, None, None]
+                ).astype(hist_bm.dtype)
+            elif decode_mode == "var":
+                # dec = C2 - 2 m C1 + m^2 C0 (C_k = dw[k]·h, m = dw[0]·h):
+                # d h_b = dw2[b] - 2 m dw1[b] + m^2 dw3[b]
+                #         + 2 (m C0 - C1) dw0[b].
+                # ONE stacked einsum recomputes all three moment volumes in
+                # a single histogram-stream pass (three separate einsums
+                # each re-read the full histogram: measured 212 -> ~90 ms
+                # at 512^3 x 16); the quad chain then reads only the small
+                # moment volumes + d_dec and writes d_hist.
+                moments = jnp.einsum(
+                    "zbyx,rb->rzyx", hist_bm.astype(jnp.float32),
+                    jnp.stack([dw[0], dw[1], dw[3]]),
                 )
-                if "volume" in wrt
-                else jnp.zeros_like(hist_bm)
-            )
+                m, c1, c0 = moments[0], moments[1], moments[2]
+                quad = (
+                    dw[2][None, :, None, None]
+                    - 2.0 * m[:, None] * dw[1][None, :, None, None]
+                    + (m * m)[:, None] * dw[3][None, :, None, None]
+                    + (2.0 * (m * c0 - c1))[:, None]
+                    * dw[0][None, :, None, None]
+                )
+                d_hist = (d_dec_z[:, None] * quad).astype(hist_bm.dtype)
+            else:  # entropy: d h_b = -s (log2 h_b + 1/ln2), 0 at h_b == 0
+                hf = hist_bm.astype(jnp.float32)
+                dlog = jnp.where(
+                    hf > 0.0,
+                    -dw[0, 0]
+                    * (jnp.log2(jnp.maximum(hf, _ENT_TINY))
+                       + np.float32(1.0 / np.log(2.0))),
+                    0.0,
+                )
+                d_hist = (d_dec_z[:, None] * dlog).astype(hist_bm.dtype)
             d_dw = (
-                jnp.einsum("zbyx,zyx->b", hist_bm, d_dec_z)
+                jnp.einsum("zbyx,zyx->b", hist_bm, d_dec_z)[None, :]
                 if g_dw
                 else jnp.zeros_like(dw)
             )
@@ -1113,22 +1157,27 @@ def pallas_hist_render_diff(
     plane_chunk: int = 4,
     focal: float = 2.0,
     wrt: tuple = ("hist", "lut"),
+    stat: str = "linear",
 ) -> jnp.ndarray:
     """DIFFERENTIABLE fused render straight from a bins-major histogram
     volume — the in-kernel-decode twin of ``pallas_slice_render_diff``.
 
     Forward: pallas_slice_render-style fused sweep whose plane prologue
-    decodes ``density = sum_b weights[b] * hist_bm[:, b]`` in VMEM (see
-    slice_kernel.py pallas_hist_render) — the decoded scalar volume never
-    exists in HBM, in EITHER direction: the backward's replay re-decodes
-    each chunk in VMEM and emits decoded-plane cotangents, which chain to
-    ``d_hist[L, b] = weights[b] * d_dec[L]`` (one XLA broadcast) and
-    optionally ``d_weights[b] = <hist[:, b], d_dec>``.
+    decodes the per-voxel statistic in VMEM (see slice_kernel.py
+    pallas_hist_render: ``stat='linear'`` contracts
+    ``density = sum_b weights[b] * hist_bm[:, b]``; 'var'/'entropy' run
+    the nonlinear combines with rows from ``decode_weight_rows``) — the
+    decoded scalar volume never exists in HBM, in EITHER direction: the
+    backward's replay re-decodes each chunk in VMEM and emits
+    decoded-plane cotangents, which chain through the decode's jacobian
+    (linear: ``d_hist[L, b] = weights[b] * d_dec[L]``, one XLA broadcast;
+    var/entropy: one fused elementwise pass with a histogram re-read) and
+    optionally ``d_weights[b] = <hist[:, b], d_dec>`` (linear only).
 
     ``wrt`` entries: "hist" (histogram cotangent), "weights" (decode
-    coefficients — the template/bin-center analogue), "lut", "params".
-    Constraints as pallas_hist_render: n_planes == nz, width % 128 == 0,
-    height % STRIP == 0.
+    coefficients — the template/bin-center analogue; linear stat only),
+    "lut", "params". Constraints as pallas_hist_render: n_planes == nz,
+    width % 128 == 0, height % STRIP == 0.
     """
     nz, B, ny, nx = hist_bm.shape
     n_planes = nz
@@ -1137,6 +1186,11 @@ def pallas_hist_render_diff(
     allowed = ("volume", "weights", "lut", "params")
     assert all(w in allowed for w in kw), (wrt, allowed)
     kw = tuple(w for w in allowed if w in kw)
+    weights = jnp.asarray(weights, jnp.float32)
+    if weights.ndim == 1:
+        weights = weights[None, :]
+    n_w = {"linear": 1, "var": 4, "entropy": 1}[stat]
+    assert weights.shape == (n_w, B), (weights.shape, stat, B)
 
     pbytes = jnp.dtype(hist_bm.dtype).itemsize
     sweep = _make_diff_sweep(
@@ -1146,6 +1200,7 @@ def pallas_hist_render_diff(
         _fit_plane_chunk(plane_chunk or 4, n_planes, ny, nx, width, bins=B,
                          plane_bytes=pbytes),
         wrt=kw, decode_bins=B, plane_bytes=pbytes, reverse_planes=True,
+        decode_mode=stat,
     )
 
     (xlo, ylo, zlo) = march.box_min
