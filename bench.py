@@ -266,18 +266,23 @@ def main() -> None:
           @jax.jit
           def fwd_isabel(v, tf, o):
               def it(i, acc):
-                  vi = v * (1.0 + 1e-6 * i)
+                  # loop-carry via DENSITY (a traced scalar): perturbing the
+                  # volume materializes a copy the Pallas input cannot fuse
+                  # (the reference's runSingleTest re-renders the SAME
+                  # volume, volumeRender.cpp:1049-1063)
+                  de = 0.05 * (1.0 + 1e-6 * i)
                   if use_pallas:
                       # plane_chunk=20 measured fastest for the tiny 50x50
                       # plane (8 -> 111.9, 20 -> 123.8, 40 -> 99.0 MTexels/s:
                       # fewer grid steps amortize per-step overhead until the
                       # x-weight cache pressures VMEM)
                       img = pallas_slice_render(
-                          vi, o, tf, width=W0, height=W0, n_planes=200,
-                          plane_chunk=20,
+                          v, o, tf, density=de, width=W0, height=W0,
+                          n_planes=200, plane_chunk=20,
                       )
                   else:
-                      img = slice_render_image(vi, o, W0, W0, tf, n_planes=200)
+                      img = slice_render_image(v, o, W0, W0, tf, density=de,
+                                               n_planes=200)
                   return acc + jnp.sum(img)
 
               return jax.lax.fori_loop(0, 4 * K, it, 0.0)
@@ -305,16 +310,17 @@ def main() -> None:
           @jax.jit
           def fwdbwd_many(v, tf, o):
               def loss(v, tf, i):
+                  de = 0.05 * (1.0 + 1e-6 * i)  # scalar loop-carry (no copy)
                   if use_pallas_diff:
                       # wrt mirrors value_and_grad(argnums=(0, 1)): volume +
                       # LUT cotangents only (XLA autodiff would prune the rest)
                       img = pallas_slice_render_diff(
-                          v * (1.0 + 1e-6 * i), o, tf, width=W, height=W,
+                          v, o, tf, density=de, width=W, height=W,
                           n_planes=n, wrt=("volume", "lut"),
                       )
                   else:
                       img = slice_render_image(
-                          v * (1.0 + 1e-6 * i), o, W, W, tf, n_planes=n,
+                          v, o, W, W, tf, density=de, n_planes=n,
                           plane_chunk=1,
                       )
                   return jnp.mean((img - 0.25) ** 2)
@@ -485,7 +491,8 @@ def bench_big(tf, note, n: int = 1024, W: int = 1024):
     def fwd(v, lut, o):
         def it(i, acc):
             img = pallas_slice_render(
-                v * (1.0 + 1e-6 * i), o, lut, width=W, height=W, n_planes=n
+                v, o, lut, density=0.05 * (1.0 + 1e-6 * i), width=W,
+                height=W, n_planes=n
             )
             return acc + jnp.sum(img)
         return jax.lax.fori_loop(0, 2, it, 0.0)
@@ -501,7 +508,8 @@ def bench_big(tf, note, n: int = 1024, W: int = 1024):
     def fwdbwd(v, lut, o):
         def loss(v, lut, i):
             img = streaming_decode_render(
-                v * (1.0 + 1e-6 * i), lambda x: x, o, lut, width=W,
+                v, lambda x: x, o, lut,
+                density=0.05 * (1.0 + 1e-6 * i), width=W,
                 height=W, n_planes=n, chunk_planes=128, backend="auto",
                 wrt=("volume", "lut"),
             )
@@ -659,9 +667,9 @@ def bench_variants(n, W, K, vol, tf, origin, use_pallas_diff):
         def f(v, lut, o):
             def it(i, acc):
                 img = pallas_slice_render(
-                    v * (1.0 + 1e-6 * i), o, lut, width=W, height=W,
-                    n_planes=n, precision=prec, empty_space_skip=ess,
-                    ess_stats=stats,
+                    v, o, lut, density=0.05 * (1.0 + 1e-6 * i), width=W,
+                    height=W, n_planes=n, precision=prec,
+                    empty_space_skip=ess, ess_stats=stats,
                 )
                 return acc + jnp.sum(img)
             return jax.lax.fori_loop(0, K, it, 0.0)
@@ -1009,8 +1017,12 @@ def dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff):
     @jax.jit
     def un_fwd(v, tf, o):
         def it(i, acc):
+            # density loop-carry: a volume perturbation materializes a
+            # 0.5 GB copy the Pallas input cannot fuse (~1 ms noise on
+            # every key in this section)
             img = pallas_slice_render(
-                v * (1.0 + 1e-6 * i), o, tf, width=W, height=W, n_planes=n
+                v, o, tf, density=0.05 * (1.0 + 1e-6 * i), width=W,
+                height=W, n_planes=n
             )
             return acc + jnp.sum(img)
         return jax.lax.fori_loop(0, K, it, 0.0)
@@ -1023,7 +1035,8 @@ def dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff):
         # fraction is reported both culled and uncplled
         def it(i, acc):
             img = pallas_slice_render(
-                v * (1.0 + 1e-6 * i), o, tf, width=W, height=W, n_planes=n,
+                v, o, tf, density=0.05 * (1.0 + 1e-6 * i), width=W,
+                height=W, n_planes=n,
                 empty_space_skip=True, ess_stats=stats,
             )
             return acc + jnp.sum(img)
@@ -1033,8 +1046,8 @@ def dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff):
     def d_fwd(v, tf, o):
         def it(i, acc):
             img = distributed_sweep_render(
-                v * (1.0 + 1e-6 * i), o, tf, width=W, height=W,
-                mesh=mesh, n_planes=n, backend="pallas",
+                v, o, tf, density=0.05 * (1.0 + 1e-6 * i), width=W,
+                height=W, mesh=mesh, n_planes=n, backend="pallas",
             )
             return acc + jnp.sum(img)
         return jax.lax.fori_loop(0, K, it, 0.0)
@@ -1043,9 +1056,9 @@ def dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff):
     def d_fwdbwd(v, tf, o):
         def loss(v, tf, i):
             img = distributed_sweep_render(
-                v * (1.0 + 1e-6 * i), o, tf, width=W, height=W,
-                mesh=mesh, n_planes=n, backend="pallas", plane_chunk=4,
-                wrt=("volume", "lut"),
+                v, o, tf, density=0.05 * (1.0 + 1e-6 * i), width=W,
+                height=W, mesh=mesh, n_planes=n, backend="pallas",
+                plane_chunk=4, wrt=("volume", "lut"),
             )
             return jnp.mean((img - 0.25) ** 2)
 
