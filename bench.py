@@ -507,9 +507,14 @@ def bench_big(tf, note, n: int = 1024, W: int = 1024):
     @jax.jit
     def fwdbwd(v, lut, o):
         def loss(v, lut, i):
+            # the STREAMED path must keep the volume itself loop-variant:
+            # with v invariant across iterations XLA hoists every chunk's
+            # pre-blend out of the fori_loop, materializing the full plane
+            # stack at once (observed: 17.7 GB > 15.75 GB HBM OOM). The
+            # ~10 ms copy is the price of keeping the chunk chain inside
+            # the loop; density-only perturbation is NOT safe here.
             img = streaming_decode_render(
-                v, lambda x: x, o, lut,
-                density=0.05 * (1.0 + 1e-6 * i), width=W,
+                v * (1.0 + 1e-6 * i), lambda x: x, o, lut, width=W,
                 height=W, n_planes=n, chunk_planes=128, backend="auto",
                 wrt=("volume", "lut"),
             )
@@ -648,6 +653,39 @@ def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
     out["hist512_inkernel_var_fwdbwd_mrays"] = round(W * W / dt / 1e6, 2)
     note(f"512^3x16 bf16 in-kernel var fwd+bwd 1024^2: {dt*1e3:.1f} ms -> "
          f"{out['hist512_inkernel_var_fwdbwd_mrays']:.1f} Mrays/s")
+
+    # DISTRIBUTED distribution-native: histogram slabs on bricks, decode
+    # in each brick's kernel, sort-last exact-ET compositing — the 1-chip
+    # mesh records the full machinery's per-chip cost next to the
+    # unsharded in-kernel number above
+    from vrdd_tpu.parallel.mesh import make_mesh
+    from vrdd_tpu.parallel.sweep import (
+        distributed_hist_render, shard_hist_volume,
+    )
+
+    mesh = make_mesh(1, 1)
+    hs = shard_hist_volume(hist, mesh)
+
+    @jax.jit
+    def dist_fwdbwd(h, lut, o):
+        def loss(h, lut, i):
+            img = distributed_hist_render(
+                h, dw, o, lut, density=0.05 * (1.0 + 1e-6 * i),
+                width=W, height=W, mesh=mesh, wrt=("hist", "lut"),
+            )
+            return jnp.mean((img - 0.25) ** 2)
+
+        def it(i, acc):
+            l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(h, lut, i)
+            return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, 2, it, 0.0)
+
+    dt, _ = time_amortized(dist_fwdbwd, hs, tf, origin, iters=2)
+    out["hist512_dist_fwdbwd_ms"] = round(dt * 1e3, 2)
+    out["hist512_dist_fwdbwd_mrays"] = round(W * W / dt / 1e6, 2)
+    note(f"512^3x16 bf16 DISTRIBUTED in-kernel decode fwd+bwd 1024^2 "
+         f"(1-chip mesh): {dt*1e3:.1f} ms -> "
+         f"{out['hist512_dist_fwdbwd_mrays']:.1f} Mrays/s")
     return out
 
 

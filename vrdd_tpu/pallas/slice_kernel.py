@@ -568,13 +568,21 @@ def decode_with_rows(hist_bm, rows, mode):
     return rows[0, 0] * jnp.sum(-hf * jnp.log2(safe), axis=1)
 
 
-def _decode_block(planes_ref, dw_ref, dec_ref, pchunk, B, mode, bi):
+def _decode_block(planes_ref, dw_ref, dec_ref, pchunk, B, mode, bi,
+                  mom_out=None):
     """In-VMEM bins→scalar decode of one streamed histogram chunk.
 
     ``planes_ref`` is the (pchunk, B, NY, NX) bins-major block (block row
     ``bi(i)`` = front-to-back plane i), ``dw_ref`` the (n_w, B) SMEM weight
     rows from :func:`decode_weight_rows`, ``dec_ref`` the (pchunk, NY, NX)
     f32 scratch. Shared by the forward prologue and the backward's replay.
+
+    ``mom_out`` (var mode, backward replay only): a (pchunk, 2, NY, NX)
+    output ref receiving the two per-voxel chain moments ``[m, 2(mC0−C1)]``
+    in BLOCK-ROW (z-layer) order — the variance cotangent chain
+    ``d h_b = dw2[b] − 2m·dw1[b] + m²·dw3[b] + 2(mC0−C1)·dw0[b]`` then
+    needs no separate moment pass over the histogram stream (a stacked
+    einsum recomputing them cost a full 4.3 GB re-read at 512³×16).
 
     - 'linear': dec = Σ_b w0·h — B VPU FMAs/voxel.
     - 'var': four contractions (m, C1, C2, C0), dec = C2 − 2mC1 + m²C0.
@@ -611,6 +619,10 @@ def _decode_block(planes_ref, dw_ref, dec_ref, pchunk, B, mode, bi):
                 c2 = c2 + dw_ref[2, b] * h
                 c0 = c0 + dw_ref[3, b] * h
             dec_ref[i] = c2 - 2.0 * m * c1 + m * m * c0
+            if mom_out is not None:
+                dt = mom_out.dtype
+                mom_out[b0, 0] = m.astype(dt)
+                mom_out[b0, 1] = (2.0 * (m * c0 - c1)).astype(dt)
         else:
             plane = dw_ref[0, 0] * planes_ref[b0, 0]
             for b in range(1, B):

@@ -89,6 +89,8 @@ __all__ = [
     "pallas_slice_render_diff",
     "pallas_sweep_slope_space_diff",
     "sweep_preblended_planes_diff",
+    "sweep_preblended_hist_diff",
+    "pallas_hist_render_diff",
     "pallas_diff_supported",
 ]
 
@@ -156,10 +158,16 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         if decode_bins:
             dw_ref = rest[0]
             rest = rest[1:]
-        (g_ref, tck_ref, live_ref, dplanes_ref, small_ref, S_ref, cg_ref,
-         sg_ref, tmp_ref, dtmp_ref, tloc_ref, resloc_ref, caloc_ref) = \
-            rest[:13]
-        rest = rest[13:]
+        (g_ref, tck_ref, live_ref, dplanes_ref, small_ref, S_ref) = rest[:6]
+        rest = rest[6:]
+        if decode_mode == "var":
+            mom_ref = rest[0]  # (pchunk, 2, NY, NX) chain-moment output
+            rest = rest[1:]
+        else:
+            mom_ref = None
+        (cg_ref, sg_ref, tmp_ref, dtmp_ref, tloc_ref, resloc_ref,
+         caloc_ref) = rest[:7]
+        rest = rest[7:]
         dec_ref = rest[0] if decode_bins else None
         k = pl.program_id(0)      # reversed: chunk kk = n_chunks - 1 - k
         si = pl.program_id(1)
@@ -212,6 +220,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                     planes_ref, dw_ref, dec_ref, pchunk, decode_bins,
                     decode_mode,
                     lambda i: pchunk - 1 - i if reverse_planes else i,
+                    mom_out=mom_ref,
                 )
 
         @pl.when(chunk_live)
@@ -693,13 +702,26 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             vmem((1, STRIP, W), lambda k, s: (n_chunks - 1 - k, s, 0)),
             smem((n_strips, n_chunks), lambda k, s: (0, 0)),
         ]
-        d_planes, small, S_img = pl.pallas_call(
+        # var decode: the kernel's replay additionally emits the two chain
+        # moments [m, 2(mC0-C1)] per voxel (z-layer order, the histogram's
+        # storage dtype) so the cotangent chain never re-reads the
+        # histogram stream
+        mom_shape, mom_spec = (), ()
+        if decode_mode == "var":
+            mom_dtype = planes_all.dtype
+            mom_shape = (jax.ShapeDtypeStruct(
+                (n_planes, 2, NY, NX), mom_dtype),)
+            mom_spec = (vmem(
+                (pchunk, 2, NY, NX),
+                (lambda k, s: (k, 0, 0, 0)) if rev
+                else (lambda k, s: (n_chunks - 1 - k, 0, 0, 0))),)
+        d_planes, small, S_img, *mom = pl.pallas_call(
             bwd_kernel,
             out_shape=(
                 jax.ShapeDtypeStruct((n_planes, NY, NX), jnp.float32),
                 jax.ShapeDtypeStruct((1, 4 * n_lut + 3), jnp.float32),
                 jax.ShapeDtypeStruct((H, W), jnp.float32),
-            ),
+            ) + mom_shape,
             grid=(n_chunks, n_strips),
             in_specs=in_specs_bwd,
             out_specs=(
@@ -710,7 +732,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      else (lambda k, s: (n_chunks - 1 - k, 0, 0))),
                 smem((1, 4 * n_lut + 3), lambda k, s: (0, 0)),
                 vmem((H, W), lambda k, s: (0, 0)),
-            ),
+            ) + mom_spec,
             scratch_shapes=[
                 pltpu.VMEM((4 * n_lut, STRIP, W), jnp.float32),
                 pltpu.VMEM((3, STRIP, W), jnp.float32),
@@ -728,7 +750,8 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         g_density = small[0, 4 * n_lut + 0]
         g_toff = small[0, 4 * n_lut + 1]
         g_tscl = small[0, 4 * n_lut + 2]
-        return d_planes, g_lut, g_density, g_toff, g_tscl, S_img
+        return d_planes, g_lut, g_density, g_toff, g_tscl, S_img, \
+            (mom[0] if mom else None)
 
     if decode_bins:
         # histogram variant: planes_all is the bins-major (nz, B, NY, NX)
@@ -766,7 +789,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             params = _pack_params(origin, density, toff, tscl, slopes,
                                   spacing)
             coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
-            d_dec, g_lut, g_density, g_toff, g_tscl, _ = _bwd_call(
+            d_dec, g_lut, g_density, g_toff, g_tscl, S_img, mom = _bwd_call(
                 hist_bm, zs[None, :], params, coef_flat, tck, live_map, g,
                 dw
             )
@@ -787,22 +810,17 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 # dec = C2 - 2 m C1 + m^2 C0 (C_k = dw[k]·h, m = dw[0]·h):
                 # d h_b = dw2[b] - 2 m dw1[b] + m^2 dw3[b]
                 #         + 2 (m C0 - C1) dw0[b].
-                # ONE stacked einsum recomputes all three moment volumes in
-                # a single histogram-stream pass (three separate einsums
-                # each re-read the full histogram: measured 212 -> ~90 ms
-                # at 512^3 x 16); the quad chain then reads only the small
-                # moment volumes + d_dec and writes d_hist.
-                moments = jnp.einsum(
-                    "zbyx,rb->rzyx", hist_bm.astype(jnp.float32),
-                    jnp.stack([dw[0], dw[1], dw[3]]),
-                )
-                m, c1, c0 = moments[0], moments[1], moments[2]
+                # m and e = 2(mC0 - C1) come from the bwd kernel's own
+                # decode replay (mom output) — no moment pass ever re-reads
+                # the histogram stream (a stacked einsum doing so measured
+                # +~20 ms at 512^3 x 16; three separate einsums +110 ms).
+                m = mom[:, 0].astype(jnp.float32)
+                e = mom[:, 1].astype(jnp.float32)
                 quad = (
                     dw[2][None, :, None, None]
                     - 2.0 * m[:, None] * dw[1][None, :, None, None]
                     + (m * m)[:, None] * dw[3][None, :, None, None]
-                    + (2.0 * (m * c0 - c1))[:, None]
-                    * dw[0][None, :, None, None]
+                    + e[:, None] * dw[0][None, :, None, None]
                 )
                 d_hist = (d_dec_z[:, None] * quad).astype(hist_bm.dtype)
             else:  # entropy: d h_b = -s (log2 h_b + 1/ln2), 0 at h_b == 0
@@ -820,10 +838,24 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 if g_dw
                 else jnp.zeros_like(dw)
             )
+            if seed:
+                # seed cotangent as the scalar variant (see sweep_bwd):
+                # d seed_rgb = g_rgb, d seed_a = g_a - S / T_0 — the chain
+                # that backprops the distributed pass 2 into upstream
+                # bricks' prefixes, now through the in-kernel decode too
+                T0 = 1.0 - acc0[..., 3]
+                d_seed_a = g[..., 3] - jnp.where(
+                    jnp.abs(T0) > 1e-6, S_img / T0, 0.0
+                )
+                d_acc0 = jnp.concatenate(
+                    [g[..., :3], d_seed_a[..., None]], axis=-1
+                )
+            else:
+                d_acc0 = jnp.zeros_like(acc0)
             return (
                 d_hist, d_dw,
                 jnp.zeros_like(zs),
-                jnp.zeros_like(acc0),
+                d_acc0,
                 jnp.zeros((3,), dtype=jnp.float32),
                 jnp.zeros((4,), dtype=jnp.float32),
                 g_lut.astype(lut.dtype),
@@ -859,7 +891,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
          spacing, tck, live_map) = res
         params = _pack_params(origin, density, toff, tscl, slopes, spacing)
         coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
-        d_planes, g_lut, g_density, g_toff, g_tscl, S_img = _bwd_call(
+        d_planes, g_lut, g_density, g_toff, g_tscl, S_img, _ = _bwd_call(
             planes_all, zs[None, :], params, coef_flat, tck, live_map, g
         )
         if seed:
@@ -1082,6 +1114,88 @@ def sweep_preblended_planes_diff(
     )
     out = sweep(
         jnp.asarray(planes_all, jnp.float32),
+        jnp.asarray(zs, jnp.float32),
+        acc0,
+        jnp.asarray(origin, jnp.float32),
+        jnp.asarray(slopes, jnp.float32),
+        jnp.asarray(tf_lut, jnp.float32),
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+        jnp.asarray(plane_spacing, jnp.float32),
+    )
+    return out * jnp.asarray(brightness, dtype=jnp.float32)
+
+
+def sweep_preblended_hist_diff(
+    hist_bm,
+    weights,
+    zs,
+    origin,
+    slopes,
+    tf_lut,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    dz_sign=-1,
+    width,
+    height,
+    march: MarchConfig = MarchConfig(),
+    length_correction=True,
+    precision="f32",
+    plane_chunk=4,
+    wrt: tuple = ("hist", "lut", "params"),
+    stat: str = "linear",
+    acc_init=None,
+    plane_spacing=None,
+    reverse_planes=True,
+):
+    """``sweep_preblended_planes_diff`` for a bins-major HISTOGRAM slab.
+
+    ``hist_bm (P, B, NY, NX)`` is a z-layer shard of the distribution
+    volume (pure-selection schedule: the P layers ARE the slab's planes,
+    streamed back-to-front by the kernel's index maps when
+    ``reverse_planes``); the per-voxel statistic decodes in the kernel
+    prologue (slice_kernel.py ``_decode_block``: stat =
+    'linear'/'var'/'entropy', weight rows from ``decode_weight_rows``).
+    Everything else — plane depths, seed, spacing, slope grid — is traced
+    data, so ONE compile serves every brick's shard inside shard_map, and
+    the seeded pass-2 exact early termination backprops into upstream
+    bricks through the seed cotangent, exactly like the scalar sweep.
+    This is the distributed form of the reference's in-march decode
+    (volumeRender_kernel.cu:354-480) — a capability the reference's
+    single-GPU design never had.
+    """
+    n_planes, B, ny, nx = hist_bm.shape
+    weights = jnp.asarray(weights, jnp.float32)
+    if weights.ndim == 1:
+        weights = weights[None, :]
+    n_w = {"linear": 1, "var": 4, "entropy": 1}[stat]
+    assert weights.shape == (n_w, B), (weights.shape, stat, B)
+    kw = tuple(("volume" if w == "hist" else w) for w in wrt)
+    kw = tuple(w for w in ("volume", "weights", "lut", "params") if w in kw)
+    pbytes = jnp.dtype(hist_bm.dtype).itemsize
+    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx, width,
+                              bins=B, plane_bytes=pbytes)
+    if plane_spacing is None:
+        plane_spacing = (march.box_max[2] - march.box_min[2]) / n_planes
+    seed = acc_init is not None
+    sweep = _make_diff_sweep(
+        height, width, ny, nx, n_planes, int(tf_lut.shape[0]), int(dz_sign),
+        march.box_min, march.box_max, march.tstep, march.opacity_threshold,
+        length_correction, precision, pchunk,
+        wrt=kw, seed=seed, decode_bins=B, plane_bytes=pbytes,
+        reverse_planes=reverse_planes, decode_mode=stat,
+    )
+    acc0 = (
+        jnp.asarray(acc_init, jnp.float32) if seed
+        else jnp.zeros((height, width, 4), jnp.float32)
+    )
+    out = sweep(
+        jnp.asarray(hist_bm),  # storage dtype preserved (bf16 streams 2x)
+        weights,
         jnp.asarray(zs, jnp.float32),
         acc0,
         jnp.asarray(origin, jnp.float32),

@@ -49,7 +49,10 @@ from vrdd_tpu.pallas.slice_kernel import (
     STRIP,
     pallas_supported,
 )
-from vrdd_tpu.pallas.slice_vjp import sweep_preblended_planes_diff
+from vrdd_tpu.pallas.slice_vjp import (
+    sweep_preblended_hist_diff,
+    sweep_preblended_planes_diff,
+)
 from vrdd_tpu.parallel.bricks import _halo_exchange
 from vrdd_tpu.parallel.mesh import BRICK_AXIS, RAY_AXIS
 from vrdd_tpu.utils.config import MarchConfig
@@ -59,6 +62,16 @@ def shard_scalar_volume(volume, mesh: Mesh):
     """Place a (Z, Y, X) scalar volume sharded over Z on the bricks axis."""
     return jax.device_put(
         volume, NamedSharding(mesh, P(BRICK_AXIS, None, None))
+    )
+
+
+def shard_hist_volume(hist_bm, mesh: Mesh):
+    """Place a bins-major (Z, B, Y, X) DISTRIBUTION volume z-slab-sharded
+    on the bricks axis (the layout :func:`distributed_hist_render`
+    consumes — each brick streams its own histogram slab straight into the
+    in-kernel decode)."""
+    return jax.device_put(
+        hist_bm, NamedSharding(mesh, P(BRICK_AXIS, None, None, None))
     )
 
 
@@ -589,6 +602,206 @@ def distributed_sweep_render(
         length_correction=length_correction, plane_chunk=plane_chunk,
         backend=backend, wrt=wrt, tex_offset=tex_offset,
         axis_scale=axis_scale, volume_mode=volume_mode,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "march", "mesh", "length_correction",
+        "plane_chunk", "wrt", "stat", "focal",
+    ),
+)
+def _hist_sweep_call(
+    hist_bm: jnp.ndarray,
+    weights: jnp.ndarray,
+    origin: jnp.ndarray,
+    tf_lut: jnp.ndarray,
+    density,
+    brightness,
+    transfer_offset,
+    transfer_scale,
+    *,
+    width: int,
+    height: int,
+    march: MarchConfig,
+    mesh: Mesh,
+    length_correction: bool,
+    plane_chunk: int,
+    wrt: tuple,
+    stat: str,
+    focal: float,
+) -> jnp.ndarray:
+    nz, B, ny, nx = hist_bm.shape
+    n_planes = nz  # pure-selection schedule: layers ARE planes
+    nb = mesh.shape[BRICK_AXIS]
+    nr = mesh.shape[RAY_AXIS]
+    assert nz % nb == 0, f"Z={nz} must divide over {nb} bricks"
+    assert height % nr == 0, f"H={height} must divide over {nr} ray shards"
+    hl = height // nr
+    assert width % 128 == 0 and hl % STRIP == 0, (
+        f"the fused hist kernel tiles width % 128 and (height/rays) % "
+        f"{STRIP}; got width={width}, height/rays={hl}"
+    )
+    (xlo, ylo, zlo) = march.box_min
+    (xhi, yhi, zhi) = march.box_max
+    thr = march.opacity_threshold
+    spacing = (zhi - zlo) / n_planes
+    zs_global = (
+        zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)
+    ).astype(np.float32)
+    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0)
+    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0)
+    mx = (u / (-focal)).astype(np.float32)
+    my_host = (v / (-focal)).astype(np.float32)
+
+    def per_device(
+        hist_local, zs_local, my_local,
+        origin, weights, tf_lut, density, brightness, toff, tscl,
+    ):
+        d = jax.lax.axis_index(BRICK_AXIS)
+        zs_ftb = jnp.flip(zs_local, axis=0)  # front-to-back for dz < 0
+        dmy_l = my_local[1] - my_local[0] if hl > 1 else jnp.float32(0.0)
+        slopes = jnp.stack([
+            jnp.float32(mx[0]),
+            jnp.float32(mx[1] - mx[0]) if width > 1 else jnp.float32(0.0),
+            my_local[0],
+            dmy_l,
+        ])
+        sweep = lambda seed: sweep_preblended_hist_diff(
+            hist_local, weights, zs_ftb, origin, slopes, tf_lut, density,
+            1.0, toff, tscl, dz_sign=-1, width=width, height=hl,
+            march=march, length_correction=length_correction,
+            plane_chunk=plane_chunk, plane_spacing=spacing, wrt=wrt,
+            stat=stat, acc_init=seed, reverse_planes=True,
+        )
+        # pass 1: slab partials with the kernel's own cutoff (exact
+        # first-crossing detection — see _sweep_slope_space_call's
+        # pass-1 truncation argument, which is representation-agnostic)
+        partial = sweep(None)
+        if nb == 1:
+            return partial * brightness
+
+        parts = jax.lax.all_gather(partial, BRICK_AXIS, axis=0)
+        ordered = jnp.flip(parts, axis=0)  # dz < 0: nearest slab last index
+        acc0 = jnp.zeros_like(partial)
+
+        def fold(acc, part):
+            return _over(acc, part), acc
+
+        final_nc, prefixes = jax.lax.scan(fold, acc0, ordered)
+        after_alpha = jnp.concatenate(
+            [prefixes[1:, ..., 3], final_nc[None, ..., 3]], axis=0
+        )
+        crossed = after_alpha > thr
+        saturating = jnp.any(crossed, axis=0)
+        j_star = jnp.argmax(crossed, axis=0)
+        prefix_at = jnp.take_along_axis(
+            prefixes, j_star[None, ..., None], axis=0
+        )[0]
+
+        # pass 2: re-sweep only the crossing slab, seeded with the true
+        # upstream prefix; everything else freezes instantly (alpha 2)
+        my_pos = nb - 1 - d  # ordered device index under dz < 0
+        flag = saturating & (j_star == my_pos)
+        frozen = jnp.concatenate(
+            [jnp.zeros((hl, width, 3), jnp.float32),
+             jnp.full((hl, width, 1), 2.0, jnp.float32)], axis=-1,
+        )
+        seed_img = jnp.where(flag[..., None], prefix_at, frozen)
+        out2 = sweep(seed_img)
+        exact = jax.lax.psum(
+            jnp.where(flag[..., None], out2, 0.0), BRICK_AXIS
+        )
+        rgba = jnp.where(saturating[..., None], exact, final_nc)
+        return rgba * brightness
+
+    return jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(
+            P(BRICK_AXIS, None, None, None),
+            P(BRICK_AXIS),
+            P(RAY_AXIS),
+            P(None), P(None, None), P(None, None), P(), P(), P(), P(),
+        ),
+        out_specs=P(RAY_AXIS, None, None),
+        check_vma=False,
+    )(
+        hist_bm,
+        jnp.asarray(zs_global),
+        jnp.asarray(my_host),
+        origin,
+        weights,
+        tf_lut,
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(brightness, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+    )
+
+
+def distributed_hist_render(
+    hist_bm: jnp.ndarray,
+    weights: jnp.ndarray,
+    origin: jnp.ndarray,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    width: int,
+    height: int,
+    march: MarchConfig = MarchConfig(),
+    mesh: Mesh,
+    focal: float = 2.0,
+    length_correction: bool = True,
+    plane_chunk: int = 4,
+    wrt: tuple = ("hist", "lut", "params"),
+    stat: str = "linear",
+) -> jnp.ndarray:
+    """DISTRIBUTION-NATIVE distributed render: the bins-major histogram
+    volume ``(Z, B, Y, X)`` z-slab-sharded over bricks (use
+    :func:`shard_hist_volume`), image rows over rays, per-voxel statistic
+    decoded INSIDE each brick's fused sweep kernel — the decoded scalar
+    volume never exists anywhere, on any chip, in either direction.
+
+    Composition of two capabilities the reference never had together (or
+    separately): the in-kernel decode (its query-7 in-march decode,
+    volumeRender_kernel.cu:354-480, generalized to every statistic —
+    'linear'/'var'/'entropy' with rows from ``decode_weight_rows``) and
+    the sort-last bricks × rays sharding with seeded-pass-2 EXACT early
+    termination. Differentiable end-to-end: histogram cotangents come back
+    per-slab through the kernel's replay chain, the pass-2 seed cotangent
+    backprops into upstream bricks, LUT/param grads psum over the mesh.
+
+    Constraints: pure-selection schedule (n_planes == Z), unrotated -z
+    camera, Z % bricks == 0, width % 128 == 0, (height/rays) % STRIP == 0,
+    fused-kernel VMEM budgets (hist_render_supported at the per-device
+    image shard). Pallas-only — run under the Mosaic interpreter on CPU.
+    """
+    weights = jnp.asarray(weights, jnp.float32)
+    if weights.ndim == 1:
+        weights = weights[None, :]
+    return _hist_sweep_call(
+        hist_bm,
+        weights,
+        jnp.asarray(origin, jnp.float32),
+        jnp.asarray(tf_lut, jnp.float32),
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(brightness, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+        width=int(width),
+        height=int(height),
+        march=march,
+        mesh=mesh,
+        length_correction=length_correction,
+        plane_chunk=int(plane_chunk),
+        wrt=tuple(wrt),
+        stat=str(stat),
+        focal=float(focal),
     )
 
 
