@@ -156,6 +156,25 @@ def test_fit_hist_cli(tmp_path):
     assert float(out["loss"]) < 0.05
 
 
+def test_fit_hist_cli_entropy_stat(tmp_path):
+    """Inverting through a NONLINEAR observed statistic: the loss must
+    decrease through the entropy decode's jacobian chain."""
+    from vrdd_tpu.cli import main
+    from vrdd_tpu.io.checkpoint import load_checkpoint
+
+    ck = str(tmp_path / "hist_ent.npz")
+    rc = main([
+        "fit-hist", "--size", "8", "--image", "24", "--bins", "8",
+        "--iters", "130", "--lr", "0.1", "--stat", "entropy",
+        "--checkpoint", ck,
+    ])
+    assert rc == 0
+    out = load_checkpoint(ck)
+    import numpy as np
+    np.testing.assert_allclose(out["hist"].sum(axis=1), 1.0, atol=1e-5)
+    assert float(out["loss"]) < 0.05
+
+
 def test_render_hist_cli(tmp_path):
     """File -> bins-major load -> decode -> render -> PPM end to end."""
     import numpy as np

@@ -435,13 +435,16 @@ def cmd_fit_voxels(args) -> int:
 
 def cmd_fit_hist(args) -> int:
     """BASELINE config 4 end-to-end: recover a per-voxel HISTOGRAM volume
-    from renders of its mean statistic, differentiating straight through
+    from renders of a decoded statistic, differentiating straight through
     the IN-KERNEL decode (pallas_hist_render_diff) — the sweep consumes
     the bins-major histogram volume from HBM, the decode happens in VMEM,
     and the histogram cotangents come back from the same fused kernel
-    pair. Histograms are softmax-parameterized so they stay on the simplex
-    (the reference's sum == 1 invariant, volumeRender.cpp:583-597). Falls
-    back to decode-then-render off-TPU so the command runs anywhere."""
+    pair. ``--stat`` selects the observed statistic: 'mean' (linear),
+    'var' or 'entropy' (nonlinear combines — the inverse problem runs
+    through the decode jacobian chain). Histograms are
+    softmax-parameterized so they stay on the simplex (the reference's
+    sum == 1 invariant, volumeRender.cpp:583-597). Falls back to
+    decode-then-render off-TPU so the command runs anywhere."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -450,7 +453,11 @@ def cmd_fit_hist(args) -> int:
     from vrdd_tpu.io.checkpoint import save_checkpoint
     from vrdd_tpu.io.synthetic import gaussian_blob_volume
     from vrdd_tpu.march.slice import slice_render_image
-    from vrdd_tpu.pallas.slice_kernel import hist_render_supported
+    from vrdd_tpu.pallas.slice_kernel import (
+        decode_weight_rows,
+        decode_with_rows,
+        hist_render_supported,
+    )
     from vrdd_tpu.pallas.slice_vjp import pallas_hist_render_diff
 
     n, W, B = args.size, args.image, args.bins
@@ -458,10 +465,19 @@ def cmd_fit_hist(args) -> int:
     lut = jnp.asarray(grayscale_ramp(9))
     origin = jnp.asarray([0.0, 0.0, 4.0])
     dw = jnp.asarray((np.arange(B) + 0.5) / B, jnp.float32)
+    stat = getattr(args, "stat", "mean")
+    rows, mode = decode_weight_rows(stat, B, family="unit")
+    rows = jnp.asarray(rows)
+    # window the TF so each statistic's range lands mid-ramp with live
+    # gradients: unit-family variance of a near-unimodal histogram is
+    # small, and entropy sits near 1.0 where an unwindowed ramp clips at
+    # the top knot (clipped q has zero TF gradient — nothing would fit)
+    toff, tscl = {"mean": (0.0, 1.0), "var": (0.0, 12.0),
+                  "entropy": (0.55, 2.0)}[stat]
     use_kernel = jax.default_backend() == "tpu" and hist_render_supported(
         (n, B, n, n), W, H, n_lut=9
     )
-    print(f"fit-hist decode path: "
+    print(f"fit-hist decode path ({stat}): "
           f"{'in-kernel (fused)' if use_kernel else 'materialized (xla)'}")
 
     # ground truth: smooth logits -> simplex histograms, bins-major
@@ -473,11 +489,14 @@ def cmd_fit_hist(args) -> int:
     def render_mean(hist_bm):
         if use_kernel:
             return pallas_hist_render_diff(
-                hist_bm, dw, origin, lut, width=W, height=H,
-                wrt=("hist",),
+                hist_bm, rows, origin, lut, width=W, height=H,
+                transfer_offset=toff, transfer_scale=tscl,
+                wrt=("hist",), stat=mode,
             )
-        vol = jnp.einsum("zbyx,b->zyx", hist_bm, dw)
-        return slice_render_image(vol, origin, W, H, lut, n_planes=n)
+        vol = decode_with_rows(hist_bm, rows, mode)
+        return slice_render_image(vol, origin, W, H, lut,
+                                  transfer_offset=toff,
+                                  transfer_scale=tscl, n_planes=n)
 
     def to_hist(logits):  # (B, Z, Y, X) simplex over bins, z-major layout
         return jnp.transpose(jax.nn.softmax(logits, axis=0), (1, 0, 2, 3))
@@ -491,7 +510,12 @@ def cmd_fit_hist(args) -> int:
         return jnp.mean((img - target) ** 2)
 
     optimizer = optax.adam(args.lr)
-    params = jnp.zeros((B, n, n, n), jnp.float32)
+    # small random init, NOT zeros: the uniform histogram is an exact
+    # saddle of the entropy statistic (its gradient is constant across
+    # bins, which the softmax jacobian annihilates)
+    params = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(args.seed + 1), (B, n, n, n), jnp.float32
+    )
     opt_state = optimizer.init(params)
 
     @jax.jit
@@ -701,6 +725,9 @@ def main(argv=None) -> int:
     ph.add_argument("--iters", type=int, default=50)
     ph.add_argument("--lr", type=float, default=0.05)
     ph.add_argument("--seed", type=int, default=0)
+    ph.add_argument("--stat", default="mean",
+                    choices=["mean", "var", "entropy"],
+                    help="observed statistic to invert through")
     ph.add_argument("--checkpoint", default="fit_hist.npz")
     ph.set_defaults(fn=cmd_fit_hist)
 
