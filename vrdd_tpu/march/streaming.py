@@ -28,6 +28,15 @@ Backends: 'pallas' (the fused TPU kernel via sweep_preblended_planes_diff),
 'xla' (march/slice.py sweep_preblended_planes_xla), 'auto' (pallas on TPU
 when supported). Both are differentiable; results match the
 decode-everything-then-render path to float tolerance (tests).
+
+Scope note: for HISTOGRAM volumes with the standard statistics, the
+in-kernel decode (pallas/slice_kernel.py pallas_hist_render and its
+diff/distributed twins) supersedes this path — mean, variance, AND
+entropy all decode in the kernel prologue at ~2x this path's
+throughput. This chunked chain remains the general route: arbitrary
+user decode functions (Gaussian parameterizations, learned decoders)
+and volumes whose decoded form exceeds HBM (the 1024^3 fwd+bwd
+datapoint), where remat'd chunking is the only differentiable option.
 """
 
 from __future__ import annotations
