@@ -856,8 +856,20 @@ def _make_kernel(
             # decode the chunk's planes ONCE (at the first strip) into VMEM
             # scratch; every strip's y-resample reads the decoded planes.
             # The bins contraction / nonlinear combine (_decode_block) runs
-            # on the VPU and the scalar plane never touches HBM.
-            @pl.when(stage_x_when)
+            # on the VPU and the scalar plane never touches HBM. Gated on
+            # ANY strip still live: once early termination froze the whole
+            # image, later chunks skip their decode entirely (the decode is
+            # the one per-chunk cost large enough to pay the n_strips SMEM
+            # flag reads that stage_x deliberately avoids).
+            if seed:
+                decode_when = stage_x_when
+            else:
+                dec_live = flag_ref[0] == 0
+                for s in range(1, n_strips):
+                    dec_live = jnp.logical_or(dec_live, flag_ref[s] == 0)
+                decode_when = jnp.logical_and(si == 0, dec_live)
+
+            @pl.when(decode_when)
             def _stage_decode():
                 _decode_block(planes_ref, dw_ref, dec_ref, pchunk,
                               decode_bins, decode_mode, _bi)
@@ -1516,7 +1528,12 @@ def pallas_hist_render(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 112 MB, not the scalar path's 100: SMALL bin counts (B <= 8)
+            # leave room for a larger plane chunk whose histogram block
+            # Mosaic then double-buffers — measured 103.5 MB scoped vmem
+            # at B=4, 512^3 -> 1024^2, pchunk 8 (B=16's 33.6 MB block is
+            # single-buffered and peaks lower)
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
     )(params, zs_in, coef_flat, jnp.asarray(hist_bm), dw)
     return jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(height, width, 4)

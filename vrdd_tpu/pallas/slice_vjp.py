@@ -213,8 +213,17 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         if decode_bins:
             # decode the chunk's histogram layers ONCE into VMEM scratch
             # (strip-invariant; mirrors the forward's _stage_decode). Block
-            # row pchunk-1-i = front-to-back plane i of this chunk.
-            @pl.when(si == 0)
+            # row pchunk-1-i = front-to-back plane i of this chunk. Gated
+            # on any strip having processed this chunk in the forward:
+            # fully skipped chunks have identically-zero d_dec, so their
+            # decode is dead work (the var-mode moment output is zeroed
+            # instead of decoded — d_hist = 0 * moment must not multiply
+            # garbage buffer contents, which could be Inf/NaN patterns).
+            any_live_k = live_ref[0, kk] != 0
+            for s in range(1, n_strips):
+                any_live_k = jnp.logical_or(any_live_k, live_ref[s, kk] != 0)
+
+            @pl.when(jnp.logical_and(si == 0, any_live_k))
             def _stage_decode():
                 _decode_block(
                     planes_ref, dw_ref, dec_ref, pchunk, decode_bins,
@@ -222,6 +231,14 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                     lambda i: pchunk - 1 - i if reverse_planes else i,
                     mom_out=mom_ref,
                 )
+
+            if mom_ref is not None:
+                @pl.when(jnp.logical_and(si == 0,
+                                         jnp.logical_not(any_live_k)))
+                def _zero_mom():
+                    mom_ref[...] = jnp.zeros(
+                        (pchunk, 2, NY, NX), dtype=mom_ref.dtype
+                    )
 
         @pl.when(chunk_live)
         def _stage_y():
