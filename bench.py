@@ -686,6 +686,46 @@ def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
     note(f"512^3x16 bf16 DISTRIBUTED in-kernel decode fwd+bwd 1024^2 "
          f"(1-chip mesh): {dt*1e3:.1f} ms -> "
          f"{out['hist512_dist_fwdbwd_mrays']:.1f} Mrays/s")
+
+    # ROTATED distribution-native under sharding (the last composition
+    # cell): the bins-major volume's spatial axes permute with the view's
+    # principal axis, the slab shard follows, the decode stays in-kernel.
+    # The y-principal view pays the honest per-octant cost (a 4.3 GB
+    # axis transpose + re-shard — amortized across every view in the same
+    # octant in interactive use); the z-principal view shows the
+    # amortized-octant cost (identity permute)
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    from vrdd_tpu.parallel.sweep import distributed_shearwarp_hist_render
+
+    for tag, (rx, ry) in (("zrot", (20.0, 30.0)), ("yrot", (80.0, 10.0))):
+        iv = np.asarray(
+            inv_view_from_rotation_translation(rx, ry, (0.0, 0.0, -4.0)),
+            dtype=np.float32,
+        )
+
+        def rot_fwd(h, lut, i, iv=iv):
+            # oversample 1.0: the fused hist kernel keeps its whole
+            # accumulator VMEM-resident (no row banding), so a 2x
+            # oversampled m-grid at 1024^2 would outgrow the budget; the
+            # 1x m-grid matches the output ray count (the scalar plain
+            # forward bands instead — slice_kernel.py _max_band_rows)
+            img = distributed_shearwarp_hist_render(
+                h, dw, iv, W, W, lut, density=0.05 * (1.0 + 1e-6 * float(i)),
+                mesh=mesh, oversample=1.0,
+            )
+            return jnp.sum(img)
+
+        # the permute/re-shard amortizes through the octant cache
+        # (parallel/sweep.py _OCTANT_CACHE); scalar readback per iteration
+        # forces a real sync like time_amortized
+        r = float(rot_fwd(hist, tf, 0))
+        t0 = time.perf_counter()
+        for i in range(1, 3):
+            r = float(rot_fwd(hist, tf, i))
+        dt = (time.perf_counter() - t0) / 2
+        out[f"hist512_{tag}_fwd_ms"] = round(dt * 1e3, 2)
+        note(f"512^3x16 bf16 ROTATED ({tag}) distribution-native fwd "
+             f"{W}^2 (1-chip mesh, octant-cached permute): {dt*1e3:.1f} ms")
     return out
 
 

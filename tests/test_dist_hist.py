@@ -121,3 +121,97 @@ def test_distributed_hist_var_stat():
         ))
     assert np.abs(ref).max() > 1e-3, "vacuous comparison: image is black"
     np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_distributed_shearwarp_hist_matches_scalar_dist():
+    """ROTATED distribution-native rendering under sharding: the bins-major
+    volume's spatial axes permute with the principal axis, the slab shard
+    follows, and the in-kernel decode rides the m-grid sweep. Anchored
+    tightly against the rotated SCALAR distributed path on a materialized
+    decode (identical m-grid construction and warp — only the decode moves
+    into the kernel), and loosely against the single-device xla shear-warp
+    (different m-grid resolution → warp-filter-level agreement only, like
+    tests/test_shearwarp.py's pallas-vs-xla bound; the random histogram
+    volume decodes to broadband noise, the worst case for resampling)."""
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    from vrdd_tpu.march.shearwarp import (
+        shearwarp_geometry,
+        shearwarp_render_image,
+    )
+    from vrdd_tpu.parallel.sweep import (
+        distributed_shearwarp_hist_render,
+        distributed_shearwarp_render,
+    )
+
+    hist, w = _hist(seed=17)
+    dec = jnp.einsum("zbyx,b->zyx", hist, w)
+    mesh = _mesh2()
+    signs = set()
+    for rx, ry in ((20.0, 30.0), (80.0, 10.0), (160.0, 0.0)):
+        iv = inv_view_from_rotation_translation(rx, ry, (0.0, 0.0, -4.0))
+        axis, _, _, dz_sign, ok = shearwarp_geometry(iv, 32, 32)
+        assert ok
+        signs.add(dz_sign)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(distributed_shearwarp_hist_render(
+                hist, w, iv, 32, 32, TF, mesh=mesh, density=0.6,
+            ))
+            ref = np.asarray(distributed_shearwarp_render(
+                dec, iv, 32, 32, TF, density=0.6, mesh=mesh,
+                n_planes=hist.shape[0], backend="pallas", plane_chunk=4,
+            ))
+        np.testing.assert_allclose(got, ref, atol=5e-5, rtol=1e-4,
+                                   err_msg=f"view rx={rx} ry={ry}")
+        ref_x = np.asarray(shearwarp_render_image(
+            dec, iv, 32, 32, TF, density=0.6, n_planes=hist.shape[0],
+            backend="xla",
+        ))
+        diff = np.abs(got - ref_x)
+        assert np.quantile(diff, 0.9) < 5e-2, (rx, ry, np.quantile(diff, 0.9))
+    assert len(signs) == 2, "test views must cover both sweep directions"
+
+
+def test_distributed_shearwarp_hist_gradients():
+    """Histogram + LUT cotangents through the rotated sharded path: the
+    axis permutation, re-shard, per-slab replay chains, seed cotangent,
+    and warp transpose must compose to the materialized single-device
+    gradient."""
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    from vrdd_tpu.parallel.sweep import (
+        distributed_shearwarp_hist_render,
+        distributed_shearwarp_render,
+    )
+
+    hist, w = _hist(nz=8, B=4, seed=19)
+    mesh = _mesh2()
+    iv = inv_view_from_rotation_translation(70.0, 15.0, (0.0, 0.0, -4.0))
+
+    def loss_d(h, lut):
+        img = distributed_shearwarp_hist_render(
+            h, w, iv, 16, 16, lut, mesh=mesh, density=0.6,
+            wrt=("hist", "lut"),
+        )
+        return jnp.sum(img ** 2)
+
+    def loss_s(h, lut):
+        # materialized decode chained OUTSIDE the scalar distributed path
+        # (same m-grid/warp as the hist path — only the decode moves)
+        dec = jnp.einsum("zbyx,b->zyx", h, w)
+        img = distributed_shearwarp_render(
+            dec, iv, 16, 16, lut, density=0.6, mesh=mesh,
+            n_planes=h.shape[0], backend="pallas", plane_chunk=4,
+            wrt=("volume", "lut"),
+        )
+        return jnp.sum(img ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gh, gl = jax.grad(loss_d, argnums=(0, 1))(hist, TF)
+        gh_s, gl_s = jax.grad(loss_s, argnums=(0, 1))(hist, TF)
+    gh, gl = np.asarray(gh), np.asarray(gl)
+
+    def mre(a, b):
+        s = float(jnp.max(jnp.abs(b))) or 1.0
+        return float(np.max(np.abs(a - np.asarray(b)))) / s
+
+    assert mre(gh, gh_s) < 5e-4, "histogram cotangent (rotated, sharded)"
+    assert mre(gl, gl_s) < 5e-4, "LUT cotangent (rotated, sharded)"

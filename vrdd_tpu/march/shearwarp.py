@@ -155,6 +155,75 @@ def _bilinear_warp_2d_traced(
     )
 
 
+#: jitted traced warp for callers whose m-sweep runs OUTSIDE their own jit
+#: (the distributed shear-warp paths): ONE executable per image shape with
+#: the index maps as device data — the eager host-index `_bilinear_warp_2d`
+#: measured ~670 ms/frame at 1024² over a tunneled chip (per-op dispatch +
+#: 4 × 4 MB index constants re-uploaded per gather); this is ~RTT + one
+#: gather. Same f32 arithmetic, bitwise-equal output.
+bilinear_warp_2d_jit = jax.jit(_bilinear_warp_2d_traced)
+
+
+def slope_corner_bounds(
+    inv_view: np.ndarray, width: int, height: int, focal: float = 2.0
+):
+    """O(1) host geometry for the distributed rotated paths:
+    ``(axis, (px, py, pz), dz_sign, ok, (mx_lo, mx_hi, my_lo, my_hi))``.
+
+    The slopes ``mx(u, v) = d_px / d_pz`` are linear-fractional in the pixel
+    coords (both components affine, ``d_pz`` of constant sign whenever
+    ``ok``); restricted to an axis-parallel edge of the pixel rectangle the
+    derivative's numerator is constant, so each edge is monotone and the
+    extremes over the rectangle sit at its 4 CORNERS. These are exactly the
+    m-grid bounds :func:`shearwarp_geometry` reads off the full (H, W)
+    grid for Θ(H·W) host work — measured 55 ms/frame at 1024², the
+    dominant per-frame cost of the distributed rotated entry points (the
+    per-pixel warp maps they also used to consume are built on device by
+    :func:`warp_from_rotation` instead)."""
+    inv_view = np.asarray(inv_view, dtype=np.float32)
+    axis, (px, py, pz), dz_sign, ok = _principal_axis_geometry(
+        inv_view, width, height, focal
+    )
+    rot = inv_view[:, :3]
+    u_ext = np.array([-1.0, 1.0 - 2.0 / width], dtype=np.float32)
+    v_ext = np.array([-1.0, 1.0 - 2.0 / height], dtype=np.float32)
+    uu, vv = np.meshgrid(u_ext, v_ext)
+    d = np.stack([uu, vv, -focal * np.ones_like(uu)], axis=-1) @ rot.T
+    mx = d[..., px] / d[..., pz]
+    my = d[..., py] / d[..., pz]
+    return axis, (px, py, pz), dz_sign, ok, (
+        float(mx.min()), float(mx.max()), float(my.min()), float(my.max())
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "focal", "perm_world")
+)
+def warp_from_rotation(
+    img_m, rot, mgrid, *, width, height, focal, perm_world
+):
+    """Homography warp m-space → pixels with the per-pixel index maps built
+    ON DEVICE from the 3×3 rotation — 13 traced floats cross the link per
+    frame instead of two (H, W) host index maps (16 MB/frame at 1024²
+    eagerly re-uploaded; the `_pallas_frame` lesson applied to the
+    distributed rotated paths, cf. volumeRender.cpp:225-232's
+    copyInvViewMatrix-only upload). ``mgrid = [mx0, dmx, my0, dmy]`` are
+    the m-grid's origin/spacing (traced); ``perm_world = (px, py, pz)``."""
+    px, py, pz = perm_world
+    u = ((jnp.arange(width, dtype=jnp.float32) / width) * 2.0 - 1.0)[None, :]
+    v = ((jnp.arange(height, dtype=jnp.float32) / height) * 2.0 - 1.0)[:, None]
+
+    def d_world(i):
+        return u * rot[i, 0] + v * rot[i, 1] - focal * rot[i, 2]
+
+    dzc = d_world(pz)
+    mx_all = d_world(px) / dzc
+    my_all = d_world(py) / dzc
+    return _bilinear_warp_2d_traced(
+        img_m, (mx_all - mgrid[0]) / mgrid[1], (my_all - mgrid[2]) / mgrid[3]
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

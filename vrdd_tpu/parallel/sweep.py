@@ -152,6 +152,33 @@ def _over(acc, part):
     return acc + part * (1.0 - acc[..., 3:4])
 
 
+#: one-entry octant cache for the rotated paths' permuted+re-sharded volume:
+#: [(source_array, perm, mesh, spec, permuted)]. Rotating within a
+#: principal-axis octant then really moves no volume data (the docstring
+#: contract) — without this, every frame re-dispatched the transpose +
+#: device_put eagerly (measured ~400 ms/frame for a 4.3 GB bins-major
+#: histogram volume on the tunneled v5e). One entry bounds device memory:
+#: the cache holds ONE permuted copy (plus a reference to its source so the
+#: identity key can never be reused by a freed array).
+_OCTANT_CACHE: list = []
+
+
+def _permuted_sharded(src, perm, mesh, spec):
+    """Transpose ``src`` by ``perm`` and place it as ``spec`` on ``mesh``,
+    memoized per (source identity, perm, mesh). Tracers bypass the cache so
+    the transpose stays inside the autodiff graph (its transpose is the
+    gradient's inverse permutation)."""
+    if isinstance(src, jax.core.Tracer):
+        return jax.device_put(jnp.transpose(src, perm), NamedSharding(mesh, spec))
+    for s, p, m, sp, out in _OCTANT_CACHE:
+        if s is src and p == perm and m == mesh and sp == spec:
+            return out
+    out = jax.device_put(jnp.transpose(src, perm), NamedSharding(mesh, spec))
+    _OCTANT_CACHE.clear()
+    _OCTANT_CACHE.append((src, perm, mesh, spec, out))
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -608,11 +635,11 @@ def distributed_sweep_render(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "march", "mesh", "length_correction",
-        "plane_chunk", "wrt", "stat", "focal",
+        "mx_bytes", "my_bytes", "march", "mesh", "dz_sign",
+        "length_correction", "plane_chunk", "wrt", "stat",
     ),
 )
-def _hist_sweep_call(
+def _hist_sweep_slope_space_call(
     hist_bm: jnp.ndarray,
     weights: jnp.ndarray,
     origin: jnp.ndarray,
@@ -622,16 +649,26 @@ def _hist_sweep_call(
     transfer_offset,
     transfer_scale,
     *,
-    width: int,
-    height: int,
+    mx_bytes: bytes,
+    my_bytes: bytes,
     march: MarchConfig,
     mesh: Mesh,
+    dz_sign: int,
     length_correction: bool,
     plane_chunk: int,
     wrt: tuple,
     stat: str,
-    focal: float,
 ) -> jnp.ndarray:
+    """Distribution-native distributed sweep over an arbitrary uniform slope
+    grid (core of :func:`distributed_hist_render` and
+    :func:`distributed_shearwarp_hist_render`). The grid arrives as raw
+    float32 bytes keying the jit cache; ``dz_sign`` flips the front-to-back
+    plane order, the kernel's block walk (``reverse_planes``), and the
+    sort-last compositing order — exactly like the scalar
+    :func:`_sweep_slope_space_call`."""
+    mx = np.frombuffer(mx_bytes, dtype=np.float32)
+    my_host = np.frombuffer(my_bytes, dtype=np.float32)
+    width, height = mx.shape[0], my_host.shape[0]
     nz, B, ny, nx = hist_bm.shape
     n_planes = nz  # pure-selection schedule: layers ARE planes
     nb = mesh.shape[BRICK_AXIS]
@@ -650,17 +687,15 @@ def _hist_sweep_call(
     zs_global = (
         zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5)
     ).astype(np.float32)
-    u = ((np.arange(width, dtype=np.float32) / width) * 2.0 - 1.0)
-    v = ((np.arange(height, dtype=np.float32) / height) * 2.0 - 1.0)
-    mx = (u / (-focal)).astype(np.float32)
-    my_host = (v / (-focal)).astype(np.float32)
 
     def per_device(
         hist_local, zs_local, my_local,
         origin, weights, tf_lut, density, brightness, toff, tscl,
     ):
         d = jax.lax.axis_index(BRICK_AXIS)
-        zs_ftb = jnp.flip(zs_local, axis=0)  # front-to-back for dz < 0
+        # front-to-back: descending z for dz < 0 (reversed block walk),
+        # ascending (= storage order) for dz > 0
+        zs_ftb = jnp.flip(zs_local, axis=0) if dz_sign < 0 else zs_local
         dmy_l = my_local[1] - my_local[0] if hl > 1 else jnp.float32(0.0)
         slopes = jnp.stack([
             jnp.float32(mx[0]),
@@ -670,10 +705,10 @@ def _hist_sweep_call(
         ])
         sweep = lambda seed: sweep_preblended_hist_diff(
             hist_local, weights, zs_ftb, origin, slopes, tf_lut, density,
-            1.0, toff, tscl, dz_sign=-1, width=width, height=hl,
+            1.0, toff, tscl, dz_sign=dz_sign, width=width, height=hl,
             march=march, length_correction=length_correction,
             plane_chunk=plane_chunk, plane_spacing=spacing, wrt=wrt,
-            stat=stat, acc_init=seed, reverse_planes=True,
+            stat=stat, acc_init=seed, reverse_planes=dz_sign < 0,
         )
         # pass 1: slab partials with the kernel's own cutoff (exact
         # first-crossing detection — see _sweep_slope_space_call's
@@ -683,7 +718,8 @@ def _hist_sweep_call(
             return partial * brightness
 
         parts = jax.lax.all_gather(partial, BRICK_AXIS, axis=0)
-        ordered = jnp.flip(parts, axis=0)  # dz < 0: nearest slab last index
+        # dz < 0: device nb-1 (largest z) is nearest the camera
+        ordered = jnp.flip(parts, axis=0) if dz_sign < 0 else parts
         acc0 = jnp.zeros_like(partial)
 
         def fold(acc, part):
@@ -702,7 +738,7 @@ def _hist_sweep_call(
 
         # pass 2: re-sweep only the crossing slab, seeded with the true
         # upstream prefix; everything else freezes instantly (alpha 2)
-        my_pos = nb - 1 - d  # ordered device index under dz < 0
+        my_pos = (nb - 1 - d) if dz_sign < 0 else d  # ordered device index
         flag = saturating & (j_star == my_pos)
         frozen = jnp.concatenate(
             [jnp.zeros((hl, width, 3), jnp.float32),
@@ -780,11 +816,16 @@ def distributed_hist_render(
     camera, Z % bricks == 0, width % 128 == 0, (height/rays) % STRIP == 0,
     fused-kernel VMEM budgets (hist_render_supported at the per-device
     image shard). Pallas-only — run under the Mosaic interpreter on CPU.
+    Rotated cameras: :func:`distributed_shearwarp_hist_render`.
     """
     weights = jnp.asarray(weights, jnp.float32)
     if weights.ndim == 1:
         weights = weights[None, :]
-    return _hist_sweep_call(
+    u = ((np.arange(int(width), dtype=np.float32) / width) * 2.0 - 1.0)
+    v = ((np.arange(int(height), dtype=np.float32) / height) * 2.0 - 1.0)
+    mx = np.ascontiguousarray((u / (-focal)).astype(np.float32))
+    my = np.ascontiguousarray((v / (-focal)).astype(np.float32))
+    return _hist_sweep_slope_space_call(
         hist_bm,
         weights,
         jnp.asarray(origin, jnp.float32),
@@ -793,15 +834,152 @@ def distributed_hist_render(
         jnp.asarray(brightness, jnp.float32),
         jnp.asarray(transfer_offset, jnp.float32),
         jnp.asarray(transfer_scale, jnp.float32),
-        width=int(width),
-        height=int(height),
+        mx_bytes=mx.tobytes(),
+        my_bytes=my.tobytes(),
         march=march,
         mesh=mesh,
+        dz_sign=-1,
         length_correction=length_correction,
         plane_chunk=int(plane_chunk),
         wrt=tuple(wrt),
         stat=str(stat),
-        focal=float(focal),
+    )
+
+
+def distributed_shearwarp_hist_render(
+    hist_bm: jnp.ndarray,
+    weights: jnp.ndarray,
+    inv_view: np.ndarray,
+    width: int,
+    height: int,
+    tf_lut: jnp.ndarray,
+    density=0.05,
+    brightness=1.0,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    march: MarchConfig = MarchConfig(),
+    mesh: Mesh,
+    focal: float = 2.0,
+    oversample: float = 2.0,
+    length_correction: bool = True,
+    plane_chunk: int = 4,
+    wrt: tuple = ("hist", "lut", "params"),
+    stat: str = "linear",
+) -> jnp.ndarray:
+    """ARBITRARY rotated views, DISTRIBUTION-NATIVE, under sharding — the
+    last cell of the composition matrix: shear-warp (march/shearwarp.py)
+    × in-kernel histogram decode (slice_kernel.py _decode_block) ×
+    sort-last bricks+rays sharding.
+
+    The bins-major ``(Z, B, Y, X)`` histogram volume's SPATIAL axes permute
+    so the view's principal world axis becomes the sweep/shard axis (B stays
+    the sublane axis the in-kernel decode streams), the permuted volume
+    re-shards over bricks (one all-to-all; amortized across every view in
+    the same principal-axis octant — rotating within an octant moves no
+    histogram data), each brick decodes its slab's statistic in the fused
+    kernel prologue while sweeping the bounding m-grid with rows sharded on
+    rays, and the m-space image warps to pixels. Pure-selection schedule
+    throughout (planes ARE layers of the permuted volume, walked in storage
+    order for dz > 0 and by the reversed block index map for dz < 0), so
+    the decoded scalar volume never exists on any chip in either direction.
+
+    The reference serves rotated views of its distribution volumes by
+    per-pixel marching precomputed query textures (volumeRender.cpp:225-246
+    → volumeRender_kernel.cu:654-680); this is that capability with the
+    decode still fused into the march (its query-7 pattern, :354-480) AND
+    the volume sharded — a composition its single-GPU design never had.
+    Differentiable like :func:`distributed_hist_render` (per-slab replay
+    chains, seed cotangent into upstream bricks, psum'd LUT/param grads;
+    the axis permutation and warp transpose under XLA autodiff).
+    """
+    from vrdd_tpu.march.shearwarp import slope_corner_bounds, warp_from_rotation
+    from vrdd_tpu.pallas.slice_kernel import _pad_grid
+
+    inv_view = np.asarray(inv_view, dtype=np.float32)
+    axis, (px, py, pz), dz_sign, ok, (mx_lo, mx_hi, my_lo, my_hi) = (
+        slope_corner_bounds(inv_view, width, height, focal)
+    )
+    if not ok:
+        raise ValueError(
+            "shear-warp inapplicable: d_z changes sign across the image"
+        )
+
+    nb = mesh.shape[BRICK_AXIS]
+    nr = mesh.shape[RAY_AXIS]
+    # spatial axis of the bins-major volume holding world axis a
+    # (x → 3, y → 2, z → 0; axis 1 is always the bins axis)
+    sp = lambda a: 0 if a == 2 else 3 - a
+    hist_bm = jnp.asarray(hist_bm)
+    if hist_bm.shape[sp(pz)] % nb:
+        raise ValueError(
+            f"principal axis extent {hist_bm.shape[sp(pz)]} must divide "
+            f"over {nb} bricks"
+        )
+    hist_p = _permuted_sharded(
+        hist_bm, (sp(pz), 1, sp(py), sp(px)), mesh,
+        P(BRICK_AXIS, None, None, None),
+    )
+    inv_view = np.asarray(inv_view, dtype=np.float32)
+    origin_w = inv_view[:, 3]
+    origin_p = np.array(
+        [origin_w[px], origin_w[py], origin_w[pz]], dtype=np.float32
+    )
+    bmin = np.asarray(march.box_min, dtype=np.float32)
+    bmax = np.asarray(march.box_max, dtype=np.float32)
+    march_p = MarchConfig(
+        max_steps=march.max_steps, tstep=march.tstep,
+        opacity_threshold=march.opacity_threshold,
+        box_min=(float(bmin[px]), float(bmin[py]), float(bmin[pz])),
+        box_max=(float(bmax[px]), float(bmax[py]), float(bmax[pz])),
+    )
+
+    # bounding m-grid: the fused hist kernel is pallas-only, so always
+    # 128-align columns and pad rows to the shard × STRIP multiple (the
+    # same construction as the single-device pallas shear-warp, so a
+    # rays=1 mesh reproduces its m-grid exactly)
+    wi = max(8, int(np.ceil(width * oversample)))
+    hi = max(8, int(np.ceil(height * oversample)))
+    wi = -(-wi // 128) * 128
+    mx_pad = max(1e-6, (mx_hi - mx_lo) / wi)
+    my_pad = max(1e-6, (my_hi - my_lo) / hi)
+    mx = np.linspace(mx_lo - mx_pad, mx_hi + mx_pad, wi, dtype=np.float32)
+    my = np.linspace(my_lo - my_pad, my_hi + my_pad, hi, dtype=np.float32)
+    my = _pad_grid(my, nr * STRIP)
+
+    weights = jnp.asarray(weights, jnp.float32)
+    if weights.ndim == 1:
+        weights = weights[None, :]
+    img_m = _hist_sweep_slope_space_call(
+        hist_p,
+        weights,
+        jnp.asarray(origin_p, jnp.float32),
+        jnp.asarray(tf_lut, jnp.float32),
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(brightness, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+        mx_bytes=np.ascontiguousarray(mx).tobytes(),
+        my_bytes=np.ascontiguousarray(my).tobytes(),
+        march=march_p,
+        mesh=mesh,
+        dz_sign=int(dz_sign),
+        length_correction=length_correction,
+        plane_chunk=int(plane_chunk),
+        wrt=tuple(wrt),
+        stat=str(stat),
+    )
+
+    # final homography warp m-space → pixels; the per-pixel index maps are
+    # built on device from the rotation (spacing-based, so the row
+    # extension never shifts in-range samples)
+    mgrid = jnp.asarray(
+        [mx[0], (mx[-1] - mx[0]) / (wi - 1), my[0], my[1] - my[0]],
+        jnp.float32,
+    )
+    return warp_from_rotation(
+        img_m, jnp.asarray(inv_view[:, :3]), mgrid,
+        width=width, height=height, focal=focal, perm_world=(px, py, pz),
     )
 
 
@@ -848,14 +1026,14 @@ def distributed_shearwarp_render(
     that capability under the BASELINE bricks+rays sharding contract.
     """
     from vrdd_tpu.march.shearwarp import (
-        _bilinear_warp_2d,
-        shearwarp_geometry,
+        slope_corner_bounds,
+        warp_from_rotation,
     )
     from vrdd_tpu.pallas.slice_kernel import _pad_grid
 
     inv_view = np.asarray(inv_view, dtype=np.float32)
-    axis, (px, py, pz), slopes, dz_sign, ok = shearwarp_geometry(
-        inv_view, width, height, focal
+    axis, (px, py, pz), dz_sign, ok, (mx_lo, mx_hi, my_lo, my_hi) = (
+        slope_corner_bounds(inv_view, width, height, focal)
     )
     if not ok:
         raise ValueError(
@@ -879,20 +1057,16 @@ def distributed_shearwarp_render(
             else "replicated"
         )
     volume = jnp.asarray(volume)
-    vol_perm = jnp.transpose(volume, (2 - pz, 2 - py, 2 - px))
-    if volume_mode == "slab":
-        if vol_perm.shape[0] % nb:
-            raise ValueError(
-                f"principal axis extent {vol_perm.shape[0]} must divide "
-                f"over {nb} bricks"
-            )
-        vol_perm = jax.device_put(
-            vol_perm, NamedSharding(mesh, P(BRICK_AXIS, None, None))
+    if volume_mode == "slab" and volume.shape[2 - pz] % nb:
+        raise ValueError(
+            f"principal axis extent {volume.shape[2 - pz]} must divide "
+            f"over {nb} bricks"
         )
-    else:
-        vol_perm = jax.device_put(
-            vol_perm, NamedSharding(mesh, P(None, None, None))
-        )
+    vol_perm = _permuted_sharded(
+        volume, (2 - pz, 2 - py, 2 - px), mesh,
+        P(BRICK_AXIS, None, None) if volume_mode == "slab"
+        else P(None, None, None),
+    )
     origin_w = inv_view[:, 3]
     origin_p = np.array(
         [origin_w[px], origin_w[py], origin_w[pz]], dtype=np.float32
@@ -918,9 +1092,6 @@ def distributed_shearwarp_render(
         row_mult = nr * STRIP
     else:
         row_mult = nr
-    mx_all, my_all = slopes[..., 0], slopes[..., 1]
-    mx_lo, mx_hi = float(mx_all.min()), float(mx_all.max())
-    my_lo, my_hi = float(my_all.min()), float(my_all.max())
     mx_pad = max(1e-6, (mx_hi - mx_lo) / wi)
     my_pad = max(1e-6, (my_hi - my_lo) / hi)
     mx = np.linspace(mx_lo - mx_pad, mx_hi + mx_pad, wi, dtype=np.float32)
@@ -936,8 +1107,14 @@ def distributed_shearwarp_render(
         axis_scale=ascale_p, volume_mode=volume_mode,
     )
 
-    # final homography warp m-space -> pixels (static fractional indices);
-    # spacing-based iy so the row extension never shifts in-range samples
-    ix = (mx_all - mx[0]) / (mx[-1] - mx[0]) * (wi - 1)
-    iy = (my_all - my[0]) / (my[1] - my[0])
-    return _bilinear_warp_2d(img_m, ix, iy)
+    # final homography warp m-space -> pixels; per-pixel index maps built
+    # on device from the rotation (spacing-based, so the row extension
+    # never shifts in-range samples)
+    mgrid = jnp.asarray(
+        [mx[0], (mx[-1] - mx[0]) / (wi - 1), my[0], my[1] - my[0]],
+        jnp.float32,
+    )
+    return warp_from_rotation(
+        img_m, jnp.asarray(inv_view[:, :3]), mgrid,
+        width=width, height=height, focal=focal, perm_world=(px, py, pz),
+    )
