@@ -196,11 +196,8 @@ def slope_corner_bounds(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "focal", "perm_world")
-)
-def warp_from_rotation(
-    img_m, rot, mgrid, *, width, height, focal, perm_world
+def _warp_from_rotation_traced(
+    img_m, rot, mgrid, width, height, focal, perm_world
 ):
     """Homography warp m-space → pixels with the per-pixel index maps built
     ON DEVICE from the 3×3 rotation — 13 traced floats cross the link per
@@ -221,6 +218,19 @@ def warp_from_rotation(
     my_all = d_world(py) / dzc
     return _bilinear_warp_2d_traced(
         img_m, (mx_all - mgrid[0]) / mgrid[1], (my_all - mgrid[2]) / mgrid[3]
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "focal", "perm_world")
+)
+def warp_from_rotation(
+    img_m, rot, mgrid, *, width, height, focal, perm_world
+):
+    """Standalone jitted :func:`_warp_from_rotation_traced` (callers that
+    fuse the warp into a larger jit use the traced form directly)."""
+    return _warp_from_rotation_traced(
+        img_m, rot, mgrid, width, height, focal, perm_world
     )
 
 

@@ -846,6 +846,69 @@ def distributed_hist_render(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mx_bytes", "my_bytes", "march", "mesh", "dz_sign",
+        "length_correction", "plane_chunk", "wrt", "stat",
+        "width", "height", "focal", "perm_world",
+    ),
+)
+def _rot_hist_frame(
+    hist_p, weights, origin, tf_lut, density, brightness,
+    transfer_offset, transfer_scale, rot, mgrid, *,
+    mx_bytes, my_bytes, march, mesh, dz_sign, length_correction,
+    plane_chunk, wrt, stat, width, height, focal, perm_world,
+):
+    """ONE jitted dispatch per rotated distribution-native frame: m-grid
+    sweep + homography warp fused (each dispatch costs ~28 ms RTT on the
+    tunneled chip — the _pallas_frame lesson, march/shearwarp.py)."""
+    from vrdd_tpu.march.shearwarp import _warp_from_rotation_traced
+
+    img_m = _hist_sweep_slope_space_call(
+        hist_p, weights, origin, tf_lut, density, brightness,
+        transfer_offset, transfer_scale, mx_bytes=mx_bytes,
+        my_bytes=my_bytes, march=march, mesh=mesh, dz_sign=dz_sign,
+        length_correction=length_correction, plane_chunk=plane_chunk,
+        wrt=wrt, stat=stat,
+    )
+    return _warp_from_rotation_traced(
+        img_m, rot, mgrid, width, height, focal, perm_world
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mx_bytes", "my_bytes", "march", "mesh", "dz_sign", "n_planes",
+        "length_correction", "plane_chunk", "backend", "wrt", "tex_offset",
+        "axis_scale", "volume_mode", "width", "height", "focal",
+        "perm_world",
+    ),
+)
+def _rot_sweep_frame(
+    vol_perm, origin, tf_lut, density, brightness, transfer_offset,
+    transfer_scale, rot, mgrid, *,
+    mx_bytes, my_bytes, march, mesh, dz_sign, n_planes, length_correction,
+    plane_chunk, backend, wrt, tex_offset, axis_scale, volume_mode,
+    width, height, focal, perm_world,
+):
+    """Scalar twin of :func:`_rot_hist_frame` (fused sweep + warp)."""
+    from vrdd_tpu.march.shearwarp import _warp_from_rotation_traced
+
+    img_m = _sweep_slope_space_call(
+        vol_perm, origin, tf_lut, density, brightness, transfer_offset,
+        transfer_scale, mx_bytes=mx_bytes, my_bytes=my_bytes, march=march,
+        mesh=mesh, dz_sign=dz_sign, n_planes=n_planes,
+        length_correction=length_correction, plane_chunk=plane_chunk,
+        backend=backend, wrt=wrt, tex_offset=tex_offset,
+        axis_scale=axis_scale, volume_mode=volume_mode,
+    )
+    return _warp_from_rotation_traced(
+        img_m, rot, mgrid, width, height, focal, perm_world
+    )
+
+
 def distributed_shearwarp_hist_render(
     hist_bm: jnp.ndarray,
     weights: jnp.ndarray,
@@ -893,7 +956,7 @@ def distributed_shearwarp_hist_render(
     chains, seed cotangent into upstream bricks, psum'd LUT/param grads;
     the axis permutation and warp transpose under XLA autodiff).
     """
-    from vrdd_tpu.march.shearwarp import slope_corner_bounds, warp_from_rotation
+    from vrdd_tpu.march.shearwarp import slope_corner_bounds
     from vrdd_tpu.pallas.slice_kernel import _pad_grid
 
     inv_view = np.asarray(inv_view, dtype=np.float32)
@@ -950,7 +1013,14 @@ def distributed_shearwarp_hist_render(
     weights = jnp.asarray(weights, jnp.float32)
     if weights.ndim == 1:
         weights = weights[None, :]
-    img_m = _hist_sweep_slope_space_call(
+    # one fused dispatch: m-grid sweep + homography warp (the per-pixel
+    # warp maps build on device from the rotation; spacing-based, so the
+    # row extension never shifts in-range samples)
+    mgrid = jnp.asarray(
+        [mx[0], (mx[-1] - mx[0]) / (wi - 1), my[0], my[1] - my[0]],
+        jnp.float32,
+    )
+    return _rot_hist_frame(
         hist_p,
         weights,
         jnp.asarray(origin_p, jnp.float32),
@@ -959,6 +1029,8 @@ def distributed_shearwarp_hist_render(
         jnp.asarray(brightness, jnp.float32),
         jnp.asarray(transfer_offset, jnp.float32),
         jnp.asarray(transfer_scale, jnp.float32),
+        jnp.asarray(inv_view[:, :3]),
+        mgrid,
         mx_bytes=np.ascontiguousarray(mx).tobytes(),
         my_bytes=np.ascontiguousarray(my).tobytes(),
         march=march_p,
@@ -968,18 +1040,10 @@ def distributed_shearwarp_hist_render(
         plane_chunk=int(plane_chunk),
         wrt=tuple(wrt),
         stat=str(stat),
-    )
-
-    # final homography warp m-space → pixels; the per-pixel index maps are
-    # built on device from the rotation (spacing-based, so the row
-    # extension never shifts in-range samples)
-    mgrid = jnp.asarray(
-        [mx[0], (mx[-1] - mx[0]) / (wi - 1), my[0], my[1] - my[0]],
-        jnp.float32,
-    )
-    return warp_from_rotation(
-        img_m, jnp.asarray(inv_view[:, :3]), mgrid,
-        width=width, height=height, focal=focal, perm_world=(px, py, pz),
+        width=int(width),
+        height=int(height),
+        focal=float(focal),
+        perm_world=(px, py, pz),
     )
 
 
@@ -1025,10 +1089,7 @@ def distributed_shearwarp_render(
     (volumeRender.cpp:225-246 -> volumeRender_kernel.cu:288-296); this is
     that capability under the BASELINE bricks+rays sharding contract.
     """
-    from vrdd_tpu.march.shearwarp import (
-        slope_corner_bounds,
-        warp_from_rotation,
-    )
+    from vrdd_tpu.march.shearwarp import slope_corner_bounds
     from vrdd_tpu.pallas.slice_kernel import _pad_grid
 
     inv_view = np.asarray(inv_view, dtype=np.float32)
@@ -1098,23 +1159,38 @@ def distributed_shearwarp_render(
     my = np.linspace(my_lo - my_pad, my_hi + my_pad, hi, dtype=np.float32)
     my = _pad_grid(my, row_mult)
 
-    img_m = distributed_sweep_slope_space(
-        vol_perm, origin_p, mx, my, tf_lut, density, brightness,
-        transfer_offset, transfer_scale, march=march_p, mesh=mesh,
-        dz_sign=dz_sign, n_planes=n_planes,
-        length_correction=length_correction, plane_chunk=plane_chunk,
-        backend=backend, wrt=wrt, tex_offset=tex_offset,
-        axis_scale=ascale_p, volume_mode=volume_mode,
-    )
-
-    # final homography warp m-space -> pixels; per-pixel index maps built
-    # on device from the rotation (spacing-based, so the row extension
-    # never shifts in-range samples)
+    # one fused dispatch: m-grid sweep + homography warp (per-pixel warp
+    # maps built on device from the rotation; spacing-based, so the row
+    # extension never shifts in-range samples)
     mgrid = jnp.asarray(
         [mx[0], (mx[-1] - mx[0]) / (wi - 1), my[0], my[1] - my[0]],
         jnp.float32,
     )
-    return warp_from_rotation(
-        img_m, jnp.asarray(inv_view[:, :3]), mgrid,
-        width=width, height=height, focal=focal, perm_world=(px, py, pz),
+    return _rot_sweep_frame(
+        vol_perm,
+        jnp.asarray(origin_p, jnp.float32),
+        jnp.asarray(tf_lut, jnp.float32),
+        jnp.asarray(density, jnp.float32),
+        jnp.asarray(brightness, jnp.float32),
+        jnp.asarray(transfer_offset, jnp.float32),
+        jnp.asarray(transfer_scale, jnp.float32),
+        jnp.asarray(inv_view[:, :3]),
+        mgrid,
+        mx_bytes=np.ascontiguousarray(mx).tobytes(),
+        my_bytes=np.ascontiguousarray(my).tobytes(),
+        march=march_p,
+        mesh=mesh,
+        dz_sign=int(dz_sign),
+        n_planes=int(n_planes),
+        length_correction=length_correction,
+        plane_chunk=int(plane_chunk),
+        backend=backend,
+        wrt=tuple(wrt),
+        tex_offset=float(tex_offset),
+        axis_scale=ascale_p,
+        volume_mode=volume_mode,
+        width=int(width),
+        height=int(height),
+        focal=float(focal),
+        perm_world=(px, py, pz),
     )
