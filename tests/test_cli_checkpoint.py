@@ -212,3 +212,14 @@ def test_render_hist_cli(tmp_path):
         img = read_ppm(out_s)
         assert img.shape == (32, 32, 3)
         assert img.max() > 0, stat
+    # rotated view (shear-warp path; materialized fallback on CPU)
+    out_r = str(tmp_path / "r_rot.ppm")
+    rc = main([
+        "render-hist", "--hist-file", hist_path, "--dims", "8", "8", "8",
+        "--bins", "8", "--width", "32", "--height", "32", "--density",
+        "0.5", "--rot-x", "25", "--rot-y", "40", "-o", out_r,
+    ])
+    assert rc == 0
+    img = read_ppm(out_r)
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0

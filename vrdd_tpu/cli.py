@@ -580,10 +580,40 @@ def cmd_render_hist(args) -> int:
     tf = jnp.asarray(default_transfer_function())
     origin = jnp.asarray([0.0, 0.0, args.translate_z * -1.0], jnp.float32)
     W, H = args.width, args.height
+    rotated = args.rot_x != 0.0 or args.rot_y != 0.0
     use_kernel = jax.default_backend() == "tpu" and hist_render_supported(
         (nz, B, ny, nx), W, H, n_lut=9
     )
-    if use_kernel:
+    if rotated and use_kernel:
+        # rotated views: the shear-warp × in-kernel-decode composition on
+        # a 1-chip mesh (parallel/sweep.py distributed_shearwarp_hist_render)
+        from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+        from vrdd_tpu.parallel.mesh import make_mesh
+        from vrdd_tpu.parallel.sweep import distributed_shearwarp_hist_render
+
+        iv = inv_view_from_rotation_translation(
+            args.rot_x, args.rot_y, (0.0, 0.0, args.translate_z)
+        )
+        img = distributed_shearwarp_hist_render(
+            jnp.asarray(hist), jnp.asarray(rows), iv, W, H, tf,
+            density=args.density, transfer_scale=args.tf_scale,
+            mesh=make_mesh(1, 1), stat=mode,
+        )
+        path = f"rotated in-kernel fused decode ({args.stat})"
+    elif rotated:
+        from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+        from vrdd_tpu.march.shearwarp import shearwarp_render_image
+
+        iv = inv_view_from_rotation_translation(
+            args.rot_x, args.rot_y, (0.0, 0.0, args.translate_z)
+        )
+        vol = decode_with_rows(jnp.asarray(hist), rows, mode)
+        img = shearwarp_render_image(
+            vol, iv, W, H, tf, density=args.density,
+            transfer_scale=args.tf_scale, n_planes=nz, backend="xla",
+        )
+        path = f"rotated materialized decode ({args.stat})"
+    elif use_kernel:
         img = pallas_hist_render(
             jnp.asarray(hist), jnp.asarray(rows), origin, tf,
             density=args.density, transfer_scale=args.tf_scale,
@@ -749,6 +779,10 @@ def main(argv=None) -> int:
                      choices=["mean", "var", "entropy"],
                      help="decoded statistic (reference queries 1/2/3)")
     prh.add_argument("--tf-scale", type=float, default=1.0, dest="tf_scale")
+    prh.add_argument("--rot-x", type=float, default=0.0,
+                     help="camera rotation about x (degrees; rotated views "
+                     "ride the shear-warp in-kernel-decode path)")
+    prh.add_argument("--rot-y", type=float, default=0.0)
     prh.add_argument("-o", "--output", default="hist_render.ppm")
     prh.set_defaults(fn=cmd_render_hist)
 
