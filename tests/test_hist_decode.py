@@ -274,3 +274,66 @@ def test_entropy_zero_bins_gradient():
     gh = np.asarray(gh)
     assert np.all(np.isfinite(gh))
     assert np.all(gh[:, 3] == 0.0), "zero bins must get zero cotangent"
+
+
+@pytest.mark.parametrize("stat", ["linear", "var", "entropy"])
+def test_materialized_route_matches_inkernel(stat):
+    """pallas_hist_render_diff(route='materialized') — the decode-with-XLA
+    + scalar-VJP implementation the headline bench A/Bs against the
+    in-kernel route — must agree in value and gradients (off-TPU both
+    decodes are exact f32, so tolerances are tight; on TPU the
+    materialized decode matmul carries the documented ~1e-3 bf16
+    rounding)."""
+    from vrdd_tpu.pallas.slice_kernel import decode_weight_rows
+
+    hist, w = _hist(seed=9)
+    if stat == "linear":
+        rows = w
+    else:
+        rows = jnp.asarray(decode_weight_rows(stat, 8, family="unit")[0])
+    tscl = 30.0 if stat == "var" else 1.0
+
+    def loss(h, lut, route):
+        img = pallas_hist_render_diff(
+            h, rows, O, lut, width=W, height=H, wrt=("hist", "lut"),
+            density=0.08, transfer_scale=tscl, stat=stat, route=route,
+        )
+        return jnp.sum(img ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        v_i, (gh_i, gl_i) = jax.value_and_grad(
+            lambda h, l: loss(h, l, "inkernel"), argnums=(0, 1))(hist, TF)
+        v_m, (gh_m, gl_m) = jax.value_and_grad(
+            lambda h, l: loss(h, l, "materialized"), argnums=(0, 1))(hist, TF)
+
+    def mre(a, b):
+        s = float(jnp.max(jnp.abs(b))) or 1.0
+        return float(jnp.max(jnp.abs(a - b))) / s
+
+    assert abs(float(v_i - v_m)) / (abs(float(v_m)) or 1.0) < 1e-5
+    assert mre(gh_i, gh_m) < 5e-4
+    assert mre(gl_i, gl_m) < 5e-4
+
+
+def test_live_fractions_reports_culling():
+    """live_fractions (roofline v2's measured-culling input): full coverage
+    on a transparent volume reports ~all tiles live; an opaque volume
+    under a saturating density must report tiles dying off front-to-back
+    (fraction strictly below 1)."""
+    from vrdd_tpu.pallas.slice_vjp import live_fractions
+
+    nz = 16
+    rng = np.random.default_rng(4)
+    vol = jnp.asarray(rng.random((nz, nz, nz), dtype=np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        lf_thin = live_fractions(
+            vol, O, TF, density=0.01, width=W, height=H, n_planes=nz)
+        # 0.7 maps into the ramp's opaque band (the default TF's last
+        # entry has alpha 0, so 1.0 would render nothing)
+        lf_opaque = live_fractions(
+            vol * 0.0 + 0.7, O, TF, density=5.0, width=W, height=H,
+            n_planes=nz)
+    assert 0.0 < lf_thin["tile_live_frac"] <= 1.0
+    assert lf_thin["strip_live_frac"] >= lf_thin["tile_live_frac"]
+    assert lf_opaque["tile_live_frac"] < lf_thin["tile_live_frac"]
+    assert lf_opaque["tile_live_frac"] < 0.9

@@ -100,6 +100,10 @@ _VMEM_PLANE_LIMIT = 4 * 1024 * 1024
 # resident accumulator and scratch
 _VMEM_PLANE_BLOCK_BUDGET = 32 * 1024 * 1024
 _VMEM_HIST_BLOCK_BUDGET = 72 * 1024 * 1024
+# compiler scoped-vmem ceiling for the hist-decode pallas_call (see
+# pallas_hist_render): headroom above the scalar path's 100 MB because the
+# double-buffered histogram block is the dominant tenant
+_HIST_VMEM_LIMIT = 112 * 1024 * 1024
 # the resident accumulator block is (n_strips, n_rows, STRIP, W) =
 # n_rows * H * W * 4 bytes (n_rows = max(4, n_lut) factorized rows, +1 for
 # the checkpointing forward's T row — 10 at the reference's 9-entry LUT).
@@ -107,6 +111,17 @@ _VMEM_HIST_BLOCK_BUDGET = 72 * 1024 * 1024
 # executable — the band's my0 is a traced param); the diff path falls back
 # to the XLA VJP beyond this (pallas_diff_supported).
 _VMEM_ACC_BUDGET = 48 * 1024 * 1024
+
+
+def hist_manual_stream_ok(ny: int, nx: int, hist_dtype) -> bool:
+    """Can the in-kernel decode use MANUAL double-buffered DMA streaming of
+    the histogram volume (chunk-wide prefetch window — see _make_kernel)?
+    HBM->VMEM DMA slices must be tile-aligned in their trailing dims
+    ((sublane, lane) = (8, 128) f32 / (16, 128) bf16); unaligned (small)
+    volumes fall back to the auto-pipelined block spec, whose one-step
+    prefetch window is fine at their block sizes."""
+    sub = 16 if jnp.dtype(hist_dtype).itemsize == 2 else 8
+    return nx % 128 == 0 and ny % sub == 0
 
 
 def acc_rows(n_lut: int, emit_ckpt: bool) -> int:
@@ -637,7 +652,7 @@ def _make_kernel(
     tex_offset: float = 0.5, ess: bool = False, seed: bool = False,
     axis_scale=(1.0, 1.0), ck_stride: int = 0, filter_linear: bool = True,
     decode_bins: int = 0, reverse_planes: bool = False,
-    decode_mode: str = "linear",
+    decode_mode: str = "linear", manual_stream: bool = False,
 ):
     """``seed``: the accumulator initializes from a traced RGBA input image
     instead of zeros — "resume a sweep mid-flight". The distributed
@@ -715,18 +730,26 @@ def _make_kernel(
 
     def kernel(params_ref, zs_ref, coef_ref, planes_ref, *rest):
         # IN-KERNEL DISTRIBUTION DECODE (decode_bins = B > 0): planes_ref is
-        # a (pchunk, B, NY, NX) bins-major HISTOGRAM block — z-layers of the
-        # distribution volume streamed directly from HBM, in z-ASCENDING
-        # storage order (the index map walks it backwards for dz < 0, and
-        # plane i of the chunk reads block row pchunk-1-i) — and the decoded
-        # scalar plane materializes only in VMEM, via _decode_block in the
-        # y-resample prologue: the linear contraction sum_b w[b] * hist[b]
-        # (mean and any linear statistic), the 4-contraction variance
-        # combine, or the log2 entropy sum. This is the reference's
-        # in-march decode (volumeRender_kernel.cu:354-480) fused into the
-        # sweep for EVERY histogram statistic. Requires n_planes == nz (the
-        # pure-selection pre-blend: zf = (p+0.5)*nz/n_planes - 0.5 = p, so
-        # no z-lerp ever mixes two layers).
+        # the FULL bins-major (nz, B, NY, NX) HISTOGRAM volume left in HBM
+        # (memory_space=ANY) and streamed a (pchunk, B, NY, NX) z-layer
+        # block at a time by MANUAL double-buffered DMA — chunk k+1's copy
+        # is issued at the FIRST strip of chunk k, so the transfer overlaps
+        # the whole chunk's sweep (~8 strip steps) instead of Mosaic's
+        # one-step auto-prefetch window (the histogram block is 8-16x the
+        # scalar path's plane block, and the one-step window stalled ~16 us
+        # x n_chunks ~= 4 ms per pass at 512^3 x 16 -> 1024^2; measured
+        # r5: fwd 18.2 -> ~12 ms on-chip). Layer blocks are walked in
+        # z-ASCENDING storage order (backwards for dz < 0: block
+        # n_chunks-1-k, and plane i of the chunk reads buffer row
+        # pchunk-1-i) — the decoded scalar plane materializes only in
+        # VMEM, via _decode_block in the y-resample prologue: the linear
+        # contraction sum_b w[b] * hist[b] (mean and any linear
+        # statistic), the 4-contraction variance combine, or the log2
+        # entropy sum. This is the reference's in-march decode
+        # (volumeRender_kernel.cu:354-480) fused into the sweep for EVERY
+        # histogram statistic. Requires n_planes == nz (the pure-selection
+        # pre-blend: zf = (p+0.5)*nz/n_planes - 0.5 = p, so no z-lerp ever
+        # mixes two layers).
         if decode_bins:
             dw_ref = rest[0]  # (1, B) decode weights, SMEM
             rest = rest[1:]
@@ -745,7 +768,12 @@ def _make_kernel(
         else:
             flag_ref, tflag_ref, tmp_ref, wx_ref, ibx_ref = rest[:5]
             rest = rest[5:]
-        dec_ref = rest[0] if decode_bins else None  # decoded plane scratch
+        if decode_bins and manual_stream:
+            dec_ref, hbuf_ref, hsem_ref = rest[:3]  # decode + DMA scratch
+        elif decode_bins:
+            dec_ref = rest[0]  # auto-pipelined block spec (unaligned dims)
+        else:
+            dec_ref = None
         k = pl.program_id(0)   # chunk (outer)
         si = pl.program_id(1)  # strip (inner)
         ox = params_ref[0, 0]
@@ -853,14 +881,43 @@ def _make_kernel(
             return pchunk - 1 - i if reverse_planes else i
 
         if decode_bins:
+            if manual_stream:
+                # manual double-buffered histogram stream (see kernel
+                # docstring): slot k%2 carries chunk k; chunk k+1's copy is
+                # issued before waiting on chunk k's, so it overlaps this
+                # whole chunk's sweep
+                def _hist_dma(kk, slot):
+                    blk = (n_chunks - 1 - kk) if reverse_planes else kk
+                    return pltpu.make_async_copy(
+                        planes_ref.at[pl.ds(blk * pchunk, pchunk)],
+                        hbuf_ref.at[slot],
+                        hsem_ref.at[slot],
+                    )
+
+                @pl.when(jnp.logical_and(si == 0, k == 0))
+                def _start_first_dma():
+                    _hist_dma(0, 0).start()
+
+                @pl.when(jnp.logical_and(si == 0, k + 1 < n_chunks))
+                def _start_next_dma():
+                    _hist_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+                @pl.when(si == 0)
+                def _wait_dma():
+                    _hist_dma(k, jax.lax.rem(k, 2)).wait()
+
+                hblock = hbuf_ref.at[jax.lax.rem(k, 2)]
+            else:
+                hblock = planes_ref  # auto-pipelined (pchunk, B, NY, NX)
+
             # decode the chunk's planes ONCE (at the first strip) into VMEM
             # scratch; every strip's y-resample reads the decoded planes.
             # The bins contraction / nonlinear combine (_decode_block) runs
             # on the VPU and the scalar plane never touches HBM. Gated on
             # ANY strip still live: once early termination froze the whole
-            # image, later chunks skip their decode entirely (the decode is
-            # the one per-chunk cost large enough to pay the n_strips SMEM
-            # flag reads that stage_x deliberately avoids).
+            # image, later chunks skip their decode entirely (the stream
+            # itself keeps running — an unawaited in-flight DMA at kernel
+            # exit would leak its semaphore).
             if seed:
                 decode_when = stage_x_when
             else:
@@ -871,7 +928,7 @@ def _make_kernel(
 
             @pl.when(decode_when)
             def _stage_decode():
-                _decode_block(planes_ref, dw_ref, dec_ref, pchunk,
+                _decode_block(hblock, dw_ref, dec_ref, pchunk,
                               decode_bins, decode_mode, _bi)
 
         @pl.when(stage_x_when)
@@ -1069,20 +1126,22 @@ def _preblend_planes(volume, n_planes, box_min, box_max, dz_sign=-1,
 
 def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
                  emit_ckpt=False, mm_dtype=jnp.float32, seed=False,
-                 decode_bins=0, reverse_planes=False, decode_rows=1):
+                 decode_bins=0, reverse_planes=False, decode_rows=1,
+                 hist_dtype=jnp.float32, manual_stream=False):
     """(in_specs, out_spec, scratch, grid) shared by forward and pass 1:
     grid = (chunks, strips), CHUNK-major; the accumulator is ONE
     (n_strips, n_rows, STRIP, W) output block with a constant index map —
     VMEM-resident for the whole sweep, flushed once (the caller reshapes it
     back to (n_rows, H, W)).
 
-    ``decode_bins = B > 0``: the plane input is the bins-major histogram
-    volume (nz, B, NY, NX) streamed a chunk of z-layers at a time, plus a
-    (decode_rows, B) decode-weight SMEM input and a decoded-plane VMEM
-    scratch (see
-    _make_kernel's in-kernel decode). ``reverse_planes`` walks the layer
-    blocks back-to-front (dz < 0 front-to-back order without materializing
-    a flipped copy of the histogram volume in HBM)."""
+    ``decode_bins = B > 0``: the plane input is the FULL bins-major
+    histogram volume (nz, B, NY, NX) left in HBM (memory_space=ANY) and
+    streamed a chunk of z-layers at a time by the kernel's own
+    double-buffered DMA into a 2-slot VMEM scratch (chunk-wide prefetch
+    window — see _make_kernel), plus a (decode_rows, B) decode-weight
+    SMEM input and a decoded-plane VMEM scratch. ``reverse_planes`` walks
+    the layer blocks back-to-front (dz < 0 front-to-back order without
+    materializing a flipped copy of the histogram volume in HBM)."""
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     n_strips = H // STRIP
@@ -1097,7 +1156,8 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
         smem((1, 12), lambda k, s: (0, 0)),
         smem((1, n_planes), lambda k, s: (0, 0)),
         smem((1, 4 * n_lut), lambda k, s: (0, 0)),
-        vmem((pchunk, decode_bins, NY, NX), plane_ix)
+        (pl.BlockSpec(memory_space=pltpu.ANY) if manual_stream
+         else vmem((pchunk, decode_bins, NY, NX), plane_ix))
         if decode_bins
         else vmem((pchunk, NY, NX), lambda k, s: plane_ix(k, s)[:1] + (0, 0)),
     ]
@@ -1119,6 +1179,11 @@ def _sweep_specs(H, W, NY, NX, n_planes, n_lut, pchunk, ess=False,
     ]
     if decode_bins:
         scratch.append(pltpu.VMEM((pchunk, NY, NX), jnp.float32))  # decoded
+        if manual_stream:
+            scratch.append(  # 2-slot manual double buffer, hist stream
+                pltpu.VMEM((2, pchunk, decode_bins, NY, NX), hist_dtype)
+            )
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
     grid = (n_chunks, n_strips)
     return in_specs, out_spec, scratch, grid
 
@@ -1505,16 +1570,17 @@ def pallas_hist_render(
     assert dw.shape == (n_w, B), (dw.shape, stat, B)
 
     mm_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    ms = hist_manual_stream_ok(ny, nx, hist_bm.dtype)
     kernel = _make_kernel(
         height, width, ny, nx, n_planes, n_lut, -1,
         march.box_min, march.box_max, march.tstep, march.opacity_threshold,
         length_correction, mm_dtype, pchunk, decode_bins=B,
-        reverse_planes=True, decode_mode=stat,
+        reverse_planes=True, decode_mode=stat, manual_stream=ms,
     )
     in_specs, out_spec, scratch, grid = _sweep_specs(
         height, width, ny, nx, n_planes, n_lut, pchunk,
         mm_dtype=mm_dtype, decode_bins=B, reverse_planes=True,
-        decode_rows=n_w,
+        decode_rows=n_w, hist_dtype=hist_bm.dtype, manual_stream=ms,
     )
     n_strips = height // STRIP
     out = pl.pallas_call(
@@ -1528,12 +1594,11 @@ def pallas_hist_render(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # 112 MB, not the scalar path's 100: SMALL bin counts (B <= 8)
+            # above the scalar path's 100 MB: SMALL bin counts (B <= 8)
             # leave room for a larger plane chunk whose histogram block
             # Mosaic then double-buffers — measured 103.5 MB scoped vmem
-            # at B=4, 512^3 -> 1024^2, pchunk 8 (B=16's 33.6 MB block is
-            # single-buffered and peaks lower)
-            vmem_limit_bytes=112 * 1024 * 1024,
+            # at B=4, 512^3 -> 1024^2, pchunk 8
+            vmem_limit_bytes=_HIST_VMEM_LIMIT,
         ),
     )(params, zs_in, coef_flat, jnp.asarray(hist_bm), dw)
     return jnp.transpose(out[:, :4], (0, 2, 3, 1)).reshape(height, width, 4)

@@ -92,6 +92,7 @@ __all__ = [
     "sweep_preblended_hist_diff",
     "pallas_hist_render_diff",
     "pallas_diff_supported",
+    "live_fractions",
 ]
 
 
@@ -128,7 +129,8 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                      pchunk, tex_offset=0.5,
                      wrt=("volume", "lut", "params"),
                      axis_scale=(1.0, 1.0), decode_bins=0,
-                     reverse_planes=False, decode_mode="linear"):
+                     reverse_planes=False, decode_mode="linear",
+                     manual_stream=False):
     """Reverse-order cotangent sweep; see module docstring.
 
     ``wrt`` statically prunes cotangent paths: "volume" (d_planes — the
@@ -168,7 +170,12 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         (cg_ref, sg_ref, tmp_ref, dtmp_ref, tloc_ref, resloc_ref,
          caloc_ref) = rest[:7]
         rest = rest[7:]
-        dec_ref = rest[0] if decode_bins else None
+        if decode_bins and manual_stream:
+            dec_ref, hbuf_ref, hsem_ref = rest[:3]
+        elif decode_bins:
+            dec_ref = rest[0]
+        else:
+            dec_ref = None
         k = pl.program_id(0)      # reversed: chunk kk = n_chunks - 1 - k
         si = pl.program_id(1)
         kk = n_chunks - 1 - k
@@ -211,6 +218,37 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         chunk_live = bits != 0
 
         if decode_bins:
+            if manual_stream:
+                # manual double-buffered histogram stream, mirroring the
+                # forward (slice_kernel.py _make_kernel): the reverse
+                # walk's z-layer block for grid step k is block k when
+                # reverse_planes (z-ascending storage, sweep reversed by
+                # kk) else n_chunks-1-k; chunk k+1's copy is issued before
+                # waiting on chunk k's so it overlaps the chunk's tiles
+                def _hist_dma(kg, slot):
+                    blk = kg if reverse_planes else (n_chunks - 1 - kg)
+                    return pltpu.make_async_copy(
+                        planes_ref.at[pl.ds(blk * pchunk, pchunk)],
+                        hbuf_ref.at[slot],
+                        hsem_ref.at[slot],
+                    )
+
+                @pl.when(jnp.logical_and(si == 0, k == 0))
+                def _start_first_dma():
+                    _hist_dma(0, 0).start()
+
+                @pl.when(jnp.logical_and(si == 0, k + 1 < n_chunks))
+                def _start_next_dma():
+                    _hist_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+                @pl.when(si == 0)
+                def _wait_dma():
+                    _hist_dma(k, jax.lax.rem(k, 2)).wait()
+
+                hblock = hbuf_ref.at[jax.lax.rem(k, 2)]
+            else:
+                hblock = planes_ref
+
             # decode the chunk's histogram layers ONCE into VMEM scratch
             # (strip-invariant; mirrors the forward's _stage_decode). Block
             # row pchunk-1-i = front-to-back plane i of this chunk. Gated
@@ -226,7 +264,7 @@ def _make_bwd_kernel(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             @pl.when(jnp.logical_and(si == 0, any_live_k))
             def _stage_decode():
                 _decode_block(
-                    planes_ref, dw_ref, dec_ref, pchunk, decode_bins,
+                    hblock, dw_ref, dec_ref, pchunk, decode_bins,
                     decode_mode,
                     lambda i: pchunk - 1 - i if reverse_planes else i,
                     mom_out=mom_ref,
@@ -577,19 +615,24 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         fwd_pchunk -= 1
     ck_per_chunk = fwd_pchunk // pchunk
 
+    from vrdd_tpu.pallas.slice_kernel import hist_manual_stream_ok
+
+    hist_dtype = jnp.bfloat16 if plane_bytes == 2 else jnp.float32
+    ms = decode_bins > 0 and hist_manual_stream_ok(NY, NX, hist_dtype)
+
     fwd_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, fwd_pchunk,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
         decode_bins=decode_bins, reverse_planes=rev,
-        decode_mode=decode_mode,
+        decode_mode=decode_mode, manual_stream=ms,
     )
     fwd_ckpt_kernel = _make_kernel(
         H, W, NY, NX, n_planes, n_lut, dz_sign, box_min, box_max, tstep,
         threshold, length_correction, mm_dtype, fwd_pchunk, emit_ckpt=True,
         tex_offset=tex_offset, ess=ess, seed=seed, axis_scale=axis_scale,
         ck_stride=pchunk, decode_bins=decode_bins, reverse_planes=rev,
-        decode_mode=decode_mode,
+        decode_mode=decode_mode, manual_stream=ms,
     )
     # the kernel's d_planes path serves BOTH the histogram cotangent and
     # the decode-weight cotangent (each is a linear function of d_dec)
@@ -601,7 +644,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         threshold, length_correction, mm_dtype, pchunk,
         tex_offset=tex_offset, wrt=kernel_wrt, axis_scale=axis_scale,
         decode_bins=decode_bins, reverse_planes=rev,
-        decode_mode=decode_mode,
+        decode_mode=decode_mode, manual_stream=ms,
     )
     n_chunks_fwd = n_planes // fwd_pchunk
 
@@ -610,12 +653,14 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     in_specs, out_spec, scratch, grid = _sweep_specs(
         H, W, NY, NX, n_planes, n_lut, fwd_pchunk, ess=ess,
         mm_dtype=mm_dtype, seed=seed, decode_bins=decode_bins,
-        reverse_planes=rev, decode_rows=n_w,
+        reverse_planes=rev, decode_rows=n_w, hist_dtype=hist_dtype,
+        manual_stream=ms,
     )
     in_specs_ck, out_spec_ck, scratch_ck, grid_ck = _sweep_specs(
         H, W, NY, NX, n_planes, n_lut, fwd_pchunk, ess=ess, emit_ckpt=True,
         mm_dtype=mm_dtype, seed=seed, decode_bins=decode_bins,
-        reverse_planes=rev, decode_rows=n_w,
+        reverse_planes=rev, decode_rows=n_w, hist_dtype=hist_dtype,
+        manual_stream=ms,
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
@@ -694,9 +739,13 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     def _bwd_call(planes_all, zs_in, params, coef_flat, tck, live_map, g,
                   dw=None):
         g4 = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)  # (4, H, W)
-        if decode_bins:
-            # bwd chunk k processes front-to-back chunk kk = n_chunks-1-k;
-            # the z-ascending layer block for kk is n_chunks-1-kk = k
+        if decode_bins and ms:
+            # the full histogram volume stays in HBM; the kernel's own
+            # double-buffered DMA streams z-layer blocks (block k when rev
+            # — bwd chunk k processes front-to-back chunk kk = n_chunks-1-k
+            # whose z-ascending layer block is n_chunks-1-kk = k)
+            plane_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        elif decode_bins:
             plane_spec = vmem(
                 (pchunk, decode_bins, NY, NX),
                 (lambda k, s: (k, 0, 0, 0)) if rev
@@ -758,8 +807,12 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
                 pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # T replay
                 pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # res cache
                 pltpu.VMEM((pchunk, STRIP, W), jnp.float32),  # col_a cache
-            ] + ([pltpu.VMEM((pchunk, NY, NX), jnp.float32)]
-                 if decode_bins else []),
+            ] + ([
+                pltpu.VMEM((pchunk, NY, NX), jnp.float32),
+            ] if decode_bins else []) + ([
+                pltpu.VMEM((2, pchunk, decode_bins, NY, NX), hist_dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ] if (decode_bins and ms) else []),
             compiler_params=cparams_bwd,
         )(params, zs_in, coef_flat, planes_all, *_dw_args(dw), g4, tck,
           live_map)
@@ -883,6 +936,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
             )
 
         sweep_h.defvjp(sweep_h_fwd, sweep_h_bwd)
+        sweep_h._fwd_ckpt_call = _fwd_ckpt_call  # see live_fractions
         return sweep_h
 
     @jax.custom_vjp
@@ -938,6 +992,7 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
         )
 
     sweep.defvjp(sweep_fwd, sweep_bwd)
+    sweep._fwd_ckpt_call = _fwd_ckpt_call  # see live_fractions
     return sweep
 
 
@@ -1289,13 +1344,14 @@ def pallas_hist_render_diff(
     focal: float = 2.0,
     wrt: tuple = ("hist", "lut"),
     stat: str = "linear",
+    route: str = "inkernel",
 ) -> jnp.ndarray:
     """DIFFERENTIABLE fused render straight from a bins-major histogram
     volume — the in-kernel-decode twin of ``pallas_slice_render_diff``.
 
-    Forward: pallas_slice_render-style fused sweep whose plane prologue
-    decodes the per-voxel statistic in VMEM (see slice_kernel.py
-    pallas_hist_render: ``stat='linear'`` contracts
+    Forward (inkernel route): pallas_slice_render-style fused sweep whose
+    plane prologue decodes the per-voxel statistic in VMEM (see
+    slice_kernel.py pallas_hist_render: ``stat='linear'`` contracts
     ``density = sum_b weights[b] * hist_bm[:, b]``; 'var'/'entropy' run
     the nonlinear combines with rows from ``decode_weight_rows``) — the
     decoded scalar volume never exists in HBM, in EITHER direction: the
@@ -1309,7 +1365,41 @@ def pallas_hist_render_diff(
     coefficients — the template/bin-center analogue; linear stat only),
     "lut", "params". Constraints as pallas_hist_render: n_planes == nz,
     width % 128 == 0, height % STRIP == 0.
+
+    ``route`` selects the implementation (same value, same gradients):
+
+    - ``'inkernel'``: the streamed in-kernel decode described below — the
+      histogram volume is read by BOTH sweeps and nothing decoded ever
+      lands in HBM (minimum-memory; the only route when the decoded f32
+      volume + its cotangent would not fit beside the histograms).
+    - ``'materialized'``: decode the statistic with XLA
+      (:func:`decode_with_rows`), render with the SCALAR fused VJP, and
+      let autodiff transpose the decode (one fused broadcast back to
+      d_hist). Reads the 2-byte histogram stream ONCE instead of twice at
+      the price of one decoded f32 volume in HBM — measured faster at the
+      512^3 x 16-bin headline shape (38.8 vs 47.2 ms on-chip fwd+bwd,
+      2026-08) where the extra 0.5 GB fits easily.
     """
+    if route == "materialized":
+        from vrdd_tpu.pallas.slice_kernel import decode_with_rows
+
+        nz = hist_bm.shape[0]
+        w = jnp.asarray(weights, jnp.float32)
+        if w.ndim == 1:
+            w = w[None, :]
+        mode = {"linear": "linear", "var": "var", "entropy": "entropy"}[stat]
+        vol = decode_with_rows(hist_bm, w, mode)
+        if "hist" not in wrt:
+            vol = jax.lax.stop_gradient(vol)
+        kw = tuple(w2 for w2 in ("volume", "lut", "params")
+                   if (w2 in wrt or (w2 == "volume" and "hist" in wrt)))
+        return pallas_slice_render_diff(
+            vol, origin, tf_lut, density, brightness, transfer_offset,
+            transfer_scale, width=width, height=height, march=march,
+            focal=focal, n_planes=nz, length_correction=length_correction,
+            precision=precision, plane_chunk=plane_chunk or 4, wrt=kw,
+        )
+    assert route == "inkernel", route
     nz, B, ny, nx = hist_bm.shape
     n_planes = nz
     assert width % 128 == 0 and height % STRIP == 0, (width, height)
@@ -1358,3 +1448,85 @@ def pallas_hist_render_diff(
         jnp.asarray(spacing, jnp.float32),
     )
     return out * jnp.asarray(brightness, jnp.float32)
+
+
+def live_fractions(
+    volume,
+    origin,
+    tf_lut,
+    density=0.05,
+    transfer_offset=0.0,
+    transfer_scale=1.0,
+    *,
+    width: int,
+    height: int,
+    march: MarchConfig = MarchConfig(),
+    n_planes: int = 0,
+    plane_chunk: int = 4,
+    focal: float = 2.0,
+) -> dict:
+    """MEASURED culling effectivity of the fused sweep at one config.
+
+    Runs the checkpointing forward (the exact kernel the fwd+bwd headline
+    times) and reduces its per-(strip, chunk) live-tile bitmap — the bits
+    that gate every x-tile body in the forward AND the backward
+    (slice_kernel.py `_make_kernel` emit_ckpt; slice_vjp.py `_bwd_call`
+    processes exactly these bits). Returns
+
+    - ``tile_live_frac``: fraction of (strip, chunk, x-tile) bodies that
+      actually ran — scales the per-sample VPU work and the x-resample
+      matmul of an effective-work roofline bound,
+    - ``strip_live_frac``: fraction of (strip, chunk) pairs with any live
+      tile — scales the per-strip y-resample matmul,
+
+    against the no-culling model (bench.py roofline()). The HBM stream is
+    NOT scaled by liveness: plane blocks stream even for frozen chunks
+    (the index map walks regardless). Requires the kernel-tiled image
+    sizes of the diff path (width % 128 == 0, height % STRIP == 0).
+    """
+    volume = jnp.asarray(volume)
+    nz, ny, nx = volume.shape
+    if n_planes <= 0:
+        n_planes = 2 * nz
+    assert width % 128 == 0 and height % STRIP == 0, (width, height)
+    pchunk = _fit_plane_chunk(plane_chunk, n_planes, ny, nx, width)
+    pure_sel = n_planes == nz
+    sweep = _make_diff_sweep(
+        height, width, ny, nx, n_planes, int(tf_lut.shape[0]), -1,
+        march.box_min, march.box_max, march.tstep, march.opacity_threshold,
+        True, "f32", pchunk, 0.5, ("volume", "lut"),
+        reverse_planes=pure_sel,
+    )
+    if pure_sel:
+        zlo, zhi = march.box_min[2], march.box_max[2]
+        spacing = (zhi - zlo) / n_planes
+        zs = (zlo + spacing * (np.arange(n_planes, dtype=np.float32) + 0.5))
+        zs = zs.astype(np.float32)[::-1].copy()
+        planes_all = volume
+    else:
+        planes_all, zs = _preblend_planes(
+            volume, n_planes, march.box_min, march.box_max, -1, 0.5
+        )
+        spacing = (march.box_max[2] - march.box_min[2]) / n_planes
+    mxh, myh = _pixel_slopes(width, height, focal)
+    slopes = jnp.asarray(
+        [mxh[0], mxh[1] - mxh[0] if width > 1 else 0.0,
+         myh[0], myh[1] - myh[0] if height > 1 else 0.0], jnp.float32,
+    )
+    params = _pack_params(origin, density, transfer_offset, transfer_scale,
+                          slopes, spacing)
+    lut = jnp.asarray(tf_lut, jnp.float32)
+    coef_flat = tf_relu_coefficients(lut).reshape(1, -1)
+    acc0 = jnp.zeros((height, width, 4), jnp.float32)
+    _, _, live_map = sweep._fwd_ckpt_call(
+        planes_all, jnp.asarray(zs, jnp.float32)[None, :], acc0, params,
+        coef_flat, lut,
+    )
+    bits = np.asarray(live_map).astype(np.int64)  # (n_strips, n_chunks)
+    n_xt = width // _xtile(width)
+    pops = ((bits[..., None] >> np.arange(n_xt)) & 1).sum(axis=-1)
+    return {
+        "tile_live_frac": float(pops.mean() / n_xt),
+        "strip_live_frac": float((bits != 0).mean()),
+        "n_xt": n_xt,
+    }
