@@ -1,16 +1,21 @@
 #!/usr/bin/env python
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: Mrays/s/chip forward+backward at 512^3 volume, 1024^2 image
-(BASELINE.json north-star), measured on the slice-sweep MXU renderer with
-gradients w.r.t. the volume and the transfer-function LUT.
+Headline (round 5+): Mrays/s/chip forward+backward at the BASELINE.json
+config-5 semantics — a 512^3 x 16-bin DISTRIBUTION volume (bf16 bins-major
+histograms, 4.3 GB), 1024^2 image, gradients w.r.t. the histograms and the
+transfer-function LUT. The scalar-volume number the r1-r4 headline tracked
+stays on record as ``scalar512_fwdbwd_mrays``.
 
 ``vs_baseline`` compares our *forward* 512^2 throughput (MTexels/s, the
 reference's own benchmark metric, volumeRender.cpp:1066-1067) against the
 reference's published 60 fps at 512^2 => 15.73 MTexels/s on a Quadro K5000.
 
-Timings amortize K on-device iterations inside one jit to exclude host-relay
-latency; completion is forced by a scalar readback.
+Timings amortize iterations inside one jit to exclude host-relay latency
+(the tunneled chip's dispatch+readback RTT is ~25 ms, so a 2-iteration
+amortization inflates every key by ~12 ms — headline keys amortize >= 10
+iterations, the reference's own discipline, volumeRender.cpp:1049-1063);
+completion is forced by a scalar readback.
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ from vrdd_tpu.march.slice import slice_render_image
 from vrdd_tpu.pallas.slice_kernel import pallas_slice_render, pallas_supported
 from vrdd_tpu.pallas.slice_vjp import (
     pallas_diff_supported,
+    pallas_hist_render_diff,
     pallas_slice_render_diff,
 )
 
@@ -51,10 +57,23 @@ PEAK_HBM_GBPS = 819.0
 PEAK_VPU_TOPS = 3.6
 
 
-def roofline(n, W, n_planes, n_lut, dt_fwd, dt_fb, pchunk_bwd=4):
+def roofline(n, W, n_planes, n_lut, dt_fwd, dt_fb, pchunk_bwd=4,
+             live=None):
     """Analytic per-plane bytes / MXU flops / VPU ops for the fused sweep —
-    no-culling upper bounds against measured times. H = W = image edge;
-    NY = NX = n; S = H*W samples per plane.
+    upper bounds against measured times. H = W = image edge; NY = NX = n;
+    S = H*W samples per plane.
+
+    ``live``: measured culling effectivity from
+    vrdd_tpu.pallas.slice_vjp.live_fractions (tile_live_frac /
+    strip_live_frac of the checkpointing forward's own live bitmap — the
+    bits that gate every tile body in BOTH passes). When given, the
+    PRIMARY ``roofline_*_sol_frac`` keys use the EFFECTIVE-work bound:
+    per-sample VPU work and the x-resample matmul scale by tile liveness,
+    the per-strip y-resample by strip liveness, HBM unscaled (plane blocks
+    stream even for frozen chunks). The no-culling bound stays on record
+    as ``roofline_*_sol_frac_nocull`` — by construction >= the effective
+    fraction, and >1.0 exactly when culling beats the no-culling model
+    (the round-4 1.07/1.50 readings, explained: tile liveness was ~0.5).
 
     FORWARD, per plane (slice_kernel.py kernel body):
       HBM : plane stream in, NY*NX*4 B (accumulator + x-weight cache are
@@ -84,54 +103,72 @@ def roofline(n, W, n_planes, n_lut, dt_fwd, dt_fb, pchunk_bwd=4):
     H = W
     NY = NX = n
     S = H * W
-    fwd_mxu = n_planes * (2 * H * NY * NX + 2 * H * W * NX)
+    fwd_mxu_y = n_planes * 2 * H * NY * NX   # per-strip y-resample
+    fwd_mxu_x = n_planes * 2 * H * W * NX    # per-tile x-resample
+    fwd_mxu = fwd_mxu_y + fwd_mxu_x
     fwd_hbm = n_planes * NY * NX * 4 + 2 * H * W * 4 * 4
     fwd_vpu = n_planes * S * (4 * (n_lut - 2) + 34)
-    bwd_mxu = 2 * fwd_mxu
+    bwd_mxu_y, bwd_mxu_x = 2 * fwd_mxu_y, 2 * fwd_mxu_x
     bwd_hbm = (
         n_planes * 2 * NY * NX * 4
         + 2 * (n_planes // pchunk_bwd) * H * W * 4
     )
     bwd_vpu = n_planes * S * (15 * (n_lut - 2) + 45)
-    fb_mxu, fb_hbm, fb_vpu = (
-        fwd_mxu + bwd_mxu, fwd_hbm + bwd_hbm, fwd_vpu + bwd_vpu
+    fb_mxu_y, fb_mxu_x, fb_hbm, fb_vpu = (
+        fwd_mxu_y + bwd_mxu_y, fwd_mxu_x + bwd_mxu_x, fwd_hbm + bwd_hbm,
+        fwd_vpu + bwd_vpu,
     )
+    tile_f = live["tile_live_frac"] if live else 1.0
+    strip_f = live["strip_live_frac"] if live else 1.0
 
-    def bounds(mxu, hbm, vpu, dt):
-        t_mxu = mxu / (PEAK_MXU_TFLOPS * 1e12)
+    def bounds(mxu_y, mxu_x, hbm, vpu, dt):
+        t_mxu = (mxu_y + mxu_x) / (PEAK_MXU_TFLOPS * 1e12)
         t_hbm = hbm / (PEAK_HBM_GBPS * 1e9)
         t_vpu = vpu / (PEAK_VPU_TOPS * 1e12)
-        sol = t_mxu + t_hbm + t_vpu  # additive bound: VPU-dominated regime
-        return t_mxu, t_hbm, t_vpu, sol / dt
+        nocull = (t_mxu + t_hbm + t_vpu) / dt
+        t_mxu_eff = (mxu_y * strip_f + mxu_x * tile_f) / (
+            PEAK_MXU_TFLOPS * 1e12
+        )
+        eff = (t_mxu_eff + t_hbm + t_vpu * tile_f) / dt
+        return t_mxu, t_hbm, t_vpu, nocull, eff
 
-    fm, fh, fv, ffrac = bounds(fwd_mxu, fwd_hbm, fwd_vpu, dt_fwd)
-    bm, bh, bv, bfrac = bounds(fb_mxu, fb_hbm, fb_vpu, dt_fb)
+    fm, fh, fv, ffrac_nc, ffrac = bounds(
+        fwd_mxu_y, fwd_mxu_x, fwd_hbm, fwd_vpu, dt_fwd
+    )
+    bm, bh, bv, bfrac_nc, bfrac = bounds(
+        fb_mxu_y, fb_mxu_x, fb_hbm, fb_vpu, dt_fb
+    )
     out = {
         "roofline_fwd_mxu_gflop": fwd_mxu / 1e9,
         "roofline_fwd_hbm_gb": fwd_hbm / 1e9,
         "roofline_fwd_vpu_gop": fwd_vpu / 1e9,
-        "roofline_fwdbwd_mxu_gflop": fb_mxu / 1e9,
+        "roofline_fwdbwd_mxu_gflop": (fb_mxu_y + fb_mxu_x) / 1e9,
         "roofline_fwdbwd_hbm_gb": fb_hbm / 1e9,
         "roofline_fwdbwd_vpu_gop": fb_vpu / 1e9,
         "roofline_fwd_sol_frac": ffrac,
         "roofline_fwdbwd_sol_frac": bfrac,
+        "roofline_fwd_sol_frac_nocull": ffrac_nc,
+        "roofline_fwdbwd_sol_frac_nocull": bfrac_nc,
     }
+    if live:
+        out["roofline_tile_live_frac"] = tile_f
+        out["roofline_strip_live_frac"] = strip_f
     print(
-        f"roofline (no-culling bounds; MXU {PEAK_MXU_TFLOPS:.0f} TFLOP/s "
-        f"bf16-rate [measured: default f32 matmul IS bf16-multiply], "
-        f"HBM {PEAK_HBM_GBPS:.0f} GB/s, VPU ~{PEAK_VPU_TOPS:.1f} Top/s):\n"
+        f"roofline (MXU {PEAK_MXU_TFLOPS:.0f} TFLOP/s bf16-rate [measured: "
+        f"default f32 matmul IS bf16-multiply], "
+        f"HBM {PEAK_HBM_GBPS:.0f} GB/s, VPU ~{PEAK_VPU_TOPS:.1f} Top/s; "
+        f"measured liveness: tile {tile_f:.3f}, strip {strip_f:.3f}):\n"
         f"  fwd    : MXU {fwd_mxu / 1e9:6.0f} GF ({fm * 1e3:4.1f} ms) + "
         f"HBM {fwd_hbm / 1e9:5.2f} GB ({fh * 1e3:4.1f} ms) + "
-        f"VPU {fwd_vpu / 1e9:6.0f} Gop ({fv * 1e3:5.1f} ms) -> bound "
-        f"{(fm + fh + fv) * 1e3:5.1f} ms vs measured {dt_fwd * 1e3:5.1f} ms "
-        f"= {100 * ffrac:.0f}% of speed-of-light\n"
-        f"  fwd+bwd: MXU {fb_mxu / 1e9:6.0f} GF ({bm * 1e3:4.1f} ms) + "
+        f"VPU {fwd_vpu / 1e9:6.0f} Gop ({fv * 1e3:5.1f} ms) -> measured "
+        f"{dt_fwd * 1e3:5.1f} ms = {100 * ffrac:.0f}% of effective-work "
+        f"SoL ({100 * ffrac_nc:.0f}% of no-culling)\n"
+        f"  fwd+bwd: MXU {(fb_mxu_y + fb_mxu_x) / 1e9:6.0f} GF "
+        f"({bm * 1e3:4.1f} ms) + "
         f"HBM {fb_hbm / 1e9:5.2f} GB ({bh * 1e3:4.1f} ms) + "
-        f"VPU {fb_vpu / 1e9:6.0f} Gop ({bv * 1e3:5.1f} ms) -> bound "
-        f"{(bm + bh + bv) * 1e3:5.1f} ms vs measured {dt_fb * 1e3:5.1f} ms "
-        f"= {100 * bfrac:.0f}% of speed-of-light"
-        + ("  (>100%: early-termination/footprint culling beats the "
-           "no-culling bound)" if bfrac > 1 else ""),
+        f"VPU {fb_vpu / 1e9:6.0f} Gop ({bv * 1e3:5.1f} ms) -> measured "
+        f"{dt_fb * 1e3:5.1f} ms = {100 * bfrac:.0f}% of effective-work "
+        f"SoL ({100 * bfrac_nc:.0f}% of no-culling)",
         file=sys.stderr,
     )
     return out
@@ -151,6 +188,33 @@ def blob_volume(n: int, seed: int = 0) -> np.ndarray:
         vol += gz[:, None, None] * gy[None, :, None] * gx[None, None, :]
     vol /= vol.max()
     return vol
+
+
+def hist_supported(n: int, W: int, tf) -> bool:
+    from vrdd_tpu.pallas.slice_kernel import hist_render_supported
+
+    return hist_render_supported((n, 16, n, n), W, W, n_lut=int(tf.shape[0]))
+
+
+def hist512_volume(n: int, B: int = 16) -> jnp.ndarray:
+    """The headline DISTRIBUTION fixture: a bf16 bins-major (n, B, n, n)
+    histogram volume — per-voxel softmax histograms around a separable-blob
+    mean (structured like the raw-histogram data of
+    volumeRender_kernel.cu:722-742, generated on device: the host array
+    would be 4.3 GB over the tunneled link). Shared by the headline and
+    big sections."""
+
+    @jax.jit
+    def gen():
+        z = jnp.linspace(0, 1, n, dtype=jnp.float32)
+        base = (jnp.exp(-((z - 0.45) ** 2) / 0.05)[:, None, None]
+                * jnp.exp(-((z - 0.55) ** 2) / 0.08)[None, :, None]
+                * jnp.exp(-((z - 0.5) ** 2) / 0.06)[None, None, :])
+        centers = ((jnp.arange(B) + 0.5) / B)[None, :, None, None]
+        logits = -((centers - base[:, None]) ** 2) / 0.02
+        return jax.nn.softmax(logits, axis=1).astype(jnp.bfloat16)
+
+    return gen()
 
 
 def time_amortized(fn, *args, iters: int = 1) -> float:
@@ -187,16 +251,18 @@ def main() -> None:
     p.add_argument(
         "--sections",
         default=os.environ.get(
-            "VRDD_BENCH_SECTIONS", "headline,decode,dist,view,big"
+            "VRDD_BENCH_SECTIONS", "headline,decode,dist,view,big,rot"
         ),
         help="comma list of sections to run, in order: headline (forward "
-        "MTexels/s + fwd+bwd Mrays/s — the metric), decode (Gaussian + "
-        "hist16 differentiable decode), dist (distributed overhead + "
-        "roofline), view (interactive-viewer fps at the reference's 512^2 "
-        "Isabel config), big (1024^3 fwd + fwd+bwd — the above-512^3 "
-        "differentiable datapoint), extras (--full only by default: ESS "
-        "windowed-TF win + distributed Gaussian decode), scaling (pod "
-        "linear-scaling efficiency over all attached devices; reports n/a "
+        "MTexels/s, distribution fwd+bwd — the metric — and the scalar "
+        "fwd+bwd), decode (Gaussian + hist16 differentiable decode), dist "
+        "(distributed overhead + culling-aware roofline), view "
+        "(interactive-viewer fps at the reference's 512^2 Isabel config, "
+        "median of 5 runs), big (1024^3 fwd + fwd+bwd and the nonlinear "
+        "in-kernel stats), rot (rotated distribution-native views), "
+        "extras (--full only by default: ESS windowed-TF win + distributed "
+        "Gaussian decode), scaling (pod linear-scaling efficiency over "
+        "all attached devices, forward AND training step; reports n/a "
         "on one chip). A JSON line is (re-)emitted after every "
         "measurement; last line wins; per-section wall time lands as "
         "sec_<name>_s keys.",
@@ -226,7 +292,10 @@ def main() -> None:
     )
 
     out = {
-        "metric": f"Mrays/s/chip fwd+bwd {n}^3 vol {W}^2 img (slice-sweep)",
+        "metric": (
+            f"Mrays/s/chip fwd+bwd {n}^3x16-bin distribution vol {W}^2 img "
+            "(in-march decode, slice-sweep)"
+        ),
         "value": None,
         "unit": "Mrays/s",
         "vs_baseline": None,
@@ -302,11 +371,62 @@ def main() -> None:
               )
           emit(out)
 
-          # --- forward+backward, headline config: fused Pallas analytic VJP
-          # when supported (three VMEM-resident sweeps; 104 ms vs 269 ms XLA at
-          # 512^3), else the XLA analytic VJP (plane_chunk=1 — XLA fully fuses
-          # the per-plane body, while chunked (C, H, W, 4) intermediates
-          # round-trip HBM) ---
+          # --- THE HEADLINE: fwd+bwd at the BASELINE.json config-5 shape —
+          # a 512^3 x 16-bin bf16 DISTRIBUTION volume (4.3 GB of per-voxel
+          # histograms; the reference's whole premise, README.md:4-6,
+          # volumeRender_kernel.cu:722-872) rendered to 1024^2 with
+          # gradients to the histograms and the TF LUT. Both routes of
+          # pallas_hist_render_diff are timed (in-kernel streamed decode vs
+          # materialized decode + scalar VJP) and the faster one is the
+          # recorded value, named by hist512_fwdbwd_route. KH >= 10
+          # amortized iterations (the reference's own benchmark count). ---
+          KH = max(10, K)
+          if jax.default_backend() == "tpu" and hist_supported(n, W, tf):
+              hist = jax.block_until_ready(hist512_volume(n))
+              dwh = jnp.asarray((np.arange(16) + 0.5) / 16, jnp.float32)
+              route_mrays = {}
+              for route in ("materialized", "inkernel"):
+                  @jax.jit
+                  def hfb(h, lut, o, route=route):
+                      def loss(h, lut, i):
+                          img = pallas_hist_render_diff(
+                              h, dwh, o, lut,
+                              density=0.05 * (1.0 + 1e-6 * i),
+                              width=W, height=W, wrt=("hist", "lut"),
+                              route=route,
+                          )
+                          return jnp.mean((img - 0.25) ** 2)
+
+                      def it(i, acc):
+                          l, (gh, gt) = jax.value_and_grad(
+                              loss, argnums=(0, 1))(h, lut, i)
+                          return acc + l + jnp.sum(gt) + gh[
+                              0, 0, 0, 0].astype(jnp.float32)
+                      return jax.lax.fori_loop(0, KH, it, 0.0)
+
+                  dt, _ = time_amortized(hfb, hist, tf, origin, iters=KH)
+                  route_mrays[route] = W * W / dt / 1e6
+                  note(f"fwd+bwd DISTRIBUTION {n}^3x16 -> {W}^2 "
+                       f"[{route}]: {dt * 1e3:.2f} ms -> "
+                       f"{route_mrays[route]:.2f} Mrays/s")
+                  out[f"hist512_fwdbwd_{route}_mrays"] = round(
+                      route_mrays[route], 2)
+              best = max(route_mrays, key=route_mrays.get)
+              out.update(
+                  metric=(
+                      f"Mrays/s/chip fwd+bwd {n}^3x16-bin distribution vol "
+                      f"{W}^2 img (in-march decode, slice-sweep)"
+                  ),
+                  value=round(route_mrays[best], 2), unit="Mrays/s",
+              )
+              out["hist512_fwdbwd_route"] = best
+              out["hist512_fwdbwd_iters"] = KH
+              del hist
+              emit(out)
+
+          # --- forward+backward on the SCALAR 512^3 volume (the r1-r4
+          # headline, kept as the secondary datapoint): fused Pallas
+          # analytic VJP when supported, else the XLA analytic VJP ---
           @jax.jit
           def fwdbwd_many(v, tf, o):
               def loss(v, tf, i):
@@ -329,16 +449,21 @@ def main() -> None:
                   l, (gv, gt) = jax.value_and_grad(loss, argnums=(0, 1))(v, tf, i)
                   return acc + l + jnp.sum(gt) + gv[0, 0, 0]
 
-              return jax.lax.fori_loop(0, K, it, 0.0)
+              return jax.lax.fori_loop(0, KH, it, 0.0)
 
-          dt_fb, _ = time_amortized(fwdbwd_many, vol, tf, origin, iters=K)
+          dt_fb, _ = time_amortized(fwdbwd_many, vol, tf, origin, iters=KH)
           fb_mrays = W * W / dt_fb / 1e6
-          note(f"fwd+bwd {W}^2 over {n}^3: {dt_fb * 1e3:.2f} ms -> "
+          note(f"fwd+bwd SCALAR {W}^2 over {n}^3: {dt_fb * 1e3:.2f} ms -> "
                f"{fb_mrays:.1f} Mrays/s")
-          out.update(
-              metric=f"Mrays/s/chip fwd+bwd {n}^3 vol {W}^2 img (slice-sweep)",
-              value=round(fb_mrays, 2), unit="Mrays/s",
-          )
+          out["scalar512_fwdbwd_mrays"] = round(fb_mrays, 2)
+          if out.get("hist512_fwdbwd_route") is None:
+              # no distribution config on this backend: the scalar number
+              # remains the headline (CPU runs, tiny configs)
+              out.update(
+                  metric=(f"Mrays/s/chip fwd+bwd {n}^3 vol {W}^2 img "
+                          "(slice-sweep)"),
+                  value=round(fb_mrays, 2), unit="Mrays/s",
+              )
           emit(out)
 
     if "decode" in sections:
@@ -377,6 +502,16 @@ def main() -> None:
               # attribute the jump to the implementation, not the config
               out["hist16_streamed_impl"] = "in-kernel-bf16 (r3: chunked-xla)"
               out["hist16_streamed_f32_fwdbwd_mrays"] = round(ik["f32"], 2)
+              # the exactness-vs-speed tradeoff on record (VERDICT r4 #7):
+              # f32 histogram storage makes the in-kernel decode bitwise
+              # exact but streams 2x the bytes; the bf16 default carries
+              # ~1e-3 decode rounding — the SAME rounding the materialized
+              # route's default-precision decode matmul applies
+              out["hist16_streamed_f32_note"] = (
+                  "f32 = bitwise-exact decode at 2x stream bytes; bf16 "
+                  "default trades ~1e-3 decode rounding (== materialized "
+                  "route's matmul precision) for throughput"
+              )
               out["hist16_streamed_fwd_temp_mb"] = round(
                   ik["fwd_temp_mb"], 1)
               out["hist16_materialized_fwd_temp_mb"] = round(
@@ -401,13 +536,24 @@ def main() -> None:
               emit(out)
               if dt_fb is not None:
                   # the roofline's forward is the unsharded (W, W) fused
-                  # kernel the distributed section already timed; the
-                  # ESS-on fraction is reported alongside (culling only
-                  # removes real work, so it can exceed the plain number
-                  # against the same no-culling bound — that is the point)
+                  # kernel the distributed section already timed. The
+                  # MEASURED tile/strip liveness of the checkpointing
+                  # forward (the same bitmap that gates both passes)
+                  # converts the no-culling model into an effective-work
+                  # bound (roofline v2, VERDICT r4 weak #1): the primary
+                  # sol_frac keys are <= 1 by construction up to model
+                  # error, the no-culling fractions stay as *_nocull
+                  from vrdd_tpu.pallas.slice_vjp import live_fractions
+
+                  live = live_fractions(
+                      vol, origin, tf, width=W, height=W, n_planes=n,
+                  )
+                  note(f"measured liveness: tile "
+                       f"{live['tile_live_frac']:.3f}, strip "
+                       f"{live['strip_live_frac']:.3f}")
                   roof = roofline(
                       n, W, n, int(tf.shape[0]),
-                      dist["unsharded_fwd_ms"] / 1e3, dt_fb,
+                      dist["unsharded_fwd_ms"] / 1e3, dt_fb, live=live,
                   )
                   roof["roofline_fwd_sol_frac_ess"] = (
                       roof["roofline_fwd_sol_frac"]
@@ -419,17 +565,33 @@ def main() -> None:
 
     if "view" in sections:
       with sec("view"):
-          fps_unrot, fps_rot = viewer_fps_config(K)
-          note(f"viewer 512^2 Isabel config: {fps_unrot:.1f} fps unrotated, "
-               f"{fps_rot:.1f} fps under rotation drag (reference: 60 fps)")
+          # MEDIAN of 5 runs with the band recorded: the tunneled link's
+          # weather swings single-run fps by +-40% (r4: one draw landed at
+          # 45.3 from a 27-75 band); the median reflects the pipeline, the
+          # band shows the link (VERDICT r4 weak #4)
+          unrots, rots = viewer_fps_config(K, runs=5)
+          fps_unrot, fps_rot = float(np.median(unrots)), float(np.median(rots))
+          note(f"viewer 512^2 Isabel config: median {fps_unrot:.1f} fps "
+               f"unrotated (band {min(unrots):.1f}-{max(unrots):.1f}), "
+               f"median {fps_rot:.1f} fps under rotation drag (band "
+               f"{min(rots):.1f}-{max(rots):.1f}); reference: 60 fps")
           out["viewer_fps_512"] = round(fps_unrot, 1)
           out["viewer_fps_rotated_512"] = round(fps_rot, 1)
+          out["viewer_fps_512_band"] = [
+              round(min(unrots), 1), round(max(unrots), 1)]
+          out["viewer_fps_rotated_512_band"] = [
+              round(min(rots), 1), round(max(rots), 1)]
           emit(out)
 
     if "big" in sections and jax.default_backend() == "tpu":
       with sec("big"):
           big = bench_big(tf, note)
           out.update(big)
+          emit(out)
+
+    if "rot" in sections and jax.default_backend() == "tpu":
+      with sec("rot"):
+          out.update(bench_rot(tf, note))
           emit(out)
 
     if "scaling" in sections:
@@ -474,15 +636,14 @@ def blob_volume_device(n: int, seed: int = 0) -> jnp.ndarray:
 
 
 def bench_big(tf, note, n: int = 1024, W: int = 1024):
-    """The above-512^3 datapoints: 1024^3 -> 1024^2 forward (fused sweep)
-    and forward+backward (STREAMED seeded-chunk sweep — at this size the
-    materialized path's plane stack + plane cotangents alone are 8 GB, so
-    streaming is not a fallback but the only differentiable route on a
-    16 GB chip; march/streaming.py, BASELINE.json north-star scaling axis).
-    Volume + its cotangent are resident (8 GB); chunk residuals stay
-    O(chunk). Grads reach the volume and the TF LUT."""
-    from vrdd_tpu.march.streaming import streaming_decode_render
-
+    """The above-512^3 datapoints: 1024^3 -> 1024^2 forward and
+    forward+backward, both on the DIRECT fused Pallas VJP. Round 4's
+    pure-selection streaming removed every flip copy from both passes, so
+    the 4 GB volume + 4 GB cotangent + ~1 GB transmittance checkpoints fit
+    a 16 GB chip and the streamed chunk-chain route (3.1 Mrays/s in
+    BENCH_r04 — r5's `fwdbwd_1024_route` key records the change) is now
+    only the beyond-HBM fallback (march/streaming.py scope note). Grads
+    reach the volume and the TF LUT."""
     out = {}
     vol = jax.block_until_ready(blob_volume_device(n))
     origin = jnp.asarray([0.0, 0.0, 4.0], dtype=jnp.float32)
@@ -495,9 +656,9 @@ def bench_big(tf, note, n: int = 1024, W: int = 1024):
                 height=W, n_planes=n
             )
             return acc + jnp.sum(img)
-        return jax.lax.fori_loop(0, 2, it, 0.0)
+        return jax.lax.fori_loop(0, 4, it, 0.0)
 
-    dt_f, _ = time_amortized(fwd, vol, tf, origin, iters=2)
+    dt_f, _ = time_amortized(fwd, vol, tf, origin, iters=4)
     out["fwd_1024_ms"] = round(dt_f * 1e3, 2)
     out["fwd_1024_mrays"] = round(W * W / dt_f / 1e6, 2)
     note(f"forward 1024^2 over 1024^3: {dt_f * 1e3:.1f} ms -> "
@@ -507,28 +668,22 @@ def bench_big(tf, note, n: int = 1024, W: int = 1024):
     @jax.jit
     def fwdbwd(v, lut, o):
         def loss(v, lut, i):
-            # the STREAMED path must keep the volume itself loop-variant:
-            # with v invariant across iterations XLA hoists every chunk's
-            # pre-blend out of the fori_loop, materializing the full plane
-            # stack at once (observed: 17.7 GB > 15.75 GB HBM OOM). The
-            # ~10 ms copy is the price of keeping the chunk chain inside
-            # the loop; density-only perturbation is NOT safe here.
-            img = streaming_decode_render(
-                v * (1.0 + 1e-6 * i), lambda x: x, o, lut, width=W,
-                height=W, n_planes=n, chunk_planes=128, backend="auto",
-                wrt=("volume", "lut"),
+            img = pallas_slice_render_diff(
+                v, o, lut, density=0.05 * (1.0 + 1e-6 * i), width=W,
+                height=W, n_planes=n, wrt=("volume", "lut"),
             )
             return jnp.mean((img - 0.25) ** 2)
 
         def it(i, acc):
             l, (gv, gt) = jax.value_and_grad(loss, argnums=(0, 1))(v, lut, i)
             return acc + l + jnp.sum(gt) + gv[0, 0, 0]
-        return jax.lax.fori_loop(0, 2, it, 0.0)
+        return jax.lax.fori_loop(0, 4, it, 0.0)
 
-    dt_fb, _ = time_amortized(fwdbwd, vol, tf, origin, iters=2)
+    dt_fb, _ = time_amortized(fwdbwd, vol, tf, origin, iters=4)
     out["fwdbwd_1024_ms"] = round(dt_fb * 1e3, 2)
     out["fwdbwd_1024_mrays"] = round(W * W / dt_fb / 1e6, 2)
-    note(f"fwd+bwd (streamed) 1024^2 over 1024^3: {dt_fb * 1e3:.1f} ms -> "
+    out["fwdbwd_1024_route"] = "direct-pallas (r4: streamed-chunk-chain)"
+    note(f"fwd+bwd (direct) 1024^2 over 1024^3: {dt_fb * 1e3:.1f} ms -> "
          f"{out['fwdbwd_1024_mrays']:.1f} Mrays/s")
     del vol
     out.update(bench_big_hist(tf, note))
@@ -536,32 +691,23 @@ def bench_big(tf, note, n: int = 1024, W: int = 1024):
 
 
 def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
-    """Distribution-NATIVE rendering at the headline scale: a 512^3 x
+    """Distribution-NATIVE rendering at the headline scale: the 512^3 x
     16-bin bf16 histogram volume (4.3 GB — 16x the scalar headline
-    volume's data) rendered and differentiated straight through the
-    in-kernel decode; the decoded scalar volume never exists in HBM.
-    Measured 2026-08: fwd 30.3 ms (34.6 Mrays/s, 142 GB/s histogram
-    stream), fwd+bwd 60.3 ms — 1.6x the scalar-volume headline cost for
-    16x the per-voxel data (volumeRender_kernel.cu:354-480 generalized)."""
+    volume's data) through the in-kernel decode; the decoded scalar volume
+    never exists in HBM on these keys (the fwd+bwd headline itself now
+    lives in the headline section and picks the faster route).
+    Nonlinear stats: variance = 4-contraction combine, entropy = per-bin
+    log2 sum, both in the same VMEM prologue (reference queries 2/3,
+    volumeRender_kernel.cu:749-769)."""
     from vrdd_tpu.pallas.slice_kernel import (
-        hist_render_supported, pallas_hist_render,
+        decode_weight_rows, hist_render_supported, pallas_hist_render,
     )
-    from vrdd_tpu.pallas.slice_vjp import pallas_hist_render_diff
 
     if not hist_render_supported((n, B, n, n), W, W, n_lut=int(tf.shape[0])):
         return {}
 
-    @jax.jit
-    def gen():
-        z = jnp.linspace(0, 1, n, dtype=jnp.float32)
-        base = (jnp.exp(-((z - 0.45) ** 2) / 0.05)[:, None, None]
-                * jnp.exp(-((z - 0.55) ** 2) / 0.08)[None, :, None]
-                * jnp.exp(-((z - 0.5) ** 2) / 0.06)[None, None, :])
-        centers = ((jnp.arange(B) + 0.5) / B)[None, :, None, None]
-        logits = -((centers - base[:, None]) ** 2) / 0.02
-        return jax.nn.softmax(logits, axis=1).astype(jnp.bfloat16)
-
-    hist = jax.block_until_ready(gen())
+    KB = 8
+    hist = jax.block_until_ready(hist512_volume(n, B))
     dw = jnp.asarray((np.arange(B) + 0.5) / B, jnp.float32)
     origin = jnp.asarray([0.0, 0.0, 4.0], jnp.float32)
     out = {}
@@ -574,41 +720,14 @@ def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
                 width=W, height=W,
             )
             return acc + jnp.sum(img)
-        return jax.lax.fori_loop(0, 2, it, 0.0)
+        return jax.lax.fori_loop(0, KB, it, 0.0)
 
-    dt, _ = time_amortized(fwd, hist, tf, origin, iters=2)
+    dt, _ = time_amortized(fwd, hist, tf, origin, iters=KB)
     out["hist512_inkernel_fwd_ms"] = round(dt * 1e3, 2)
     out["hist512_inkernel_fwd_mrays"] = round(W * W / dt / 1e6, 2)
     note(f"512^3x16 bf16 distribution-native fwd 1024^2: {dt*1e3:.1f} ms "
          f"-> {out['hist512_inkernel_fwd_mrays']:.1f} Mrays/s "
          f"({n * B * n * n * 2 / dt / 1e9:.0f} GB/s histogram stream)")
-
-    @jax.jit
-    def fwdbwd(h, lut, o):
-        def loss(h, lut, i):
-            img = pallas_hist_render_diff(
-                h, dw, o, lut, density=0.05 * (1.0 + 1e-6 * i),
-                width=W, height=W, wrt=("hist", "lut"),
-            )
-            return jnp.mean((img - 0.25) ** 2)
-
-        def it(i, acc):
-            l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(h, lut, i)
-            return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, 2, it, 0.0)
-
-    dt, _ = time_amortized(fwdbwd, hist, tf, origin, iters=2)
-    out["hist512_inkernel_fwdbwd_ms"] = round(dt * 1e3, 2)
-    out["hist512_inkernel_fwdbwd_mrays"] = round(W * W / dt / 1e6, 2)
-    note(f"512^3x16 bf16 distribution-native fwd+bwd 1024^2: "
-         f"{dt*1e3:.1f} ms -> "
-         f"{out['hist512_inkernel_fwdbwd_mrays']:.1f} Mrays/s")
-
-    # NONLINEAR in-kernel stats (reference queries 2/3,
-    # volumeRender_kernel.cu:749-769): variance = 4-contraction combine,
-    # entropy = per-bin log2 sum, both in the same VMEM prologue — no
-    # decoded volume, no chunked fallback path
-    from vrdd_tpu.pallas.slice_kernel import decode_weight_rows
 
     for stat, tscl in (("var", 30.0), ("entropy", 1.0)):
         rows, mode = decode_weight_rows(stat, B, family="unit")
@@ -622,42 +741,43 @@ def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
                     transfer_scale=tscl, width=W, height=W, stat=mode,
                 )
                 return acc + jnp.sum(img)
-            return jax.lax.fori_loop(0, 2, it, 0.0)
+            return jax.lax.fori_loop(0, KB, it, 0.0)
 
-        dt, _ = time_amortized(fwd_s, hist, tf, origin, iters=2)
+        dt, _ = time_amortized(fwd_s, hist, tf, origin, iters=KB)
         out[f"hist512_inkernel_{stat}_fwd_ms"] = round(dt * 1e3, 2)
         out[f"hist512_inkernel_{stat}_fwd_mrays"] = round(W * W / dt / 1e6, 2)
         note(f"512^3x16 bf16 in-kernel {stat} fwd 1024^2: {dt*1e3:.1f} ms "
              f"-> {out[f'hist512_inkernel_{stat}_fwd_mrays']:.1f} Mrays/s")
 
-    vrows, _ = decode_weight_rows("var", B, family="unit")
-    vrows = jnp.asarray(vrows)
+        @jax.jit
+        def fwdbwd_s(h, lut, o, rows=rows, mode=mode, tscl=tscl):
+            def loss(h, lut, i):
+                img = pallas_hist_render_diff(
+                    h, rows, o, lut, density=0.05 * (1.0 + 1e-6 * i),
+                    transfer_scale=tscl, width=W, height=W,
+                    wrt=("hist", "lut"), stat=mode,
+                )
+                return jnp.mean((img - 0.25) ** 2)
 
-    @jax.jit
-    def fwdbwd_var(h, lut, o):
-        def loss(h, lut, i):
-            img = pallas_hist_render_diff(
-                h, vrows, o, lut, density=0.05 * (1.0 + 1e-6 * i),
-                transfer_scale=30.0, width=W, height=W,
-                wrt=("hist", "lut"), stat="var",
-            )
-            return jnp.mean((img - 0.25) ** 2)
+            def it(i, acc):
+                l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(
+                    h, lut, i)
+                return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(
+                    jnp.float32)
+            return jax.lax.fori_loop(0, KB, it, 0.0)
 
-        def it(i, acc):
-            l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(h, lut, i)
-            return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, 2, it, 0.0)
-
-    dt, _ = time_amortized(fwdbwd_var, hist, tf, origin, iters=2)
-    out["hist512_inkernel_var_fwdbwd_ms"] = round(dt * 1e3, 2)
-    out["hist512_inkernel_var_fwdbwd_mrays"] = round(W * W / dt / 1e6, 2)
-    note(f"512^3x16 bf16 in-kernel var fwd+bwd 1024^2: {dt*1e3:.1f} ms -> "
-         f"{out['hist512_inkernel_var_fwdbwd_mrays']:.1f} Mrays/s")
+        dt, _ = time_amortized(fwdbwd_s, hist, tf, origin, iters=KB)
+        out[f"hist512_inkernel_{stat}_fwdbwd_ms"] = round(dt * 1e3, 2)
+        out[f"hist512_inkernel_{stat}_fwdbwd_mrays"] = round(
+            W * W / dt / 1e6, 2)
+        note(f"512^3x16 bf16 in-kernel {stat} fwd+bwd 1024^2: "
+             f"{dt*1e3:.1f} ms -> "
+             f"{out[f'hist512_inkernel_{stat}_fwdbwd_mrays']:.1f} Mrays/s")
 
     # DISTRIBUTED distribution-native: histogram slabs on bricks, decode
     # in each brick's kernel, sort-last exact-ET compositing — the 1-chip
     # mesh records the full machinery's per-chip cost next to the
-    # unsharded in-kernel number above
+    # unsharded in-kernel numbers above
     from vrdd_tpu.parallel.mesh import make_mesh
     from vrdd_tpu.parallel.sweep import (
         distributed_hist_render, shard_hist_volume,
@@ -678,24 +798,37 @@ def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
         def it(i, acc):
             l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(h, lut, i)
             return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, 2, it, 0.0)
+        return jax.lax.fori_loop(0, KB, it, 0.0)
 
-    dt, _ = time_amortized(dist_fwdbwd, hs, tf, origin, iters=2)
+    dt, _ = time_amortized(dist_fwdbwd, hs, tf, origin, iters=KB)
     out["hist512_dist_fwdbwd_ms"] = round(dt * 1e3, 2)
     out["hist512_dist_fwdbwd_mrays"] = round(W * W / dt / 1e6, 2)
     note(f"512^3x16 bf16 DISTRIBUTED in-kernel decode fwd+bwd 1024^2 "
          f"(1-chip mesh): {dt*1e3:.1f} ms -> "
          f"{out['hist512_dist_fwdbwd_mrays']:.1f} Mrays/s")
+    return out
 
-    # ROTATED distribution-native under sharding (the last composition
-    # cell): the bins-major volume's spatial axes permute with the view's
-    # principal axis, the slab shard follows, the decode stays in-kernel.
-    # The y-principal view pays the honest per-octant cost (a 4.3 GB
-    # axis transpose + re-shard — amortized across every view in the same
-    # octant in interactive use); the z-principal view shows the
-    # amortized-octant cost (identity permute)
+
+def bench_rot(tf, note, n: int = 512, W: int = 1024, B: int = 16):
+    """ROTATED distribution-native under sharding (its own section — the
+    two keys cost a 4.3 GB octant permute + compiles, VERDICT r4 weak #7):
+    the bins-major volume's spatial axes permute with the view's principal
+    axis, the slab shard follows, the decode stays in-kernel. The
+    y-principal view pays the honest per-octant cost (a 4.3 GB axis
+    transpose + re-shard — amortized across every view in the same octant
+    in interactive use); the z-principal view shows the amortized-octant
+    cost (identity permute)."""
     from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    from vrdd_tpu.pallas.slice_kernel import hist_render_supported
+    from vrdd_tpu.parallel.mesh import make_mesh
     from vrdd_tpu.parallel.sweep import distributed_shearwarp_hist_render
+
+    if not hist_render_supported((n, B, n, n), W, W, n_lut=int(tf.shape[0])):
+        return {}
+    hist = jax.block_until_ready(hist512_volume(n, B))
+    dw = jnp.asarray((np.arange(B) + 0.5) / B, jnp.float32)
+    mesh = make_mesh(1, 1)
+    out = {}
 
     for tag, (rx, ry) in (("zrot", (20.0, 30.0)), ("yrot", (80.0, 10.0))):
         iv = np.asarray(
@@ -720,9 +853,9 @@ def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
         # forces a real sync like time_amortized
         r = float(rot_fwd(hist, tf, 0))
         t0 = time.perf_counter()
-        for i in range(1, 3):
+        for i in range(1, 4):
             r = float(rot_fwd(hist, tf, i))
-        dt = (time.perf_counter() - t0) / 2
+        dt = (time.perf_counter() - t0) / 3
         out[f"hist512_{tag}_fwd_ms"] = round(dt * 1e3, 2)
         note(f"512^3x16 bf16 ROTATED ({tag}) distribution-native fwd "
              f"{W}^2 (1-chip mesh, octant-cached permute): {dt*1e3:.1f} ms")
@@ -1028,14 +1161,16 @@ def decode_config_hist16_streamed(n, W, K, tf, origin):
     return W * W / dt / 1e6
 
 
-def viewer_fps_config(K):
+def viewer_fps_config(K, runs: int = 1):
     """Interactive-viewer frame rate through the viewer's EXACT frame path
     (ViewerServer.render_frame: pipeline auto-render + uint8 pack + bytes),
     at the reference's interactive config — 512^2 image over the
     Isabel-shaped decoded stats volume (presentation.pdf "Frame rate:
     60 fps" on a Quadro K5000). Two regimes: the fixed benchmark view
     (object-order fused path) and a continuous rotation drag (shear-warp
-    path, slope grids traced so dragging never recompiles)."""
+    path, slope grids traced so dragging never recompiles). Returns two
+    lists of ``runs`` fps samples (one server, back-to-back passes) so the
+    caller can take the median + band across link weather."""
     from vrdd_tpu.io.synthetic import random_histogram_volume
     from vrdd_tpu.models.pipeline import RenderPipeline
     from vrdd_tpu.models.volumes import RawHistogramVolume
@@ -1044,6 +1179,7 @@ def viewer_fps_config(K):
     hist = random_histogram_volume((10, 50, 50), n_bins=32, seed=0)
     pipe = RenderPipeline(raw=RawHistogramVolume(jnp.asarray(hist)))
     srv = ViewerServer(pipe, width=512, height=512, port=0)
+    unrots, rots = [], []
     try:
         n_frames = max(16, 8 * K)
         # the browser client's exact request: RGB payload + pipelined server
@@ -1051,27 +1187,30 @@ def viewer_fps_config(K):
         # readback over the tunneled link). Warm 3 frames per regime:
         # compile + fill the 2-deep pipeline, as a real drag does within
         # its first ~100 ms
-        for i in range(3):  # compile + pipeline fill, unrotated
-            srv.render_frame(
-                {"density": 0.04 + 1e-7 * i, "fmt": "rgb", "pipe": "1"})
-        t0 = time.perf_counter()
-        for i in range(n_frames):
-            srv.render_frame(
-                {"density": 0.05 + 1e-7 * i, "fmt": "rgb", "pipe": "1"})
-        fps_unrot = n_frames / (time.perf_counter() - t0)
-        for i in range(3):  # compile + pipeline fill, shear-warp
-            srv.render_frame(
-                {"rx": 9.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb", "pipe": "1"}
-            )
-        t0 = time.perf_counter()
-        for i in range(n_frames):
-            srv.render_frame(
-                {"rx": 10.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb", "pipe": "1"}
-            )
-        fps_rot = n_frames / (time.perf_counter() - t0)
+        for r in range(runs):
+            for i in range(3):  # compile + pipeline fill, unrotated
+                srv.render_frame(
+                    {"density": 0.04 + 1e-7 * i, "fmt": "rgb", "pipe": "1"})
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                srv.render_frame(
+                    {"density": 0.05 + 1e-7 * i, "fmt": "rgb", "pipe": "1"})
+            unrots.append(n_frames / (time.perf_counter() - t0))
+            for i in range(3):  # compile + pipeline fill, shear-warp
+                srv.render_frame(
+                    {"rx": 9.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb",
+                     "pipe": "1"}
+                )
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                srv.render_frame(
+                    {"rx": 10.0 + 0.05 * i, "ry": 5.0, "fmt": "rgb",
+                     "pipe": "1"}
+                )
+            rots.append(n_frames / (time.perf_counter() - t0))
     finally:
         srv.httpd.server_close()
-    return fps_unrot, fps_rot
+    return unrots, rots
 
 
 def dist_overhead(n, W, K, vol, tf, origin, use_pallas_diff):

@@ -30,10 +30,17 @@ def test_measure_scaling_virtual_mesh():
     assert out["scaling_t1_ms"] > 0 and out["scaling_tN_ms"] > 0
     assert out["scaling_efficiency"] is not None
     assert out["scaling_efficiency"] > 0
+    # the TRAINING-step pair (BASELINE.json: gradients all-reduced
+    # overlapped with the backward) runs on both meshes too
+    assert out["scaling_fwdbwd_t1_ms"] > 0
+    assert out["scaling_fwdbwd_tN_ms"] > 0
+    assert out["scaling_fwdbwd_efficiency"] > 0
 
 
 def test_measure_scaling_single_device_reports_armed():
     out = measure_scaling(jax.devices()[:1], size=16, image=64, iters=1)
     assert out["scaling_n_devices"] == 1
     assert out["scaling_efficiency"] is None
+    assert out["scaling_fwdbwd_efficiency"] is None
+    assert out["scaling_fwdbwd_t1_ms"] > 0
     assert "ready" in out["scaling_note"]

@@ -110,26 +110,65 @@ def measure_scaling(
         float(fwd(vs, tf, origin))
         return (time.perf_counter() - t0) / iters
 
+    def timed_step(mesh):
+        # the TRAINING step (the claim the north star actually makes:
+        # parameter gradients all-reduced overlapped with the backward —
+        # BASELINE.json): full distributed sweep-fit step, volume + LUT
+        # learned, optimizer update included (parallel/train.py
+        # make_sweep_fit_step). Steps are dispatched back to back and
+        # synced once, so host-relay latency amortizes like the fori_loop.
+        from vrdd_tpu.parallel.train import (
+            make_sweep_fit_step, shard_target_image,
+        )
+
+        vs = shard_scalar_volume(jnp.asarray(vol_host), mesh)
+        init_fn, step_fn = make_sweep_fit_step(
+            mesh, image, image, learn_volume=True, n_planes=n_planes,
+            backend=backend,
+        )
+        params, opt_state = init_fn(tf, volume=vs)
+        target = shard_target_image(
+            jnp.full((image, image, 4), 0.25, jnp.float32), mesh
+        )
+        params, opt_state, loss = step_fn(
+            params, opt_state, vs, origin, target
+        )  # compile
+        float(loss)  # warm sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, loss = step_fn(
+                params, opt_state, vs, origin, target
+            )
+        float(loss)
+        return (time.perf_counter() - t0) / iters
+
     t1 = timed(make_mesh(1, 1, devices=devices[:1]))
+    t1_fb = timed_step(make_mesh(1, 1, devices=devices[:1]))
     out = {
         "scaling_n_devices": n_dev,
         "scaling_shape": f"{size}^3 -> {image}^2",
         "scaling_t1_ms": round(t1 * 1e3, 3),
         "scaling_rays_per_s_1dev": round(image * image / t1, 0),
+        "scaling_fwdbwd_t1_ms": round(t1_fb * 1e3, 3),
     }
     if n_dev == 1:
         # single chip: nothing to scale over — report the harness as armed
         out["scaling_efficiency"] = None
+        out["scaling_fwdbwd_efficiency"] = None
         out["scaling_note"] = (
             "1 device attached; harness ready (>=80% linear target, "
-            "BASELINE.md) — run on a pod to measure"
+            "BASELINE.md; forward AND training step) — run on a pod to "
+            "measure"
         )
         return out
     tn = timed(make_mesh(bricks, rays, devices=devices))
+    tn_fb = timed_step(make_mesh(bricks, rays, devices=devices))
     out.update(
         scaling_mesh=f"bricks={bricks} x rays={rays}",
         scaling_tN_ms=round(tn * 1e3, 3),
         scaling_rays_per_s_Ndev=round(image * image / tn, 0),
         scaling_efficiency=round(t1 / (n_dev * tn), 4),
+        scaling_fwdbwd_tN_ms=round(tn_fb * 1e3, 3),
+        scaling_fwdbwd_efficiency=round(t1_fb / (n_dev * tn_fb), 4),
     )
     return out
