@@ -584,20 +584,33 @@ def cmd_render_hist(args) -> int:
     use_kernel = jax.default_backend() == "tpu" and hist_render_supported(
         (nz, B, ny, nx), W, H, n_lut=9
     )
-    if rotated and use_kernel:
-        # rotated views: the shear-warp × in-kernel-decode composition on
-        # a 1-chip mesh (parallel/sweep.py distributed_shearwarp_hist_render)
+    if rotated:
+        # the rotated kernel path runs on a PERMUTED volume over a bounding
+        # m-grid, so its support check uses the permuted shape + actual
+        # m-grid dims (and oversample=1.0 — the fused hist kernel keeps its
+        # whole accumulator VMEM-resident, so a 2x m-grid at large images
+        # outgrows the budget; see bench.py bench_rot)
         from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
-        from vrdd_tpu.parallel.mesh import make_mesh
-        from vrdd_tpu.parallel.sweep import distributed_shearwarp_hist_render
 
         iv = inv_view_from_rotation_translation(
             args.rot_x, args.rot_y, (0.0, 0.0, args.translate_z)
         )
+        if use_kernel:
+            from vrdd_tpu.parallel.sweep import shearwarp_hist_supported
+
+            use_kernel = shearwarp_hist_supported(
+                (nz, B, ny, nx), iv, W, H, oversample=1.0
+            )
+    if rotated and use_kernel:
+        # rotated views: the shear-warp × in-kernel-decode composition on
+        # a 1-chip mesh (parallel/sweep.py distributed_shearwarp_hist_render)
+        from vrdd_tpu.parallel.mesh import make_mesh
+        from vrdd_tpu.parallel.sweep import distributed_shearwarp_hist_render
+
         img = distributed_shearwarp_hist_render(
             jnp.asarray(hist), jnp.asarray(rows), iv, W, H, tf,
             density=args.density, transfer_scale=args.tf_scale,
-            mesh=make_mesh(1, 1), stat=mode,
+            mesh=make_mesh(1, 1), stat=mode, oversample=1.0,
         )
         path = f"rotated in-kernel fused decode ({args.stat})"
     elif rotated:

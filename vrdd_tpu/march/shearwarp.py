@@ -155,15 +155,6 @@ def _bilinear_warp_2d_traced(
     )
 
 
-#: jitted traced warp for callers whose m-sweep runs OUTSIDE their own jit
-#: (the distributed shear-warp paths): ONE executable per image shape with
-#: the index maps as device data — the eager host-index `_bilinear_warp_2d`
-#: measured ~670 ms/frame at 1024² over a tunneled chip (per-op dispatch +
-#: 4 × 4 MB index constants re-uploaded per gather); this is ~RTT + one
-#: gather. Same f32 arithmetic, bitwise-equal output.
-bilinear_warp_2d_jit = jax.jit(_bilinear_warp_2d_traced)
-
-
 def slope_corner_bounds(
     inv_view: np.ndarray, width: int, height: int, focal: float = 2.0
 ):
@@ -179,7 +170,7 @@ def slope_corner_bounds(
     grid for Θ(H·W) host work — measured 55 ms/frame at 1024², the
     dominant per-frame cost of the distributed rotated entry points (the
     per-pixel warp maps they also used to consume are built on device by
-    :func:`warp_from_rotation` instead)."""
+    :func:`_warp_from_rotation_traced` inside their fused frame jits)."""
     inv_view = np.asarray(inv_view, dtype=np.float32)
     axis, (px, py, pz), dz_sign, ok = _principal_axis_geometry(
         inv_view, width, height, focal
@@ -218,19 +209,6 @@ def _warp_from_rotation_traced(
     my_all = d_world(py) / dzc
     return _bilinear_warp_2d_traced(
         img_m, (mx_all - mgrid[0]) / mgrid[1], (my_all - mgrid[2]) / mgrid[3]
-    )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "focal", "perm_world")
-)
-def warp_from_rotation(
-    img_m, rot, mgrid, *, width, height, focal, perm_world
-):
-    """Standalone jitted :func:`_warp_from_rotation_traced` (callers that
-    fuse the warp into a larger jit use the traced form directly)."""
-    return _warp_from_rotation_traced(
-        img_m, rot, mgrid, width, height, focal, perm_world
     )
 
 

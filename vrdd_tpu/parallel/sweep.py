@@ -152,30 +152,48 @@ def _over(acc, part):
     return acc + part * (1.0 - acc[..., 3:4])
 
 
-#: one-entry octant cache for the rotated paths' permuted+re-sharded volume:
-#: [(source_array, perm, mesh, spec, permuted)]. Rotating within a
-#: principal-axis octant then really moves no volume data (the docstring
-#: contract) — without this, every frame re-dispatched the transpose +
-#: device_put eagerly (measured ~400 ms/frame for a 4.3 GB bins-major
-#: histogram volume on the tunneled v5e). One entry bounds device memory:
-#: the cache holds ONE permuted copy (plus a reference to its source so the
-#: identity key can never be reused by a freed array).
-_OCTANT_CACHE: list = []
+#: octant cache for the rotated paths' permuted+re-sharded volume: ONE slot
+#: per entry point ('scalar' / 'hist'), each holding (source_array, perm,
+#: mesh, spec, permuted). Rotating within a principal-axis octant then
+#: really moves no volume data (the docstring contract) — without this,
+#: every frame re-dispatched the transpose + device_put eagerly (measured
+#: ~400 ms/frame for a 4.3 GB bins-major histogram volume on the tunneled
+#: v5e). Per-entry-point slots keep the amortization when scalar and hist
+#: renders alternate (one shared slot thrashed); one slot per entry point
+#: bounds pinned device memory at one permuted copy each. Long-lived
+#: processes that drop a volume should call :func:`clear_octant_cache` —
+#: the slot holds strong references to both the source and the permuted
+#: copy until then.
+_OCTANT_CACHE: dict = {}
 
 
-def _permuted_sharded(src, perm, mesh, spec):
+def clear_octant_cache(slot: str = None) -> None:
+    """Release the octant cache's pinned device arrays (``slot`` = 'scalar'
+    or 'hist'; default both). The cache holds strong references to the last
+    rotated render's source volume AND its permuted copy (~2x the volume's
+    bytes pinned in HBM) so same-octant frames skip the transpose; call
+    this when a long-lived process (the viewer, a fitting loop) is done
+    with a volume."""
+    if slot is None:
+        _OCTANT_CACHE.clear()
+    else:
+        _OCTANT_CACHE.pop(slot, None)
+
+
+def _permuted_sharded(src, perm, mesh, spec, slot="scalar"):
     """Transpose ``src`` by ``perm`` and place it as ``spec`` on ``mesh``,
-    memoized per (source identity, perm, mesh). Tracers bypass the cache so
-    the transpose stays inside the autodiff graph (its transpose is the
-    gradient's inverse permutation)."""
+    memoized per (source identity, perm, mesh) in the entry point's cache
+    slot. Tracers bypass the cache so the transpose stays inside the
+    autodiff graph (its transpose is the gradient's inverse permutation)."""
     if isinstance(src, jax.core.Tracer):
         return jax.device_put(jnp.transpose(src, perm), NamedSharding(mesh, spec))
-    for s, p, m, sp, out in _OCTANT_CACHE:
+    ent = _OCTANT_CACHE.get(slot)
+    if ent is not None:
+        s, p, m, sp, out = ent
         if s is src and p == perm and m == mesh and sp == spec:
             return out
     out = jax.device_put(jnp.transpose(src, perm), NamedSharding(mesh, spec))
-    _OCTANT_CACHE.clear()
-    _OCTANT_CACHE.append((src, perm, mesh, spec, out))
+    _OCTANT_CACHE[slot] = (src, perm, mesh, spec, out)
     return out
 
 
@@ -909,6 +927,51 @@ def _rot_sweep_frame(
     )
 
 
+def shearwarp_hist_supported(
+    hist_shape,
+    inv_view,
+    width: int,
+    height: int,
+    *,
+    focal: float = 2.0,
+    oversample: float = 1.0,
+    n_lut: int = 9,
+    mesh=None,
+) -> bool:
+    """Can :func:`distributed_shearwarp_hist_render` serve this view on the
+    fused kernel? Checks the budgets against the PERMUTED volume shape and
+    the ACTUAL bounding m-grid dims (wi x padded hi) the call will sweep —
+    `hist_render_supported` on the unrotated shape with the output
+    width/height is NOT sufficient: a y-principal view permutes the
+    spatial axes and the m-grid is ``oversample``x the output, so configs
+    that pass the naive check can exceed the VMEM accumulator budget.
+    Also False when shear-warp itself is inapplicable (d_z sign flip) or
+    the principal extent does not divide over the mesh's bricks."""
+    from vrdd_tpu.march.shearwarp import slope_corner_bounds
+    from vrdd_tpu.pallas.slice_kernel import (
+        STRIP as _STRIP, hist_render_supported,
+    )
+
+    nz, B, ny, nx = hist_shape
+    axis, (px, py, pz), dz_sign, ok, _ = slope_corner_bounds(
+        np.asarray(inv_view, np.float32), width, height, focal
+    )
+    if not ok:
+        return False
+    sp = lambda a: 0 if a == 2 else 3 - a
+    dims = {0: nz, 2: ny, 3: nx}
+    shape_p = (dims[sp(pz)], B, dims[sp(py)], dims[sp(px)])
+    nr = mesh.shape[RAY_AXIS] if mesh is not None else 1
+    nb = mesh.shape[BRICK_AXIS] if mesh is not None else 1
+    if shape_p[0] % nb:
+        return False
+    wi = max(8, int(np.ceil(width * oversample)))
+    hi = max(8, int(np.ceil(height * oversample)))
+    wi = -(-wi // 128) * 128
+    hi += (-hi) % (nr * _STRIP)
+    return hist_render_supported(shape_p, wi, hi, n_lut=n_lut)
+
+
 def distributed_shearwarp_hist_render(
     hist_bm: jnp.ndarray,
     weights: jnp.ndarray,
@@ -981,7 +1044,7 @@ def distributed_shearwarp_hist_render(
         )
     hist_p = _permuted_sharded(
         hist_bm, (sp(pz), 1, sp(py), sp(px)), mesh,
-        P(BRICK_AXIS, None, None, None),
+        P(BRICK_AXIS, None, None, None), slot="hist",
     )
     inv_view = np.asarray(inv_view, dtype=np.float32)
     origin_w = inv_view[:, 3]
