@@ -749,30 +749,39 @@ def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
         note(f"512^3x16 bf16 in-kernel {stat} fwd 1024^2: {dt*1e3:.1f} ms "
              f"-> {out[f'hist512_inkernel_{stat}_fwd_mrays']:.1f} Mrays/s")
 
-        @jax.jit
-        def fwdbwd_s(h, lut, o, rows=rows, mode=mode, tscl=tscl):
-            def loss(h, lut, i):
-                img = pallas_hist_render_diff(
-                    h, rows, o, lut, density=0.05 * (1.0 + 1e-6 * i),
-                    transfer_scale=tscl, width=W, height=W,
-                    wrt=("hist", "lut"), stat=mode,
-                )
-                return jnp.mean((img - 0.25) ** 2)
+        best = (None, None)
+        for route in ("inkernel", "materialized"):
+            @jax.jit
+            def fwdbwd_s(h, lut, o, rows=rows, mode=mode, tscl=tscl,
+                         route=route):
+                def loss(h, lut, i):
+                    img = pallas_hist_render_diff(
+                        h, rows, o, lut, density=0.05 * (1.0 + 1e-6 * i),
+                        transfer_scale=tscl, width=W, height=W,
+                        wrt=("hist", "lut"), stat=mode, route=route,
+                    )
+                    return jnp.mean((img - 0.25) ** 2)
 
-            def it(i, acc):
-                l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(
-                    h, lut, i)
-                return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(
-                    jnp.float32)
-            return jax.lax.fori_loop(0, KB, it, 0.0)
+                def it(i, acc):
+                    l, (gh, gt) = jax.value_and_grad(loss, argnums=(0, 1))(
+                        h, lut, i)
+                    return acc + l + jnp.sum(gt) + gh[0, 0, 0, 0].astype(
+                        jnp.float32)
+                return jax.lax.fori_loop(0, KB, it, 0.0)
 
-        dt, _ = time_amortized(fwdbwd_s, hist, tf, origin, iters=KB)
-        out[f"hist512_inkernel_{stat}_fwdbwd_ms"] = round(dt * 1e3, 2)
-        out[f"hist512_inkernel_{stat}_fwdbwd_mrays"] = round(
-            W * W / dt / 1e6, 2)
-        note(f"512^3x16 bf16 in-kernel {stat} fwd+bwd 1024^2: "
-             f"{dt*1e3:.1f} ms -> "
-             f"{out[f'hist512_inkernel_{stat}_fwdbwd_mrays']:.1f} Mrays/s")
+            dt, _ = time_amortized(fwdbwd_s, hist, tf, origin, iters=KB)
+            if route == "inkernel":
+                out[f"hist512_inkernel_{stat}_fwdbwd_ms"] = round(
+                    dt * 1e3, 2)
+                out[f"hist512_inkernel_{stat}_fwdbwd_mrays"] = round(
+                    W * W / dt / 1e6, 2)
+            if best[0] is None or dt < best[0]:
+                best = (dt, route)
+            note(f"512^3x16 bf16 {stat} fwd+bwd [{route}] 1024^2: "
+                 f"{dt*1e3:.1f} ms -> {W * W / dt / 1e6:.1f} Mrays/s")
+        out[f"hist512_{stat}_fwdbwd_mrays"] = round(
+            W * W / best[0] / 1e6, 2)
+        out[f"hist512_{stat}_fwdbwd_route"] = best[1]
 
     # DISTRIBUTED distribution-native: histogram slabs on bricks, decode
     # in each brick's kernel, sort-last exact-ET compositing — the 1-chip
