@@ -251,7 +251,7 @@ def main() -> None:
     p.add_argument(
         "--sections",
         default=os.environ.get(
-            "VRDD_BENCH_SECTIONS", "headline,decode,dist,view,big,rot"
+            "VRDD_BENCH_SECTIONS", "headline,decode,dist,view,big,rot,scaling"
         ),
         help="comma list of sections to run, in order: headline (forward "
         "MTexels/s, distribution fwd+bwd — the metric — and the scalar "

@@ -132,7 +132,14 @@ def measure_scaling(
         )
         params, opt_state, loss = step_fn(
             params, opt_state, vs, origin, target
-        )  # compile
+        )  # compile #1 (init-state params)
+        # compile #2: the first update changes the params' committed
+        # shardings, retracing step_fn — warm THAT executable too or the
+        # timed loop's first step pays a full compile (observed 22 s at
+        # 512^3, turning a 48 ms step into a 5.7 s "average")
+        params, opt_state, loss = step_fn(
+            params, opt_state, vs, origin, target
+        )
         float(loss)  # warm sync
         t0 = time.perf_counter()
         for _ in range(iters):
