@@ -215,3 +215,63 @@ def test_distributed_shearwarp_hist_gradients():
 
     assert mre(gh, gh_s) < 5e-4, "histogram cotangent (rotated, sharded)"
     assert mre(gl, gl_s) < 5e-4, "LUT cotangent (rotated, sharded)"
+
+
+def test_shearwarp_hist_supported_uses_permuted_shape():
+    """The rotated-path support check (cli render-hist gate) must evaluate
+    the PERMUTED shape and the actual m-grid dims: a z-principal view of a
+    modest volume passes; blowing the m-grid up via oversample or asking
+    for a y-principal view of a volume whose permuted spatial dims explode
+    the VMEM budgets must fail closed; a d_z sign flip (camera inside the
+    footprint spread) is inapplicable and also False."""
+    from vrdd_tpu.core.geometry import inv_view_from_rotation_translation
+    from vrdd_tpu.parallel.sweep import shearwarp_hist_supported
+
+    iv_z = np.asarray(inv_view_from_rotation_translation(
+        10.0, 15.0, (0.0, 0.0, -4.0)), np.float32)
+    shape = (64, 16, 64, 64)
+    assert shearwarp_hist_supported(shape, iv_z, 256, 256)
+    # a 4096-wide m-grid's accumulator cannot stay VMEM-resident
+    assert not shearwarp_hist_supported(shape, iv_z, 4096, 4096,
+                                        oversample=2.0)
+    # the advisor's scenario: a shape whose UNROTATED planes fit the
+    # budget (the naive hist_render_supported passes) but whose y-principal
+    # PERMUTED planes (nz x nx) blow it — the permuted check fails closed
+    from vrdd_tpu.pallas.slice_kernel import hist_render_supported
+
+    iv_y = np.asarray(inv_view_from_rotation_translation(
+        80.0, 5.0, (0.0, 0.0, -4.0)), np.float32)
+    tall = (4096, 16, 64, 4096)  # z-planes 64x4096 ok; y-planes 4096x4096
+    assert hist_render_supported(tall, 256, 256)
+    assert not shearwarp_hist_supported(tall, iv_y, 256, 256)
+
+
+def test_octant_cache_slots_and_clear():
+    """Per-entry-point octant cache slots: alternating scalar and hist
+    permutes must not evict each other (the round-4 shared slot thrashed),
+    and clear_octant_cache drops the pinned references."""
+    from vrdd_tpu.parallel.sweep import (
+        _OCTANT_CACHE, _permuted_sharded, clear_octant_cache,
+    )
+
+    clear_octant_cache()
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    from jax.sharding import PartitionSpec as P
+
+    vol = jnp.asarray(np.arange(8.0, dtype=np.float32).reshape(2, 2, 2))
+    hist = jnp.asarray(
+        np.arange(16.0, dtype=np.float32).reshape(2, 2, 2, 2))
+    a1 = _permuted_sharded(vol, (2, 1, 0), mesh, P(None, None, None),
+                           slot="scalar")
+    b1 = _permuted_sharded(hist, (0, 1, 3, 2), mesh,
+                           P(None, None, None, None), slot="hist")
+    a2 = _permuted_sharded(vol, (2, 1, 0), mesh, P(None, None, None),
+                           slot="scalar")
+    b2 = _permuted_sharded(hist, (0, 1, 3, 2), mesh,
+                           P(None, None, None, None), slot="hist")
+    assert a2 is a1, "scalar slot evicted by the hist permute"
+    assert b2 is b1, "hist slot evicted by the scalar permute"
+    clear_octant_cache("scalar")
+    assert "scalar" not in _OCTANT_CACHE and "hist" in _OCTANT_CACHE
+    clear_octant_cache()
+    assert not _OCTANT_CACHE
