@@ -599,10 +599,16 @@ def _decode_block(planes_ref, dw_ref, dec_ref, pchunk, B, mode, bi,
     needs no separate moment pass over the histogram stream (a stacked
     einsum recomputing them cost a full 4.3 GB re-read at 512³×16).
 
-    - 'linear': dec = Σ_b w0·h — B VPU FMAs/voxel.
-    - 'var': four contractions (m, C1, C2, C0), dec = C2 − 2mC1 + m²C0.
-      Measured exact vs an f64 oracle through the full sweep (9.6e-7 in
-      image space at 64³×16 → 256²).
+    - 'linear': dec = Σ_b w0·h — B VPU FMAs/voxel (loop-carried: this
+      association is the bitwise-exactness contract vs decode_with_rows).
+    - 'var': four contractions (m, C1, C2, C0), dec = C2 − 2mC1 + m²C0,
+      each summed as a BALANCED TREE over bins with every histogram plane
+      loaded once and shared by all four rows — measured 30.6 → 26.1 ms
+      on the 512³×16 → 1024² forward vs four loop-carried accumulators
+      (shorter dependency chains; the reassociation is ~1e-7-level f32
+      noise, within the pinned tolerances). Measured exact vs an f64
+      oracle through the full sweep (9.6e-7 in image space at
+      64³×16 → 256², loop-carried form).
     - 'entropy': dec = w00 · Σ_b −h·log2(max(h, tiny)) — exactly 0 at
       h == 0 (matches ops/histogram.py histogram_entropy's safe-log).
       Accuracy: the TPU's log2 is a ~1.5e-4-abs-error approximation in
@@ -622,17 +628,20 @@ def _decode_block(planes_ref, dw_ref, dec_ref, pchunk, B, mode, bi,
                 acc = t if acc is None else acc + t
             dec_ref[i] = dw_ref[0, 0] * acc
         elif mode == "var":
-            h = planes_ref[b0, 0]
-            m = dw_ref[0, 0] * h
-            c1 = dw_ref[1, 0] * h
-            c2 = dw_ref[2, 0] * h
-            c0 = dw_ref[3, 0] * h
-            for b in range(1, B):
-                h = planes_ref[b0, b]
-                m = m + dw_ref[0, b] * h
-                c1 = c1 + dw_ref[1, b] * h
-                c2 = c2 + dw_ref[2, b] * h
-                c0 = c0 + dw_ref[3, b] * h
+            hs = [planes_ref[b0, b] for b in range(B)]
+
+            def _tree(terms):
+                while len(terms) > 1:
+                    terms = [
+                        terms[j] + terms[j + 1]
+                        for j in range(0, len(terms) - 1, 2)
+                    ] + ([terms[-1]] if len(terms) % 2 else [])
+                return terms[0]
+
+            m = _tree([dw_ref[0, b] * hs[b] for b in range(B)])
+            c1 = _tree([dw_ref[1, b] * hs[b] for b in range(B)])
+            c2 = _tree([dw_ref[2, b] * hs[b] for b in range(B)])
+            c0 = _tree([dw_ref[3, b] * hs[b] for b in range(B)])
             dec_ref[i] = c2 - 2.0 * m * c1 + m * m * c0
             if mom_out is not None:
                 dt = mom_out.dtype

@@ -664,7 +664,10 @@ def _make_diff_sweep(H, W, NY, NX, n_planes, n_lut, dz_sign, box_min,
     )
     cparams = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"),
-        vmem_limit_bytes=100 * 1024 * 1024,
+        # the hist-decode forwards carry the 2-slot stream buffer + the
+        # decode scratch on top of the scalar path's tenants (the var
+        # tree decode peaks ~113 MB at 512^3 x 16 -> 1024^2)
+        vmem_limit_bytes=(118 if decode_bins else 100) * 1024 * 1024,
     )
     # the backward carries the suffix-sum image + grad scratch on top of the
     # double-buffered plane / plane-grad / checkpoint blocks
