@@ -618,30 +618,30 @@ def _decode_block(planes_ref, dw_ref, dec_ref, pchunk, B, mode, bi,
       pointwise difference amplified by the TF slope × composited planes,
       well under the 8-bit display quantum.
     """
+    def _tree_sum(terms):
+        while len(terms) > 1:
+            terms = [
+                terms[j] + terms[j + 1]
+                for j in range(0, len(terms) - 1, 2)
+            ] + ([terms[-1]] if len(terms) % 2 else [])
+        return terms[0]
+
     for i in range(pchunk):
         b0 = bi(i)
         if mode == "entropy":
-            acc = None
-            for b in range(B):
+            def _t(b):
                 h = planes_ref[b0, b].astype(jnp.float32)
-                t = -h * jnp.log2(jnp.maximum(h, _ENT_TINY))
-                acc = t if acc is None else acc + t
-            dec_ref[i] = dw_ref[0, 0] * acc
+                return -h * jnp.log2(jnp.maximum(h, _ENT_TINY))
+
+            dec_ref[i] = dw_ref[0, 0] * _tree_sum(
+                [_t(b) for b in range(B)]
+            )
         elif mode == "var":
             hs = [planes_ref[b0, b] for b in range(B)]
-
-            def _tree(terms):
-                while len(terms) > 1:
-                    terms = [
-                        terms[j] + terms[j + 1]
-                        for j in range(0, len(terms) - 1, 2)
-                    ] + ([terms[-1]] if len(terms) % 2 else [])
-                return terms[0]
-
-            m = _tree([dw_ref[0, b] * hs[b] for b in range(B)])
-            c1 = _tree([dw_ref[1, b] * hs[b] for b in range(B)])
-            c2 = _tree([dw_ref[2, b] * hs[b] for b in range(B)])
-            c0 = _tree([dw_ref[3, b] * hs[b] for b in range(B)])
+            m = _tree_sum([dw_ref[0, b] * hs[b] for b in range(B)])
+            c1 = _tree_sum([dw_ref[1, b] * hs[b] for b in range(B)])
+            c2 = _tree_sum([dw_ref[2, b] * hs[b] for b in range(B)])
+            c0 = _tree_sum([dw_ref[3, b] * hs[b] for b in range(B)])
             dec_ref[i] = c2 - 2.0 * m * c1 + m * m * c0
             if mom_out is not None:
                 dt = mom_out.dtype
