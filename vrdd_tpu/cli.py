@@ -492,6 +492,7 @@ def cmd_fit_hist(args) -> int:
                 hist_bm, rows, origin, lut, width=W, height=H,
                 transfer_offset=toff, transfer_scale=tscl,
                 wrt=("hist",), stat=mode,
+                route=getattr(args, "route", "inkernel"),
             )
         vol = decode_with_rows(hist_bm, rows, mode)
         return slice_render_image(vol, origin, W, H, lut,
@@ -771,6 +772,13 @@ def main(argv=None) -> int:
     ph.add_argument("--stat", default="mean",
                     choices=["mean", "var", "entropy"],
                     help="observed statistic to invert through")
+    ph.add_argument("--route", default="inkernel",
+                    choices=["inkernel", "materialized"],
+                    help="training route: 'inkernel' streams the decode in "
+                    "both sweeps (minimum memory); 'materialized' decodes "
+                    "once with XLA (faster when the decoded f32 volume "
+                    "fits beside the histograms — see bench "
+                    "hist512_fwdbwd_route)")
     ph.add_argument("--checkpoint", default="fit_hist.npz")
     ph.set_defaults(fn=cmd_fit_hist)
 
