@@ -35,8 +35,11 @@ diff/distributed twins) supersedes this path — mean, variance, AND
 entropy all decode in the kernel prologue at ~2x this path's
 throughput. This chunked chain remains the general route: arbitrary
 user decode functions (Gaussian parameterizations, learned decoders)
-and volumes whose decoded form exceeds HBM (the 1024^3 fwd+bwd
-datapoint), where remat'd chunking is the only differentiable option.
+and volumes whose decoded form exceeds HBM, where remat'd chunking is
+the only differentiable option. (The 1024^3 fwd+bwd datapoint moved OFF
+this path in round 5: pure-selection streaming removed the flip copies,
+so the direct fused VJP fits a 16 GB chip at 3x this path's throughput —
+bench.py fwdbwd_1024_route; this chain now starts beyond that.)
 """
 
 from __future__ import annotations
