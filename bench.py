@@ -217,13 +217,20 @@ def hist512_volume(n: int, B: int = 16) -> jnp.ndarray:
     return gen()
 
 
-def time_amortized(fn, *args, iters: int = 1) -> float:
-    """Seconds per call; fn must return a scalar (readback forces sync)."""
+def time_amortized(fn, *args, iters: int = 1, repeats: int = 1) -> float:
+    """Seconds per call; fn must return a scalar (readback forces sync).
+
+    ``repeats``: take the MIN over that many timed calls (after the one
+    warmup) — the headline keys use 2 so a transient chip/link stall
+    (observed: one ~20x episode mid-session) cannot sink the round's
+    one-shot record; every repeat is the same full amortized call."""
     float(fn(*args))  # warmup + compile
-    t0 = time.perf_counter()
-    s = float(fn(*args))
-    dt = time.perf_counter() - t0
-    return dt / iters, s
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        s = float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters, s
 
 
 def emit(out: dict) -> None:
@@ -408,7 +415,8 @@ def main() -> None:
                               0, 0, 0, 0].astype(jnp.float32)
                       return jax.lax.fori_loop(0, KH, it, 0.0)
 
-                  dt, _ = time_amortized(hfb, hist, tf, origin, iters=KH)
+                  dt, _ = time_amortized(hfb, hist, tf, origin, iters=KH,
+                                         repeats=2)
                   route_mrays[route] = W * W / dt / 1e6
                   note(f"fwd+bwd DISTRIBUTION {n}^3x16 -> {W}^2 "
                        f"[{route}]: {dt * 1e3:.2f} ms -> "
@@ -455,7 +463,8 @@ def main() -> None:
 
               return jax.lax.fori_loop(0, KH, it, 0.0)
 
-          dt_fb, _ = time_amortized(fwdbwd_many, vol, tf, origin, iters=KH)
+          dt_fb, _ = time_amortized(fwdbwd_many, vol, tf, origin, iters=KH,
+                                    repeats=2)
           fb_mrays = W * W / dt_fb / 1e6
           note(f"fwd+bwd SCALAR {W}^2 over {n}^3: {dt_fb * 1e3:.2f} ms -> "
                f"{fb_mrays:.1f} Mrays/s")
