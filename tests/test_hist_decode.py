@@ -337,3 +337,28 @@ def test_live_fractions_reports_culling():
     assert lf_thin["strip_live_frac"] >= lf_thin["tile_live_frac"]
     assert lf_opaque["tile_live_frac"] < lf_thin["tile_live_frac"]
     assert lf_opaque["tile_live_frac"] < 0.9
+
+
+def test_route_auto_policy_and_parity():
+    """route='auto' resolves to the measured-best implementation (BENCH r5):
+    materialized for small/medium linear stats, inkernel for entropy — and
+    its value matches the explicit routes."""
+    hist, w = _hist(seed=11)
+
+    def loss(h, route, stat, rows):
+        img = pallas_hist_render_diff(
+            h, rows, O, TF, width=W, height=H, wrt=("hist",), stat=stat,
+            route=route,
+        )
+        return jnp.sum(img ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        v_auto = float(loss(hist, "auto", "linear", w))
+        v_mat = float(loss(hist, "materialized", "linear", w))
+        from vrdd_tpu.pallas.slice_kernel import decode_weight_rows
+
+        erows = jnp.asarray(decode_weight_rows("entropy", 8, family="unit")[0])
+        e_auto = float(loss(hist, "auto", "entropy", erows))
+        e_ik = float(loss(hist, "inkernel", "entropy", erows))
+    assert abs(v_auto - v_mat) / (abs(v_mat) or 1.0) < 1e-6
+    assert abs(e_auto - e_ik) / (abs(e_ik) or 1.0) < 1e-6

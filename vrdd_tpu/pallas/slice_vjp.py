@@ -1380,9 +1380,21 @@ def pallas_hist_render_diff(
       let autodiff transpose the decode (one fused broadcast back to
       d_hist). Reads the 2-byte histogram stream ONCE instead of twice at
       the price of one decoded f32 volume in HBM — measured faster at the
-      512^3 x 16-bin headline shape (38.8 vs 47.2 ms on-chip fwd+bwd,
+      512^3 x 16-bin headline shape (36.4 vs 38.9 ms recorded fwd+bwd,
       2026-08) where the extra 0.5 GB fits easily.
+    - ``'auto'``: the measured-best policy (BENCH r5 route A/Bs):
+      'inkernel' for entropy (XLA's log2-heavy decode pass loses, 10.5 vs
+      16.6 Mrays/s) and whenever the materialized route's extra residency
+      (decoded f32 volume + its cotangent beside the histograms and
+      d_hist) would crowd a 16 GB chip; 'materialized' otherwise (wins at
+      the 512^3 x 16 mean/var configs).
     """
+    if route == "auto":
+        hist_bytes = int(np.prod(hist_bm.shape)) * jnp.dtype(
+            hist_bm.dtype).itemsize
+        voxels = hist_bm.shape[0] * hist_bm.shape[2] * hist_bm.shape[3]
+        fits = 2 * hist_bytes + 12 * voxels < 13 * 1024 ** 3
+        route = "materialized" if (stat != "entropy" and fits) else "inkernel"
     if route == "materialized":
         from vrdd_tpu.pallas.slice_kernel import decode_with_rows
 
