@@ -742,6 +742,33 @@ def bench_big_hist(tf, note, n: int = 512, W: int = 1024, B: int = 16):
          f"-> {out['hist512_inkernel_fwd_mrays']:.1f} Mrays/s "
          f"({n * B * n * n * 2 / dt / 1e9:.0f} GB/s histogram stream)")
 
+    # the reference's OWN bin count (32, volumeRender.cpp N_BINS) at the
+    # headline volume: an 8.6 GB distribution volume rendered forward
+    # straight through the in-kernel decode (training at this size needs
+    # the pod: d_hist alone is another 8.6 GB)
+    B32 = 32
+    hist32 = jax.block_until_ready(hist512_volume(n, B32))
+    dw32 = jnp.asarray((np.arange(B32) + 0.5) / B32, jnp.float32)
+
+    @jax.jit
+    def fwd32(h, lut, o):
+        def it(i, acc):
+            img = pallas_hist_render(
+                h, dw32, o, lut, density=0.05 * (1.0 + 1e-6 * i),
+                width=W, height=W,
+            )
+            return acc + jnp.sum(img)
+        return jax.lax.fori_loop(0, KB, it, 0.0)
+
+    dt, _ = time_amortized(fwd32, hist32, tf, origin, iters=KB)
+    out["hist512_b32_fwd_ms"] = round(dt * 1e3, 2)
+    out["hist512_b32_fwd_mrays"] = round(W * W / dt / 1e6, 2)
+    note(f"512^3x32 bf16 (the reference's own bin count; 8.6 GB) fwd "
+         f"1024^2: {dt*1e3:.1f} ms -> "
+         f"{out['hist512_b32_fwd_mrays']:.1f} Mrays/s "
+         f"({n * B32 * n * n * 2 / dt / 1e9:.0f} GB/s histogram stream)")
+    del hist32
+
     for stat, tscl in (("var", 30.0), ("entropy", 1.0)):
         rows, mode = decode_weight_rows(stat, B, family="unit")
         rows = jnp.asarray(rows)
